@@ -1,0 +1,71 @@
+"""Scalar/aggregate helper expressions shared across operators.
+
+Maps SURVEY.md §2.7 (F1-F5) plus determinism helpers for the oracle
+comparison. Everything is a native Column expression — JVM-side,
+whole-stage-codegen'd; no Python UDFs (reference's row-wise pandas
+``apply`` at ``scripts/extract_load.py:159-189`` is replaced by these,
+per SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact-accumulation decimal for double sums. Summing doubles is
+# order-sensitive, and Spark's partial-aggregation order varies with
+# partitioning/scheduling — at 1000 executors a plain double SUM is not
+# run-to-run reproducible. Casting to a wide decimal makes accumulation
+# exact (associative), so results are bit-stable at any scale AND match
+# the DuckDB oracle. DECIMAL(38,10) keeps 10 fractional digits; fixture
+# monetary values have 2.
+_DECIMAL = "decimal(38,10)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Deterministic SUM over a double column (exact decimal accumulation),
+    returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DECIMAL)).cast("double")
+
+
+def dsum_expr(sql_expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`dsum` for oracle SQL strings."""
+    return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+def rsplit_once(col: str | Column, sep: str = "_") -> tuple[Column, Column]:
+    """F1 — right-split once: ``'valeurfonc_sum_cod111'`` →
+    (``'valeurfonc_sum'``, ``'cod111'``).
+
+    Reference: pandas ``str.rsplit('_', n=1, expand=True)``
+    (``/root/reference/scripts/extract_load.py:156-158``). Implemented with
+    ``substring_index`` (suffix) + length arithmetic (prefix) — pure
+    codegen'd string ops, no regex backtracking in the hot path.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    suffix = F.substring_index(c, sep, -1)
+    # prefix = everything before the last separator occurrence
+    prefix = c.substr(F.lit(1), F.length(c) - F.length(suffix) - F.lit(len(sep)))
+    return prefix, suffix
+
+
+def strip_literal(col: str | Column, literal: str) -> Column:
+    """F2 — remove a literal substring (``'cod111'`` → ``'111'``).
+
+    Reference: ``row['cod'].replace('cod','')``
+    (``/root/reference/scripts/extract_load.py:159-161``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(c, F.lit(literal), F.lit(""))
+
+
+def sha256_uid(*cols: str | Column) -> Column:
+    """F3 — SHA-256 surrogate key over raw concatenation, NO separator.
+
+    Reference: ``hashlib.sha256(str(a)+str(b)+str(c)).hexdigest()``
+    (``/root/reference/scripts/extract_load.py:171-193``). The
+    no-separator concat is replicated exactly (SURVEY.md §2.7 F3).
+    """
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols]
+    return F.sha2(F.concat(*cs), 256)

@@ -1,0 +1,71 @@
+"""Batch sources.
+
+Reference scans (SURVEY.md §2.1): REST API (S1-S3, see ``ingest.rest``),
+dbt source tables (S4), literal tables (S5), multi-connector BI scans
+(S6). Here the canonical source is parquet — columnar, splittable,
+predicate-pushdown + column-pruning friendly, the right substrate for
+100 TB. CSV/JSON/JDBC come free via ``spark.read.format``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided TPC-H-ish fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps full pushdown:
+    filters and projections land in the scan (``PushedFilters`` /
+    ``ReadSchema`` in the physical plan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which the Spark 4 vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
+    timestamp JVM-side — same truncation DuckDB applies when casting
+    TIMESTAMP_NS → TIMESTAMP, so oracle parity holds.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
+        # 53-bit mantissa, so float division would lose microseconds
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views for the SQL surface
+    (reference's dbt ``source()`` registry, ``dbt_core/models/sources.yml:3-9``).
+    """
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

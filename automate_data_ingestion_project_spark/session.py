@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference delegates execution to DuckDB + eager pandas
+(``/root/reference/scripts/extract_load.py:213``); here a single
+SparkSession replaces both. Config choices are scale-minded:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static plan is always wrong somewhere; AQE repairs it per-stage.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a real cluster this is overridden (or AQE's
+  ``coalescePartitions`` makes the initial number mostly irrelevant).
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are stable across clusters.
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "automate-data-ingestion-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ANSI off: reference semantics (DuckDB INSERT OR REPLACE pipeline)
+        # never raise on overflow/cast; keep permissive NULL-on-error casts.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

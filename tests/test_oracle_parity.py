@@ -1,0 +1,51 @@
+"""Replay the driver's correctness gate locally: every registered query
+with an oracle must hash-match DuckDB on the same parquet fixtures.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.01 to replicate the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def _oracle_cases():
+    oracles = entrymod.oracle_sql()
+    return sorted(oracles.keys())
+
+
+@pytest.mark.parametrize("name", _oracle_cases())
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    q = entrymod.queries()[name]
+    df = q(spark, sf_dir)
+    report = compare(df, duck, entrymod.oracle_sql()[name])
+    assert report["ok"], f"{name}: {report}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "month",
+        "number_of_orders",
+        "sales_usd",
+        "average_order_value",
+    ]
+
+
+def test_every_query_runs_and_returns_rows(spark, sf_dir):
+    for name, q in entrymod.queries().items():
+        df = q(spark, sf_dir)
+        assert df.count() >= 0, name
