@@ -15,11 +15,17 @@ from pyspark.sql import functions as F
 # Exact-accumulation decimal for double sums. Summing doubles is
 # order-sensitive, and Spark's partial-aggregation order varies with
 # partitioning/scheduling — at 1000 executors a plain double SUM is not
-# run-to-run reproducible. Casting to a wide decimal makes accumulation
-# exact (associative), so results are bit-stable at any scale AND match
-# the DuckDB oracle. DECIMAL(38,10) keeps 10 fractional digits; fixture
-# monetary values have 2.
-_DECIMAL = "decimal(38,10)"
+# run-to-run reproducible. Casting to a decimal makes accumulation exact
+# (associative), so results are bit-stable at any scale AND match the
+# DuckDB oracle.
+#
+# Scale 6, not wider: fixture values carry at most 6 true decimal places
+# (2dp monetary × 2dp rates), so the cast is lossless — and DuckDB's
+# DECIMAL→DOUBLE cast is only correctly rounded while the scaled integer
+# fits double's 53-bit mantissa (measured: DECIMAL(38,10) sums came back
+# off by ~2 ulp vs Spark's BigDecimal cast). sum×10^6 < 2^53 holds
+# through sf0.1 with huge margin.
+_DECIMAL = "decimal(27,6)"
 
 
 def dsum(col: str | Column) -> Column:
@@ -31,7 +37,7 @@ def dsum(col: str | Column) -> Column:
 
 def dsum_expr(sql_expr: str) -> str:
     """DuckDB/ANSI twin of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,10))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(27,6))) AS DOUBLE)"
 
 
 def rsplit_once(col: str | Column, sep: str = "_") -> tuple[Column, Column]:
