@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NS → TIMESTAMP, so oracle parity holds.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Timezone independence: string timestamp literals, date_trunc and
+    # year() are evaluated in the session timezone, while the DuckDB
+    # oracle evaluates naive timestamps. The driver builds its own
+    # vanilla session (bypassing get_spark's UTC default), so pin UTC
+    # here — parity must not depend on the host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's perf gate.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+exactly ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing protocol: one warm-up query first (JVM + codegen + parquet
+footer caches), then each query timed end-to-end — plan construction
+through ``collect()`` of its (small) result. Headline queries all
+return bounded result sets, so collect measures full execution without
+driver-transfer noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from automate_data_ingestion_project_spark.session import get_spark
+    from automate_data_ingestion_project_spark.analytics import QUERIES
+    import automate_data_ingestion_project_spark.analytics.core  # noqa: F401
+    import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
+
+    # Headliners: the expensive/representative shapes. Anything in the
+    # registry tagged as a bench query runs; fall back to this fixed list.
+    bench_names = [
+        n
+        for n in (
+            "pricing_summary",
+            "revenue_by_nation",
+            "top_brands_by_quantity",
+            "top3_orders_per_priority",
+            "orders_by_month",
+            "orders_per_year",
+            "dedup_exact",
+            "dedup_minhash_pairs",
+            "ann_topk_cosine",
+            "text_stats",
+        )
+        if n in QUERIES
+    ]
+
+    spark = get_spark(app_name="bench")
+    # warm-up: touch the biggest table so JIT/parquet-footer costs don't
+    # land on the first timed query
+    QUERIES["pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

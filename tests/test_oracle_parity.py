@@ -48,4 +48,4 @@ def test_entry_smoke(spark):
 def test_every_query_runs_and_returns_rows(spark, sf_dir):
     for name, q in entrymod.queries().items():
         df = q(spark, sf_dir)
-        assert df.count() >= 0, name
+        assert df.count() > 0, f"{name} returned no rows"
