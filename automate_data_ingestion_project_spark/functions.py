@@ -71,7 +71,13 @@ def sha256_uid(*cols: str | Column) -> Column:
 
     Reference: ``hashlib.sha256(str(a)+str(b)+str(c)).hexdigest()``
     (``/root/reference/scripts/extract_load.py:171-193``). The
-    no-separator concat is replicated exactly (SURVEY.md §2.7 F3).
+    no-separator concat is replicated exactly (SURVEY.md §2.7 F3),
+    including Python's ``str(None) == 'None'`` coercion: a NULL key
+    column contributes the literal string ``'None'`` instead of
+    nulling the whole concat (``F.concat`` is NULL-propagating).
     """
-    cs = [(F.col(c) if isinstance(c, str) else c).cast("string") for c in cols]
+    cs = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("None"))
+        for c in cols
+    ]
     return F.sha2(F.concat(*cs), 256)

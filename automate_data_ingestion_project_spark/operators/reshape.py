@@ -58,12 +58,20 @@ def split_metric_code(
     ``'valeurfonc_sum_cod111'`` → metric ``'valeurfonc_sum'``, cod ``'111'``.
     ``substring_index(c, '_', -1)`` takes the last segment; the prefix is
     a length-arithmetic substring — no regex in the hot path.
+
+    A value with no separator keeps pandas ``rsplit('_', n=1)``
+    semantics: single part → metric is the whole string, code is NULL
+    (pandas yields NaN in the expanded second column).
     """
     c = F.col(col)
+    has_sep = c.contains("_")
     suffix = F.substring_index(c, "_", -1)
     prefix = c.substr(F.lit(1), F.length(c) - F.length(suffix) - F.lit(1))
-    return df.withColumn(metric_name, prefix).withColumn(
-        code_name, F.replace(suffix, F.lit(code_prefix), F.lit(""))
+    return df.withColumn(metric_name, F.when(has_sep, prefix).otherwise(c)).withColumn(
+        code_name,
+        F.when(has_sep, F.replace(suffix, F.lit(code_prefix), F.lit(""))).otherwise(
+            F.lit(None).cast("string")
+        ),
     )
 
 
@@ -79,11 +87,14 @@ def pivot_metrics(
     ``metrics`` is passed explicitly (reference knows its 9 indicator
     names from config.yaml) so Spark skips the distinct-values
     discovery job — one less scan, and a deterministic column order.
+
+    ``ignorenulls=True`` matches pandas ``pivot_table(aggfunc='first')``
+    (``GroupBy.first`` skips NaN — measured, not assumed).
     """
     return (
         df.groupBy(*group_cols)
         .pivot(metric_col, metrics)
-        .agg(F.first(value_col))
+        .agg(F.first(value_col, ignorenulls=True))
     )
 
 
@@ -108,9 +119,40 @@ def normalize_wide(
     ``uid_cols`` = [annee, dep|reg, cod].
 
     Output columns: ``uid, *id_vars, cod, *metrics``.
+
+    Pandas-parity edge semantics (measured against the reference's
+    ``melt → rsplit → pivot_table(aggfunc='first') → reset_index``):
+
+    - groups with NULL in any key column (``id_vars`` + ``cod``) are
+      DROPPED — pandas ``groupby`` default ``dropna=True``;
+    - groups where every metric value is NULL are DROPPED —
+      ``pivot_table`` omits all-NaN groups;
+    - partially-NULL groups are kept with NULL cells.
+
+    The null-key filter runs on the long relation *before* the pivot's
+    groupBy, so dropped rows never enter the shuffle.
     """
     long = melt(df, id_vars)
     split = split_metric_code(long, code_prefix=code_prefix)
-    wide = pivot_metrics(split, [*id_vars, "cod"], "metric", "valeur", metrics)
-    keyed = with_uid(wide, uid_cols)
+    key_cols = [*id_vars, "cod"]
+    non_null_keys = split.filter(
+        reduce_and([F.col(c).isNotNull() for c in key_cols])
+    )
+    wide = pivot_metrics(non_null_keys, key_cols, "metric", "valeur", metrics)
+    any_metric = reduce_or([F.col(m).isNotNull() for m in metrics])
+    keyed = with_uid(wide.filter(any_metric), uid_cols)
     return keyed.select("uid", *id_vars, "cod", *metrics)
+
+
+def reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def reduce_or(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
