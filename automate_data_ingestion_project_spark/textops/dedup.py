@@ -1,0 +1,189 @@
+"""Document deduplication: exact content-hash and MinHash+LSH near-dup.
+
+Exact dedup is a hash-groupBy — one scan, one shuffle on the 256-bit
+content hash; duplicate groups keep the smallest id (deterministic).
+
+Near-dup follows the classic MinHash/LSH construction (Broder '97;
+Leskovec-Rajaraman-Ullman ch.3), built ENTIRELY from native Spark
+higher-order functions — no Python UDFs, no all-pairs:
+
+1. shingle: 3-word shingles per document (``transform`` over a word
+   sequence — a narrow map);
+2. minhash: K=32 signature values. Each shingle gets a 56-bit base hash
+   from md5 (cross-engine reproducible), then K universal hashes
+   ``(a_i·h + b_i) mod P`` with P = 2³¹−1; the signature entry is the
+   min over shingles;
+3. banding: the signature splits into b=8 bands × r=4 rows; each band
+   hashes to a key. Two docs collide in a band iff their 4 signature
+   rows all match ⇒ P(candidate) = 1−(1−j⁴)⁸ — steep around j≈0.5;
+4. candidate pairs: self-equi-join on band key — the shuffle is on
+   band keys, so cost scales with Σ|bucket|², NEVER n². This is the
+   property that keeps 100 TB feasible: near-identical docs share
+   buckets, everything else never meets;
+5. verification: exact shingle-set Jaccard on the (few) candidates.
+
+Every step is deterministic integer arithmetic, so the DuckDB oracle
+(analytics/dedup.py) reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash family parameters — fixed constants so runs (and the
+# DuckDB oracle) are reproducible everywhere.
+P = 2147483647  # 2^31 - 1 (Mersenne prime)
+K = 32  # signature length
+BANDS = 8
+ROWS_PER_BAND = 4
+assert BANDS * ROWS_PER_BAND == K
+
+
+def _coefficients() -> tuple[list[int], list[int]]:
+    """K (a, b) pairs from a fixed LCG — stable across engines/runs."""
+    a, b = [], []
+    state = 1234567
+    for _ in range(K):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a.append(state % (P - 1) + 1)
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b.append(state % P)
+    return a, b
+
+
+A_COEF, B_COEF = _coefficients()
+
+_A_ARR = "array(" + ", ".join(f"{x}L" for x in A_COEF) + ")"
+_B_ARR = "array(" + ", ".join(f"{x}L" for x in B_COEF) + ")"
+
+# 56-bit base hash of a string from the md5 hex prefix — identical in
+# DuckDB via CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT).
+_BASE_HASH = f"cast(conv(substr(md5({{s}}), 1, 14), 16, 10) as bigint) % {P}"
+
+
+def content_hash(col: str = "text") -> F.Column:
+    """SHA-256 content key for exact dedup (Q4 generalized to corpora)."""
+    return F.sha2(F.col(col), 256)
+
+
+def exact_dedup_summary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content with the kept (min) id
+    and the duplicate count. One scan + one shuffle on the hash."""
+    return (
+        df.withColumn("content_hash", content_hash(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct n-word shingles; docs shorter than
+    n words are dropped (no shingle support)."""
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
+    expr = (
+        f"array_distinct(transform(sequence(0, size(w) - {n}), "
+        f"i -> concat_ws(' ', {idx})))"
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(id_col, F.expr(expr).alias("shingles"))
+    )
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """(id, shingles, sigs): K-element MinHash signature per document.
+
+    Base hashes are computed once per shingle, then K affine maps take
+    mins — K·|shingles| codegen'd integer ops per doc, no shuffle.
+    """
+    base = _BASE_HASH.format(s="s")
+    return shingled.withColumn(
+        "h0", F.expr(f"transform(shingles, s -> {base})")
+    ).withColumn(
+        "sigs",
+        F.expr(
+            f"transform(sequence(0, {K - 1}), i -> "
+            f"array_min(transform(h0, h -> ({_A_ARR}[i] * h + {_B_ARR}[i]) % {P})))"
+        ),
+    )
+
+
+def lsh_band_keys(with_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_key) — one row per band; key embeds the band index so a
+    single equi-join column suffices."""
+    parts = ", ".join(
+        f"sigs[{ROWS_PER_BAND}*j+{k}]" for k in range(ROWS_PER_BAND)
+    )
+    return with_sigs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {BANDS - 1}), "
+                f"j -> concat_ws(':', j, {parts}))"
+            )
+        ).alias("band_key"),
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket. The join is
+    on band_key — Σ|bucket|² work, never the n² cross product."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def verified_near_duplicates(
+    shingled: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keep ≥ threshold.
+
+    (doc_id_a, doc_id_b, n_shared, jaccard). Verification joins the
+    (small) candidate set back to the shingle relation — broadcast-able
+    against the candidates at any corpus size.
+    """
+    sa = shingled.select(
+        F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_shared"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / F.col("n_union").cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "n_shared", "jaccard")
+    )

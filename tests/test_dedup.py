@@ -1,0 +1,82 @@
+"""Dedup operators: exact collapse, MinHash planted-pair recovery, and
+the LSH candidate-generation property (no all-pairs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from automate_data_ingestion_project_spark.io import load_table
+from automate_data_ingestion_project_spark.textops.dedup import (
+    candidate_pairs,
+    exact_dedup_summary,
+    lsh_band_keys,
+    minhash_signatures,
+    shingle,
+    verified_near_duplicates,
+)
+
+
+def test_exact_dedup_collapses_verbatim_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r.content_hash: r for r in exact_dedup_summary(df).collect()}
+    assert len(out) == 2
+    h = hashlib.sha256(b"a b c").hexdigest()
+    assert out[h].kept_doc_id == 1 and out[h].n_copies == 2
+
+
+def test_shingle_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.shingles for r in shingle(df).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[3] == ["a b c"]
+    assert 2 not in rows  # too short for a 3-shingle
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, "zz " + base), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: r.sigs for r in minhash_signatures(shingle(df)).collect()
+    }
+    agree_12 = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_12 > agree_13
+    assert agree_12 >= 24  # j ≈ 0.92 → most of 32 entries agree
+
+
+def test_lsh_pipeline_recovers_planted_pair_only(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "pre " + base),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    shingled = shingle(df)
+    pairs = candidate_pairs(lsh_band_keys(minhash_signatures(shingled)))
+    verified = verified_near_duplicates(shingled, pairs)
+    got = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in verified.collect()}
+    assert set(got) == {(1, 2)}
+    # prepending 1 word to 18: 16 shared of 17 union
+    assert abs(got[(1, 2)] - 16 / 17) < 1e-12
+
+
+def test_candidate_join_is_on_band_key_not_cross(spark, sf_dir):
+    """The candidate join must be an equi-join on band_key (hash-joinable,
+    bucket-local) — a cross product would be the 100 TB killer."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    bands = lsh_band_keys(minhash_signatures(shingle(docs)))
+    plan = candidate_pairs(bands)._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
