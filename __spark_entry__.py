@@ -25,6 +25,7 @@ import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,95 @@
+"""Text-analysis CORRECTNESS queries over ``documents``.
+
+Three shapes:
+
+- ``text_stats`` — per-document token/quality metrics (pure narrow map;
+  at 100 TB this runs at parquet scan speed);
+- ``lang_confusion`` — the language-ID heuristic aggregated into a
+  (labelled lang × predicted lang) confusion matrix — narrow map + one
+  tiny shuffle;
+- ``doc_fingerprints`` — order-independent sha256 bag-of-words id +
+  min-shingle-hash (k=1 MinHash) per document.
+
+All expressions come from :mod:`..textops.analysis` which emits the
+identical fragment in Spark and DuckDB dialects — the oracles run the
+same computation tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..textops import analysis as ta
+from .registry import register
+
+
+def _stats_exprs(dialect: str) -> dict[str, str]:
+    t = "text"
+    return {
+        "n_tokens": ta.n_tokens(t, dialect),
+        "n_unique_tokens": ta.n_unique_tokens(t, dialect),
+        "n_bpe_tokens": ta.regex_token_count(t, dialect),
+        "avg_token_len": ta.avg_token_len(t, dialect),
+        "stopword_ratio": ta.stopword_ratio(t, dialect),
+        "quality_score": ta.quality_score(t, dialect),
+    }
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(f"{e} AS {n}" for n, e in _stats_exprs("duckdb").items())}
+    FROM documents
+    """,
+    survey_ref="text analysis: token counting + quality scoring (north star)",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[F.expr(e).alias(n) for n, e in _stats_exprs("spark").items()],
+    )
+
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+    SELECT lang, {ta.predicted_lang("text", "duckdb")} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    survey_ref="text analysis: n-gram/stopword language-ID heuristic (north star)",
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", F.expr(ta.predicted_lang("text", "spark")).alias("predicted_lang")
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {ta.fingerprint_sha("text", "duckdb")} AS fp_sha,
+           {ta.fingerprint_minhash("text", "duckdb")} AS fp_minshingle
+    FROM documents
+    WHERE {ta.n_tokens("text", "duckdb")} >= 3
+    """,
+    survey_ref="text analysis: document fingerprinting (north star)",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(ta.n_tokens("text", "spark")) >= 3).select(
+        "doc_id",
+        F.expr(ta.fingerprint_sha("text", "spark")).alias("fp_sha"),
+        F.expr(ta.fingerprint_minhash("text", "spark")).alias("fp_minshingle"),
+    )
