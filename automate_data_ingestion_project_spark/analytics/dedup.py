@@ -148,8 +148,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("xqzv "), F.col("text")).alias("text"),
     )
     base = docs.unionByName(variants)
-    shingled = shingle(base)
+    # persist the two relations every downstream join branch reuses —
+    # without this, both sides of the band self-join and both sides of
+    # the verification join would recompute shingling + signatures
+    shingled = shingle(base).persist()
     sigs = minhash_signatures(shingled)
-    bands = lsh_band_keys(sigs)
+    bands = lsh_band_keys(sigs).persist()
     pairs = candidate_pairs(bands)
     return verified_near_duplicates(shingled, pairs)

@@ -87,9 +87,40 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="text analysis: document fingerprinting (north star)",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.expr(ta.n_tokens("text", "spark")) >= 3).select(
-        "doc_id",
-        F.expr(ta.fingerprint_sha("text", "spark")).alias("fp_sha"),
-        F.expr(ta.fingerprint_minhash("text", "spark")).alias("fp_minshingle"),
+    """Spark computes both fingerprints via explode + codegen'd
+    aggregates rather than the oracle's per-row list lambdas — Spark's
+    higher-order functions are interpreted (no codegen), measured ~5×
+    slower at sf0.1. Shingles come from window ``lead`` over exploded
+    (pos, word) rows: pure compiled operators, one shuffle. Values are
+    identical either way: sorting fixes collect_set order, and min over
+    the shingle MULTISET equals min over the distinct set."""
+    from pyspark.sql import Window
+
+    from ..textops.dedup import P, spread_for_compute
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").filter(
+            F.expr(ta.n_tokens("text", "spark")) >= 3
+        )
+    )
+    tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    sha_rel = tok.groupBy("doc_id").agg(
+        F.sha2(F.concat_ws("|", F.sort_array(F.collect_set("w"))), 256).alias(
+            "fp_sha"
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
+    )
+    min_rel = sh.groupBy("doc_id").agg(
+        F.min(
+            F.expr(f"cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint) % {P}")
+        ).alias("fp_minshingle")
+    )
+    return sha_rel.join(min_rel, "doc_id").select(
+        "doc_id", "fp_sha", "fp_minshingle"
     )

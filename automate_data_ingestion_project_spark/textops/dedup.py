@@ -54,9 +54,6 @@ def _coefficients() -> tuple[list[int], list[int]]:
 
 A_COEF, B_COEF = _coefficients()
 
-_A_ARR = "array(" + ", ".join(f"{x}L" for x in A_COEF) + ")"
-_B_ARR = "array(" + ", ".join(f"{x}L" for x in B_COEF) + ")"
-
 # 56-bit base hash of a string from the md5 hex prefix — identical in
 # DuckDB via CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT).
 _BASE_HASH = f"cast(conv(substr(md5({{s}}), 1, 14), 16, 10) as bigint) % {P}"
@@ -82,6 +79,18 @@ def exact_dedup_summary(
     )
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition a CPU-bound narrow map's input up to the session's
+    parallelism. Small fixture tables arrive as ONE parquet split, so an
+    expensive per-row expression would run on one core (measured: the
+    whole shingling stage serialized at sf0.1). At 100 TB inputs already
+    have ≥cores splits and this becomes a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -93,28 +102,35 @@ def shingle(
         f"i -> concat_ws(' ', {idx})))"
     )
     return (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        spread_for_compute(df)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
         .filter(F.size("w") >= n)
         .select(id_col, F.expr(expr).alias("shingles"))
     )
 
 
-def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """(id, shingles, sigs): K-element MinHash signature per document.
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sigs): K-element MinHash signature per document.
 
-    Base hashes are computed once per shingle, then K affine maps take
-    mins — K·|shingles| codegen'd integer ops per doc, no shuffle.
+    Computed as explode → K codegen'd ``min`` aggregates, NOT as nested
+    higher-order-function lambdas: Spark evaluates ``transform``/
+    ``array_min`` lambdas interpreted (no whole-stage codegen), which
+    measured ~10× slower at sf0.1. The aggregate form is also the
+    100 TB shape — per-partition partial mins mean the shuffle carries
+    one K-vector per (partition, doc), and the min is order-independent
+    so results are identical (the DuckDB oracle still computes the
+    list-comprehension form and hash-matches).
     """
     base = _BASE_HASH.format(s="s")
-    return shingled.withColumn(
-        "h0", F.expr(f"transform(shingles, s -> {base})")
-    ).withColumn(
-        "sigs",
-        F.expr(
-            f"transform(sequence(0, {K - 1}), i -> "
-            f"array_min(transform(h0, h -> ({_A_ARR}[i] * h + {_B_ARR}[i]) % {P})))"
-        ),
-    )
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).withColumn("h", F.expr(base))
+    mins = [
+        F.min(F.expr(f"({a} * h + {b}) % {P}")).alias(f"_sig{i}")
+        for i, (a, b) in enumerate(zip(A_COEF, B_COEF))
+    ]
+    packed = F.array(*[F.col(f"_sig{i}") for i in range(K)]).alias("sigs")
+    return exploded.groupBy(id_col).agg(*mins).select(id_col, packed)
 
 
 def lsh_band_keys(with_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:

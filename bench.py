@@ -31,8 +31,7 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from automate_data_ingestion_project_spark.session import get_spark
     from automate_data_ingestion_project_spark.analytics import QUERIES
-    import automate_data_ingestion_project_spark.analytics.core  # noqa: F401
-    import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
+    import __spark_entry__  # noqa: F401  (imports every query module)
 
     # Headliners: the expensive/representative shapes. Anything in the
     # registry tagged as a bench query runs; fall back to this fixed list.
@@ -45,10 +44,15 @@ def main() -> int:
             "top3_orders_per_priority",
             "orders_by_month",
             "orders_per_year",
+            "normalize_dv3f",
+            "upsert_idempotent",
             "dedup_exact",
             "dedup_minhash_pairs",
             "ann_topk_cosine",
+            "ann_lsh_topk",
             "text_stats",
+            "doc_fingerprints",
+            "multimodal_manifest",
         )
         if n in QUERIES
     ]
