@@ -26,6 +26,7 @@ import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
 

@@ -1,0 +1,65 @@
+"""Source-layer CORRECTNESS queries: the dbt-style SQL surface over
+registered views (S4) and the non-parquet connector round-trips (S6).
+
+The round-trip queries write a fixture table out in the connector
+format (deterministically, scratch-dir overwrite) and read it back with
+an explicit schema — the oracle reads the ORIGINAL table, so the check
+proves the format round-trip is lossless, not just self-consistent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table, register_views
+from ..io.sources import read_csv, read_json
+from .load import scratch_dir
+from .registry import register
+
+
+@register(
+    "source_registry_sql",
+    oracle="""
+    SELECT r.r_name AS region, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey_ref="S4 (sources.yml registry → SQL surface over views)",
+)
+def source_registry_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt pattern end-to-end: sources registered as views, a model
+    written in pure SQL against them."""
+    register_views(spark, sf_dir, ("region", "nation"))
+    return spark.sql(
+        """
+        SELECT r.r_name AS region, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@register(
+    "csv_roundtrip_region",
+    oracle="SELECT * FROM region",
+    survey_ref="S6 (csv connector; write+read round-trip vs original)",
+)
+def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    path = os.path.join(scratch_dir("csv_roundtrip"), "region_csv")
+    region.write.mode("overwrite").option("header", "true").csv(path)
+    return read_csv(spark, path, schema=region.schema)
+
+
+@register(
+    "json_roundtrip_nation",
+    oracle="SELECT * FROM nation",
+    survey_ref="S6 (json connector; write+read round-trip vs original)",
+)
+def json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(scratch_dir("json_roundtrip"), "nation_json")
+    nation.write.mode("overwrite").json(path)
+    return read_json(spark, path, schema=nation.schema)

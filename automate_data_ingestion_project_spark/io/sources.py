@@ -75,3 +75,41 @@ def register_views(
     """
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# S6 — multi-connector scans. The reference's BI layer declares ten
+# connector types (evidence-workspace/package.json:17-28); the engine
+# needs the formats Spark ships natively. JDBC covers the five
+# database connectors (mssql/mysql/postgres/sqlite/trino) given a
+# driver jar on the classpath.
+# ---------------------------------------------------------------------------
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """CSV scan; pass an explicit schema for production (inference costs
+    an extra pass and guesses types)."""
+    opts = {"header": "true", **{k: str(v) for k, v in options.items()}}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """JSON-lines scan; nested structs arrive typed (S2's storage twin)."""
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options
+) -> DataFrame:  # pragma: no cover - needs a live database + driver jar
+    """JDBC scan (predicate pushdown + partitioned reads via the
+    standard partitionColumn/lowerBound/upperBound/numPartitions
+    options)."""
+    return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()

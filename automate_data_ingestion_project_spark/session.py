@@ -50,11 +50,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # ANSI off: reference semantics (DuckDB INSERT OR REPLACE pipeline)
         # never raise on overflow/cast; keep permissive NULL-on-error casts.
         .config("spark.sql.ansi.enabled", "false")
     )
+    # NOTE: spark.driver.memory cannot be set here — builder.config is a
+    # no-op once the JVM exists; set it at submit time
+    # (--driver-memory / SPARK_SUBMIT_OPTS).
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
