@@ -142,12 +142,7 @@ def _minhash_oracle_sql() -> str:
     survey_ref="fuzzy dedup: MinHash+LSH banded near-dup (north star)",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    variants = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.lit("xqzv "), F.col("text")).alias("text"),
-    )
-    base = docs.unionByName(variants)
+    base = _docs_with_variants(spark, sf_dir)
     # persist the two relations every downstream join branch reuses —
     # without this, both sides of the band self-join and both sides of
     # the verification join would recompute shingling + signatures
@@ -156,3 +151,212 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = lsh_band_keys(sigs).persist()
     pairs = candidate_pairs(bands)
     return verified_near_duplicates(shingled, pairs)
+
+
+def _docs_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus near-dup variants: every 20th doc re-appears with
+    one token prepended under doc_id + 100000 (planted ground truth)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("xqzv "), F.col("text")).alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+_VARIANTS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, concat('xqzv ', text) AS text
+        FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle_sql() -> str:
+    from ..textops.simhash import BAND_BITS, SIM_BANDS, SIM_BITS
+
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIM_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIM_BITS)
+    )
+    band_keys = ", ".join(
+        f"concat('{j}', ':', CAST((simhash >> {j * BAND_BITS}) & "
+        f"{(1 << BAND_BITS) - 1} AS VARCHAR))"
+        for j in range(SIM_BANDS)
+    )
+    return f"""
+    WITH base AS ({_VARIANTS_SQL}),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM th GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM bits),
+    bands AS (
+        SELECT doc_id, simhash, unnest([{band_keys}]) AS band_key FROM fp
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_oracle_sql(),
+    survey_ref="fuzzy dedup: SimHash 32-bit banded near-dup (north star)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..textops.simhash import simhash_fingerprints, simhash_near_pairs
+
+    base = _docs_with_variants(spark, sf_dir)
+    fps = simhash_fingerprints(base).persist()
+    return simhash_near_pairs(fps, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard pairs via inverted index
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_index_oracle_sql(threshold: float = 0.5, max_df: int = 200) -> str:
+    return f"""
+    WITH base AS ({_VARIANTS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS s
+        FROM tok WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {max_df}) f
+          ON sh.s = f.s
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_id_a, s.doc_id_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE) /
+               CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.doc_id_a = sa.doc_id
+    JOIN sizes sb ON s.doc_id_b = sb.doc_id
+    WHERE CAST(s.n_shared AS DOUBLE) /
+              CAST(sa.n_sh + sb.n_sh - s.n_shared AS DOUBLE) >= {threshold}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_index_oracle_sql(),
+    survey_ref="fuzzy dedup: exact n-gram Jaccard via inverted index (north star)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..textops.simhash import jaccard_index_join
+
+    base = _docs_with_variants(spark, sf_dir)
+    shingle_rows = (
+        shingle(base)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .persist()
+    )
+    return jaccard_index_join(shingle_rows, threshold=0.5, max_doc_freq=200)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+
+def _embedding_dedup_oracle_sql(threshold: float = 0.999) -> str:
+    from ..textops.similarity import bucket_sql, dot_sql, norm_sql
+
+    d = "duckdb"
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    prepped AS (
+        SELECT vec_id, embedding,
+               {norm_sql("embedding", d)} AS nrm,
+               {bucket_sql("embedding", d)} AS bucket
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               {dot_sql("a.embedding", "b.embedding", d)} / (a.nrm * b.nrm)
+                   AS score
+        FROM prepped a JOIN prepped b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, score FROM pairs WHERE score >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_embedding_dedup_oracle_sql(),
+    survey_ref="fuzzy dedup: embedding-cosine near-dup via LSH buckets (north star)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..textops.similarity import bucket_sql, dot_sql, norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(copies)
+    prepped = base.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql("embedding")).alias("nrm"),
+        F.expr(bucket_sql("embedding")).alias("bucket"),
+    ).persist()
+    a, b = prepped.alias("a"), prepped.alias("b")
+    score = F.expr(dot_sql("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.999)
+    )

@@ -48,6 +48,9 @@ def main() -> int:
             "upsert_idempotent",
             "dedup_exact",
             "dedup_minhash_pairs",
+            "dedup_simhash_pairs",
+            "dedup_ngram_jaccard",
+            "dedup_embedding_cosine",
             "ann_topk_cosine",
             "ann_lsh_topk",
             "text_stats",
