@@ -1,0 +1,17 @@
+"""Structured Streaming surface for the events stream."""
+
+from .events import (
+    run_available_now,
+    sessionized_counts,
+    stream_events,
+    user_running_totals,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "run_available_now",
+    "sessionized_counts",
+    "stream_events",
+    "user_running_totals",
+    "windowed_event_counts",
+]

@@ -1,0 +1,129 @@
+"""Structured Streaming over the events table shape
+(``ts timestamp, event_type string, user_id long``).
+
+The reference is pure batch (SURVEY.md §2.13: no streams) — its
+"incremental" behavior is the keyed upsert. A complete engine also
+ships the streaming versions of its aggregations:
+
+- file-source ``readStream`` (at scale: Kafka — same DataFrame code);
+- event-time windowed counts with a WATERMARK so state for
+  late-beyond-bound windows is dropped (bounded state at 100 TB/day);
+- session windows (``session_window`` gap-based grouping);
+- a custom stateful operator via ``applyInPandasWithState`` — running
+  per-user totals, the template for anything the built-in windows
+  can't express.
+
+Every transformation is identical batch/streaming DataFrame code —
+tests replay the streams with ``Trigger.AvailableNow`` and assert the
+result EQUALS the batch computation on the same files.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = "ts timestamp, event_type string, user_id bigint"
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source event stream; one file = one micro-batch replay unit."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("path", source_dir)
+        .load()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time counts per (window, event_type).
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) finalize and evict. Late rows inside the bound still
+    update their window (the correctness half of watermarking)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows: a session extends while events arrive
+    within ``gap`` of the previous one."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event totals via
+    ``applyInPandasWithState`` (the escape hatch when built-in windows
+    can't express the semantics — per-key state lives in the state
+    store, one Arrow batch per key per micro-batch)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [user_id], "total_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, total_events bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Replay all available input (Trigger.AvailableNow) into a memory
+    sink and return the result table — the batch-equivalence harness."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,88 @@
+"""Structured Streaming: replayed streams must EQUAL the batch
+computation over the same files; stateful totals accumulate across
+micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automate_data_ingestion_project_spark.analytics.load import scratch_dir
+from automate_data_ingestion_project_spark.io import load_table
+from automate_data_ingestion_project_spark.streaming import (
+    run_available_now,
+    sessionized_counts,
+    stream_events,
+    user_running_totals,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events fixture replayed as a 2-file streaming source (2 splits →
+    multiple input files for AvailableNow)."""
+    root = scratch_dir("test_streaming_src")
+    d = os.path.join(root, "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_windowed_counts_equal_batch(spark, events_dir):
+    stream = windowed_event_counts(stream_events(spark, events_dir))
+    got = run_available_now(stream, "win_counts", output_mode="complete")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sessionized_counts_equal_batch(spark, events_dir):
+    stream = sessionized_counts(stream_events(spark, events_dir), gap="30 minutes")
+    got = run_available_now(stream, "sess_counts", output_mode="complete")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert got.count() > 0
+
+
+def test_stateful_running_totals_accumulate(spark, events_dir):
+    ckpt = os.path.join(scratch_dir("test_streaming_ckpt"), "totals")
+    stream = user_running_totals(stream_events(spark, events_dir))
+    got = run_available_now(
+        stream, "user_totals", output_mode="update", checkpoint_dir=ckpt
+    )
+    # update mode emits one row per (user, micro-batch); the LAST emission
+    # per user must equal the batch count
+    last = (
+        got.groupBy("user_id").agg(F.max("total_events").alias("total")).collect()
+    )
+    batch = {
+        r.user_id: r["count"]
+        for r in _batch_events(spark, events_dir).groupBy("user_id").count().collect()
+    }
+    assert {r.user_id: r.total for r in last} == batch
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    stream = windowed_event_counts(stream_events(spark, events_dir))
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
