@@ -29,6 +29,7 @@ import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
