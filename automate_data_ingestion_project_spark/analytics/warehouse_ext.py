@@ -58,19 +58,24 @@ def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "urgent_only_customers_except",
+    "nation_only_keys_except",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    SELECT n_nationkey AS k FROM nation
     EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+    SELECT r_regionkey AS k FROM region
     """,
     survey_ref="EXCEPT (engine extension; absent in reference §2.13)",
 )
-def urgent_only_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    other = orders.filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey")
-    return urgent.subtract(other)  # EXCEPT DISTINCT (set semantics)
+def nation_only_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference over the dimension key spaces (25 nation keys minus
+    the 5 overlapping region keys — non-empty at every scale factor)."""
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k")
+    )
+    regions = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k")
+    )
+    return nations.subtract(regions)  # EXCEPT DISTINCT (set semantics)
 
 
 @register(
