@@ -1,0 +1,135 @@
+"""IVF (inverted-file) ANN variant — the coarse-quantizer scale path.
+
+Complements the hyperplane-LSH variant: vectors are assigned to the
+cell of their nearest CENTROID (here: a deterministic codebook — the
+first ``N_CELLS`` fixture vectors; production would k-means them), and
+a query scans only its own cell's inverted list. This is the
+FAISS-style IVF-flat layout expressed relationally:
+
+- assignment = centroid join + ``row_number`` over (dot desc) — a
+  broadcast join against an 8-row codebook, one narrow pass;
+- the cell id becomes the partition/cluster key: at 100 TB the vector
+  table is WRITTEN partitioned by ``cell`` so a query's probe prunes
+  to one partition at the parquet scan (see
+  tests/test_plans.py::test_partition_pruning_on_partitioned_write for
+  the pruning proof pattern);
+- search = equi-join query-cells ⇄ candidate-cells, cosine, top-k.
+
+Everything is deterministic double arithmetic → full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..textops.similarity import dot_sql, norm_sql
+from .registry import register
+
+N_CELLS = 8
+QUERY_IDS = [0, 1, 2, 3, 4]
+TOP_K = 5
+_QIDS = ", ".join(map(str, QUERY_IDS))
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, cell): nearest-centroid assignment via
+    broadcast join + per-vector rank (ties broken by centroid id)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdot", F.expr(dot_sql("embedding", "c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM base
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_sql("b.embedding", "c.c_emb", "duckdb")} DESC,
+                                c.cell
+                   ) AS _r
+            FROM base b CROSS JOIN centroids c
+        ) WHERE _r = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm, cell
+        FROM assigned WHERE vec_id IN ({_QIDS})
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               {dot_sql("q.q_emb", "a.embedding", "duckdb")} / (q.q_norm * a.nrm)
+                   AS score
+        FROM q JOIN assigned a USING (cell)
+        WHERE q.query_id != a.vec_id
+    ),
+    counted AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+                      AS n_candidates
+        FROM scored
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score, n_candidates,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS INTEGER) AS rnk
+        FROM counted
+    )
+    SELECT query_id, vec_id, score, rnk, n_candidates
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    survey_ref="similarity search: IVF coarse-quantizer top-k (scale path)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = assign_cells(emb, centroids).persist()
+    q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb2"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "score",
+            F.expr(dot_sql("q_emb", "c_emb2")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    scored = scored.withColumn("n_candidates", F.count("*").over(wq).cast("long"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rnk", "n_candidates")
+    )

@@ -4,6 +4,7 @@ from .events import (
     run_available_now,
     sessionized_counts,
     stream_events,
+    stream_upsert,
     user_running_totals,
     windowed_event_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "run_available_now",
     "sessionized_counts",
     "stream_events",
+    "stream_upsert",
     "user_running_totals",
     "windowed_event_counts",
 ]

@@ -108,6 +108,31 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert(
+    events: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Incremental keyed upsert from a stream (``foreachBatch``) — the
+    streaming edition of the reference's ``INSERT OR REPLACE`` load:
+    each micro-batch merges into the parquet target by key, so replays
+    and at-least-once delivery stay idempotent (the batch epoch id +
+    keyed merge give effective exactly-once table contents)."""
+    from ..io.sink import upsert_parquet
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, path, keys=keys)
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

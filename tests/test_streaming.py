@@ -83,6 +83,47 @@ def test_stateful_running_totals_accumulate(spark, events_dir):
     assert {r.user_id: r.total for r in last} == batch
 
 
+def test_stream_upsert_is_idempotent_per_key(spark, events_dir):
+    """foreachBatch keyed upsert: replaying the stream (fresh checkpoint)
+    leaves the table unchanged — the reference's idempotent load, in
+    streaming form."""
+    from automate_data_ingestion_project_spark.streaming import stream_upsert
+
+    # per-user latest aggregate keyed by user_id
+    agg = (
+        stream_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    root = scratch_dir("test_stream_upsert")
+    path = os.path.join(root, "user_counts")
+
+    def run(tag):
+        # complete-mode aggregate into foreachBatch upsert
+        from automate_data_ingestion_project_spark.io.sink import upsert_parquet
+
+        def merge(batch_df, epoch_id):
+            upsert_parquet(batch_df.sparkSession, batch_df, path, keys=["user_id"])
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    first = run("a")
+    second = run("b")  # full replay with fresh checkpoint
+    assert first == second
+    batch = sorted(
+        map(tuple, _batch_events(spark, events_dir).groupBy("user_id").count().collect())
+    )
+    assert first == batch
+
+
 def test_watermark_present_in_plan(spark, events_dir):
     stream = windowed_event_counts(stream_events(spark, events_dir))
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
