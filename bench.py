@@ -53,6 +53,8 @@ def main() -> int:
             "dedup_embedding_cosine",
             "ann_topk_cosine",
             "ann_lsh_topk",
+            "ann_ivf_topk",
+            "lang_length_zscores",
             "text_stats",
             "doc_fingerprints",
             "multimodal_manifest",

@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis): the reshape transform must match
+the reference's pandas chain on ARBITRARY wide fixtures, and the upsert
+must be idempotent and key-unique for ARBITRARY batch pairs.
+
+Examples are capped low — each example spins Spark jobs; the point is
+adversarial shapes (NULL patterns, duplicate keys, empty overlaps), not
+volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from automate_data_ingestion_project_spark.analytics.load import scratch_dir
+from automate_data_ingestion_project_spark.io.sink import read_parquet, upsert_parquet
+from automate_data_ingestion_project_spark.operators.reshape import normalize_wide
+
+METRICS = ["m_one", "va_sum", "va_q25"]
+CODES = ["111", "121"]
+WIDE_COLS = [f"{m}_cod{k}" for k in CODES for m in METRICS]
+ID_VARS = ["annee", "dep", "libdep"]
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def wide_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    used_keys = set()
+    for _ in range(n):
+        annee = draw(st.sampled_from(["2014", "2015", None]))
+        dep = draw(st.sampled_from(["01", "2A", None]))
+        if (annee, dep) in used_keys:  # keep (annee, dep) unique: first()
+            continue  # on duplicate groups is order-dependent in BOTH engines
+        used_keys.add((annee, dep))
+        libdep = draw(st.sampled_from(["Lib", "Autre"]))
+        vals = [
+            draw(st.one_of(st.none(), st.integers(0, 999).map(lambda v: v + 0.5)))
+            for _ in WIDE_COLS
+        ]
+        rows.append((annee, dep, libdep, *vals))
+    return rows
+
+
+def _pandas_chain(wide: pd.DataFrame) -> list[tuple]:
+    import hashlib
+
+    long = wide.melt(id_vars=ID_VARS, var_name="cod_full", value_name="valeur")
+    split = long["cod_full"].str.rsplit("_", n=1, expand=True)
+    long["metric"] = split[0]
+    long["cod"] = split[1].str.replace("cod", "", regex=False)
+    if long.dropna(subset=[*ID_VARS, "cod"]).empty:
+        return []
+    piv = long.pivot_table(
+        index=[*ID_VARS, "cod"], columns="metric", values="valeur", aggfunc="first"
+    ).reset_index()
+    piv.columns.name = None
+    for m in METRICS:
+        if m not in piv.columns:
+            piv[m] = float("nan")
+    piv["uid"] = piv.apply(
+        lambda r: hashlib.sha256(
+            (str(r["annee"]) + str(r["dep"]) + str(r["cod"])).encode()
+        ).hexdigest(),
+        axis=1,
+    )
+    out = []
+    for r in piv[["uid", *ID_VARS, "cod", *METRICS]].itertuples(index=False):
+        out.append(
+            tuple(None if isinstance(v, float) and pd.isna(v) else v for v in r)
+        )
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@_SETTINGS
+@given(rows=wide_rows())
+def test_normalize_wide_matches_pandas_on_arbitrary_fixtures(spark, rows):
+    schema = (
+        "annee string, dep string, libdep string, "
+        + ", ".join(f"{c} double" for c in WIDE_COLS)
+    )
+    wide_s = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (
+            tuple(r)
+            for r in normalize_wide(wide_s, ID_VARS, METRICS, ["annee", "dep", "cod"])
+            .collect()
+        ),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    expected = _pandas_chain(pd.DataFrame(rows, columns=["annee", "dep", "libdep", *WIDE_COLS]))
+    assert got == expected
+
+
+@st.composite
+def key_value_batches(draw):
+    keys = st.integers(min_value=0, max_value=9)
+    batch = st.lists(
+        st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=8
+    )
+    return draw(batch), draw(batch)
+
+
+@_SETTINGS
+@given(batches=key_value_batches())
+def test_upsert_idempotent_and_key_unique_for_any_batches(spark, batches):
+    b1, b2 = batches
+    path = os.path.join(scratch_dir("prop_upsert"), "t")
+    df1 = spark.createDataFrame(b1, "k int, v int") if b1 else None
+    df2 = spark.createDataFrame(b2, "k int, v int") if b2 else None
+    for df in (df1, df2, df2):  # second batch applied twice: idempotent
+        if df is not None:
+            upsert_parquet(spark, df, path, keys=["k"])
+    if df1 is None and df2 is None:
+        return
+    out = read_parquet(spark, path).collect()
+    ks = [r.k for r in out]
+    assert len(ks) == len(set(ks))  # PK uniqueness (Q4)
+    # every batch-2 key's value comes from batch 2
+    b2_keys = {k for k, _ in b2}
+    b2_vals = {k: {v for kk, v in b2 if kk == k} for k in b2_keys}
+    for r in out:
+        if r.k in b2_keys:
+            assert r.v in b2_vals[r.k]
+    # keys only in batch 1 survive
+    assert {k for k, _ in b1} | b2_keys == set(ks)
