@@ -1,0 +1,94 @@
+"""Event-analytics extensions: batch sessionization (gaps-and-islands)
+and JSON property extraction.
+
+Sessionization is the batch twin of ``streaming.sessionized_counts``:
+a session breaks when the gap to the previous event exceeds 30 minutes.
+Implemented as lag → boundary flag → running sum (the session id) →
+group — two window passes over one shuffle on ``user_id``, then the
+final per-session aggregate. ``event_id`` breaks timestamp ties so the
+ordering (and therefore the session ids) is total and deterministic in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import register
+
+GAP_SECONDS = 1800
+
+
+@register(
+    "event_sessions",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch(ts) - epoch(lag(ts) OVER w) AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap IS NULL OR gap > {GAP_SECONDS} THEN 1 ELSE 0 END
+                   AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    survey_ref="batch sessionization: gaps-and-islands (streaming twin, engine ext)",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > GAP_SECONDS), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ref="JSON scalar extraction over a string column (engine ext; S2 twin)",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("total_k"),
+        F.count("*").alias("n_events"),
+    )

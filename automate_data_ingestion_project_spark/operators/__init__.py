@@ -1,4 +1,5 @@
 from .reshape import melt, normalize_wide, pivot_metrics, split_metric_code, with_uid
+from .skew import salted_join, salted_sum_count, with_salt
 
 __all__ = [
     "melt",
@@ -6,4 +7,7 @@ __all__ = [
     "pivot_metrics",
     "split_metric_code",
     "with_uid",
+    "salted_join",
+    "salted_sum_count",
+    "with_salt",
 ]

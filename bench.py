@@ -58,6 +58,8 @@ def main() -> int:
             "text_stats",
             "doc_fingerprints",
             "multimodal_manifest",
+            "event_sessions",
+            "events_json_props",
         )
         if n in QUERIES
     ]
