@@ -118,6 +118,38 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the lakehouse maintenance op.
+
+    Streaming upserts and per-code ingests leave many small files; scans
+    then pay per-file open cost and tiny row groups defeat the
+    vectorized reader. Rewrite the directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (atomic swap).
+    Returns the new file count."""
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    spark.catalog.refreshByPath(path)
+    return sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
