@@ -25,6 +25,7 @@ import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.events_ext  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.grouped_pandas  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.ingest_replay  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ivf  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
