@@ -46,7 +46,7 @@ from .registry import register
     GROUP BY 1
     ORDER BY 1 DESC
     """,
-    survey_ref="A2,A3,A4,A6,F4,P5,O1 (index.md:16-25)",
+    survey_ref="A2,A3,A4,A6,F4,F7,P5,O1 (index.md:16-25)",
 )
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -190,7 +190,7 @@ def smoke_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
     """,
-    survey_ref="O2,O3 (index.md:96, test.md:13)",
+    survey_ref="O2,O3,O5 (index.md:96, test.md:13; row cap index.md:59)",
 )
 def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject: top-k is computed per-partition then merged on

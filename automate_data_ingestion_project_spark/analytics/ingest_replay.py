@@ -34,6 +34,7 @@ from ..ingest.rest import RestResponse, read_api
 from ..io.dbf import read_dbf
 from ..io.sink import read_parquet
 from ..pipeline import run_pipeline
+from ..schemas import schemas_from_yaml
 from .dv3f import METRICS
 from .load import scratch_dir
 from .registry import register
@@ -110,6 +111,34 @@ def rest_ingest_dv3f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPE_CONFIG = {"args": {"scope": {"departement": ["01", "02", "99"], "region": ["11"]}}}
 
+# L2 — the staging schemas declared in reference-shaped YAML
+# (ref config.yaml:16-119); parsed through the YAML → StructType path so
+# the pipeline's upsert writes against the DECLARED schema, not whatever
+# the batch happens to carry.
+_METRIC_LINES = "\n".join(f"      {m}: double" for m in METRICS)
+_SCHEMA_YAML = f"""
+database: dev
+tables:
+  src_departement:
+    primary_key: [uid]
+    columns:
+      uid: {{type: string, nullable: false}}
+      annee: {{type: string, maxLength: 4}}
+      dep: {{type: string, maxLength: 3}}
+      libdep: string
+      cod: string
+{_METRIC_LINES}
+  src_region:
+    primary_key: [uid]
+    columns:
+      uid: {{type: string, nullable: false}}
+      annee: {{type: string, maxLength: 4}}
+      reg: {{type: string, maxLength: 2}}
+      libreg: string
+      cod: string
+{_METRIC_LINES}
+"""
+
 
 def _pipe_fetch(url: str, params: dict) -> RestResponse:
     """Scope-aware stub; code '99' always fails (P8 isolation)."""
@@ -159,7 +188,7 @@ def _pipe_oracle_sql() -> str:
 @register(
     "pipeline_etl_replay",
     oracle=_pipe_oracle_sql(),
-    survey_ref="D1,D2,D3,D4,D5,D6,P8 (etl.py:13-70 config fan-out w/ isolation)",
+    survey_ref="D1,D2,D3,D4,D5,D6,P8,L2 (etl.py:13-70 config fan-out w/ isolation)",
 )
 def pipeline_etl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = scratch_dir("pipeline_etl_replay")
@@ -167,10 +196,15 @@ def pipeline_etl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "departement": os.path.join(root, "src_departement"),
         "region": os.path.join(root, "src_region"),
     }
-    run_pipeline(spark, _PIPE_CONFIG, paths, METRICS, _pipe_fetch)
+    declared = schemas_from_yaml(_SCHEMA_YAML)
+    schemas = {
+        "departement": declared["src_departement"],
+        "region": declared["src_region"],
+    }
+    run_pipeline(spark, _PIPE_CONFIG, paths, METRICS, _pipe_fetch, schemas=schemas)
     # re-run: the keyed upsert makes the whole job idempotent, so the
     # driver's value hash doubles as the idempotence proof
-    run_pipeline(spark, _PIPE_CONFIG, paths, METRICS, _pipe_fetch)
+    run_pipeline(spark, _PIPE_CONFIG, paths, METRICS, _pipe_fetch, schemas=schemas)
 
     def shaped(df: DataFrame, scope: str, code_col: str, lib_col: str) -> DataFrame:
         return df.select(
