@@ -54,6 +54,7 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
+    salt_from: str,
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
@@ -61,9 +62,13 @@ def salted_join(
     salt, the small side is replicated across all salts, and the join key
     becomes (key, salt) — a hot key's rows land on n_salts tasks.
 
+    ``salt_from`` must be a big-side column whose values VARY WITHIN a
+    join key (a row id, not the key itself) — salting from the key would
+    send every row of a hot key to the same salt and change nothing.
+
     Cost: small side shuffles n_salts× (or broadcasts once) — the
     standard trade for unblocking a straggler task."""
-    big_s = with_salt(big, key, n_salts)
+    big_s = with_salt(big, salt_from, n_salts)
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
     )

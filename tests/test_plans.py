@@ -135,7 +135,7 @@ def test_salted_join_matches_plain(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     small = customer.withColumnRenamed("c_custkey", "o_custkey")
-    salted = salted_join(orders, small, "o_custkey", n_salts=8)
+    salted = salted_join(orders, small, "o_custkey", salt_from="o_totalprice", n_salts=8)
     plain = orders.join(small, "o_custkey")
     assert salted.count() == plain.count()
     s = salted.groupBy("c_nationkey").count().collect()
