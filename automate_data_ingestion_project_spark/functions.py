@@ -40,32 +40,6 @@ def dsum_expr(sql_expr: str) -> str:
     return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL(27,6))) AS DOUBLE)"
 
 
-def rsplit_once(col: str | Column, sep: str = "_") -> tuple[Column, Column]:
-    """F1 — right-split once: ``'valeurfonc_sum_cod111'`` →
-    (``'valeurfonc_sum'``, ``'cod111'``).
-
-    Reference: pandas ``str.rsplit('_', n=1, expand=True)``
-    (``/root/reference/scripts/extract_load.py:156-158``). Implemented with
-    ``substring_index`` (suffix) + length arithmetic (prefix) — pure
-    codegen'd string ops, no regex backtracking in the hot path.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    suffix = F.substring_index(c, sep, -1)
-    # prefix = everything before the last separator occurrence
-    prefix = c.substr(F.lit(1), F.length(c) - F.length(suffix) - F.lit(len(sep)))
-    return prefix, suffix
-
-
-def strip_literal(col: str | Column, literal: str) -> Column:
-    """F2 — remove a literal substring (``'cod111'`` → ``'111'``).
-
-    Reference: ``row['cod'].replace('cod','')``
-    (``/root/reference/scripts/extract_load.py:159-161``).
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.replace(c, F.lit(literal), F.lit(""))
-
-
 def sha256_uid(*cols: str | Column) -> Column:
     """F3 — SHA-256 surrogate key over raw concatenation, NO separator.
 

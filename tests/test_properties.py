@@ -133,3 +133,56 @@ def test_upsert_idempotent_and_key_unique_for_any_batches(spark, batches):
             assert r.v in b2_vals[r.k]
     # keys only in batch 1 survive
     assert {k for k, _ in b1} | b2_keys == set(ks)
+
+
+@st.composite
+def skewed_rows(draw):
+    """(key, id, value) rows with a deliberately hot key."""
+    n = draw(st.integers(min_value=1, max_value=24))
+    rows = []
+    for i in range(n):
+        key = draw(st.sampled_from(["hot", "hot", "hot", "warm", "cold"]))
+        rows.append((key, i, draw(st.integers(0, 1000))))
+    return rows
+
+
+@_SETTINGS
+@given(rows=skewed_rows())
+def test_salted_sum_equals_plain_groupby_for_any_skew(spark, rows):
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.operators.skew import (
+        salted_sum_count,
+    )
+
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    salted = {
+        r.k: (r.sum_v, r.n_rows)
+        for r in salted_sum_count(df, ["k"], "v", "id", n_salts=4).collect()
+    }
+    plain = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@_SETTINGS
+@given(rows=skewed_rows())
+def test_salted_join_equals_plain_join_for_any_skew(spark, rows):
+    from automate_data_ingestion_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(rows, "k string, id long, v long")
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("missing", 3)], "k string, tag int"
+    )
+    salted = sorted(
+        map(tuple, salted_join(big, small, "k", salt_from="id", n_salts=4)
+            .select("k", "id", "v", "tag").collect())
+    )
+    plain = sorted(
+        map(tuple, big.join(small, "k").select("k", "id", "v", "tag").collect())
+    )
+    assert salted == plain
