@@ -1,0 +1,102 @@
+"""Temporal-join CORRECTNESS queries: as-of join and bucketed range join.
+
+Beyond-the-reference operators (the custom-operator family the engine
+adds for time-series/training-data work), both oracle-checked:
+
+- ``asof_purchase_last_click``: for every purchase event, the latest
+  click at-or-before it per user (:mod:`..operators.asof` union+window
+  construction) — DuckDB verifies with a native ``ASOF LEFT JOIN``.
+- ``range_join_signup_errors``: errors-within-7-days-of-signup counts
+  via the bucketed point-in-interval join
+  (:mod:`..operators.rangejoin`) — DuckDB verifies with the plain
+  inequality join (its IEJoin handles the small fixture; the bucketed
+  plan is the shape that scales).
+
+Both CAST the event time to microsecond precision on the oracle side,
+matching the engine's TIMESTAMP(NANOS) → µs loader truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import asof_join_backward
+from ..operators.rangejoin import bucketed_range_join
+from .registry import register
+
+_EV = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events"
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle=f"""
+    WITH ev AS ({_EV}),
+    clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts, c.ts AS click_ts, c.click_id
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    survey_ref="custom temporal op: as-of join (union+window, one shuffle)",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")  # unique per (key, time): defined "latest"
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join_backward(
+        purch, clicks, on="ts", by=["user_id"], right_payload=["click_id"],
+        prefix="click_",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "click_ts",
+        F.col("click_click_id").alias("click_id"),
+    )
+
+
+@register(
+    "range_join_signup_errors",
+    oracle=f"""
+    WITH ev AS ({_EV}),
+    s AS (
+        SELECT event_id AS signup_id, ts AS t0, ts + INTERVAL 7 DAY AS t1
+        FROM ev WHERE event_type = 'signup'
+    ),
+    e AS (SELECT ts FROM ev WHERE event_type = 'error')
+    SELECT s.signup_id, COUNT(e.ts) AS n_errors
+    FROM s LEFT JOIN e ON e.ts >= s.t0 AND e.ts < s.t1
+    GROUP BY s.signup_id
+    """,
+    survey_ref="custom temporal op: bucketed point-in-interval range join",
+)
+def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("t1"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("err_ts")
+    )
+    matched = bucketed_range_join(errors, signups, "err_ts", "t0", "t1")
+    counts = matched.groupBy("signup_id").agg(F.count("*").alias("n"))
+    return signups.select("signup_id").join(counts, "signup_id", "left").select(
+        "signup_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_errors")
+    )
