@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dsum, dsum_expr
 from ..io import load_table
 from ..operators.asof import asof_join_backward
 from ..operators.rangejoin import bucketed_range_join
@@ -99,4 +100,60 @@ def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = matched.groupBy("signup_id").agg(F.count("*").alias("n"))
     return signups.select("signup_id").join(counts, "signup_id", "left").select(
         "signup_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_errors")
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE ts IS NOT NULL
+    ),
+    b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+               value
+        FROM ev
+    )
+    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day'
+                ELSE 'month' END AS grain,
+           coalesce(h, d, m) AS bucket_start,
+           COUNT(*) AS n_events,
+           {dsum_expr('value')} AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((h), (d), (m))
+    """,
+    survey_ref="custom temporal op: hypertable-style multi-grain time rollup",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month continuous-aggregate levels in ONE pass.
+
+    The hypertable pattern (TimescaleDB-style continuous aggregates):
+    every grain is materialized from a single scan via GROUPING SETS —
+    an ``Expand`` + one shuffle, not one job per grain. Incremental
+    maintenance at scale = this query over the fresh partition upserted
+    into the rollup table keyed on (grain, bucket_start) (the
+    streaming ``foreachBatch`` upsert is the live variant).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    rolled = b.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    return rolled.select(
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("month")
+        .alias("grain"),
+        F.coalesce("h", "d", "m").alias("bucket_start"),
+        "n_events",
+        "sum_value",
     )

@@ -148,3 +148,33 @@ def test_lineitem_scan_prunes_for_pricing_summary(spark, sf_dir):
     plan = _formatted(df)
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_comment" not in read  # untouched wide column stays on disk
+
+
+def test_asof_join_is_single_shuffle_no_range_explosion(spark, sf_dir):
+    df = entrymod.queries()["asof_purchase_last_click"](spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union+window construction itself needs exactly ONE exchange
+    # (the window's hash partitioning on the by-keys); the second one in
+    # this query is the upstream clicks dedup groupBy(user_id, ts) —
+    # crucially there is NO per-pair join exchange that would grow with
+    # |left|·|right|
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1
+
+
+def test_bucketed_range_join_is_equi_join(spark, sf_dir):
+    df = entrymod.queries()["range_join_signup_errors"](spark, sf_dir)
+    plan = _physical(df)
+    # the point-in-interval match must run as an equi-join on the
+    # bucket id, never a nested-loop/cartesian scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    df = entrymod.queries()["events_hypertable_rollup"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Expand") >= 1  # grouping sets = Expand, not 3 jobs
+    assert plan.count("Exchange hashpartitioning") == 1
