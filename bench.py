@@ -60,6 +60,12 @@ def main() -> int:
             "multimodal_manifest",
             "event_sessions",
             "events_json_props",
+            "skew_salted_agg",
+            "skew_salted_join",
+            "asof_purchase_last_click",
+            "range_join_signup_errors",
+            "events_hypertable_rollup",
+            "stream_windowed_counts",
         )
         if n in QUERIES
     ]
