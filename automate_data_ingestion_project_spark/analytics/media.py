@@ -4,10 +4,12 @@
 documents' UTF-8 text, so DuckDB reproduces checksum/size natively.
 
 ``multimodal_features`` runs the Arrow-batched ``mapInPandas`` decode
-path (stub codec). A Python decode has no DuckDB-SQL twin, so it
-registers WITHOUT an oracle — the driver records the weaker rows-only
-check (per the contract for non-SQL-expressible ops); determinism is
-covered by pytest against a NumPy re-implementation.
+path. The STUB codec is deterministic byte-math (16-bin histogram +
+mean byte), and the fixture text is pure ASCII, so even this Python
+path gets a FULL DuckDB oracle (char-split → ``ascii()`` codepoints ==
+UTF-8 bytes). A REAL codec (PIL/ffmpeg through ``codec_decoder``) has
+no SQL twin — swap it in and this entry correctly degrades to the
+driver's rows-only check by setting ``oracle=None``.
 """
 
 from __future__ import annotations
@@ -40,7 +42,32 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # Python decode path — rows-only check by design
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
+               text
+        FROM documents
+    ),
+    ch AS (
+        SELECT media_id, ascii(c) AS b
+        FROM (SELECT media_id, unnest(string_split(text, '')) AS c FROM base)
+    ),
+    stats AS (
+        SELECT media_id,
+               COUNT(*) AS n,
+               SUM(b) AS sb,
+               SUM(CASE WHEN b // 16 = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN b // 16 = 7 THEN 1 ELSE 0 END) AS c7
+        FROM ch GROUP BY media_id
+    )
+    SELECT b.media_id, b.kind,
+           CAST(octet_length(CAST(b.text AS BLOB)) AS BIGINT) AS n_bytes,
+           round(CAST(s.sb AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS mean_byte,
+           round(CAST(s.c0 AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS hist_bin0,
+           round(CAST(s.c7 AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS hist_bin7
+    FROM base b JOIN stats s USING (media_id)
+    """,
     survey_ref="multimodal: mapInPandas feature extraction (north star)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
