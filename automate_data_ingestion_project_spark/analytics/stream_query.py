@@ -26,7 +26,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
-from ..streaming import run_available_now, stream_events, windowed_event_counts
+from ..streaming import (
+    run_available_now,
+    sessionized_counts,
+    stream_events,
+    windowed_event_counts,
+)
 from .load import scratch_dir
 from .registry import register
 
@@ -50,4 +55,57 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = windowed_event_counts(stream_events(spark, src))
     name = f"swc_{uuid.uuid4().hex[:8]}"
+    return run_available_now(stream, name, output_mode="complete")
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+    ),
+    ordered AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM ev
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    survey_ref="streaming extension (session windows + watermark; batch-equivalent)",
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based session windows through a REAL stream replay.
+
+    ``session_window(ts, '30 minutes')`` merges events while each
+    arrives within the gap of the session's end (end = last event +
+    gap); the oracle recomputes the identical semantics with a µs-
+    precision gaps-and-islands window (a new session starts when the
+    gap is >= 30 min — Spark's merge condition is strictly-less-than).
+    """
+    src = os.path.join(scratch_dir("stream_session_counts"), "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = sessionized_counts(stream_events(spark, src), gap="30 minutes")
+    name = f"ssc_{uuid.uuid4().hex[:8]}"
     return run_available_now(stream, name, output_mode="complete")
