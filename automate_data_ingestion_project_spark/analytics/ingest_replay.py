@@ -107,6 +107,56 @@ def rest_ingest_dv3f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rest_datasource_scan",
+    oracle=f"""
+    SELECT CAST(2000 + j AS VARCHAR) AS annee,
+           '01' AS dep,
+           CAST(10 * j + 0.5 AS DOUBLE) AS valeur,
+           CAST(j + 0.25 AS DOUBLE) AS geo_lat
+    FROM range({_N_ROWS}) AS t(j)
+    """,
+    survey_ref="S1 at scale: Spark 4 Python Data Source, one partition per page",
+)
+def rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-side ingestion (``format('rest_api')``): each server
+    page is an input partition, replayed offline from scratch files —
+    the same partition logic production uses against HTTP."""
+    import json
+
+    from ..ingest.datasource import RestApiDataSource
+
+    root = scratch_dir("rest_datasource_scan")
+    per_page = _N_ROWS // 3
+    for page in (1, 2, 3):
+        js = range((page - 1) * per_page, page * per_page)
+        payload = {
+            "count": _N_ROWS,
+            "next": "more" if page < 3 else None,
+            "results": [
+                {
+                    "annee": str(2000 + j),
+                    "dep": "01",
+                    "valeur": float(10 * j) + 0.5,
+                    "geo": {"lat": float(j) + 0.25},
+                }
+                for j in js
+            ],
+        }
+        with open(os.path.join(root, f"page-{page}.json"), "w") as fh:
+            json.dump(payload, fh)
+
+    spark.dataSource.register(RestApiDataSource)
+    df = (
+        spark.read.format("rest_api")
+        .option("replay_dir", root)
+        .option("pages", "3")
+        .option("schema_ddl", "annee string, dep string, valeur double, `geo.lat` double")
+        .load()
+    )
+    return df.withColumnRenamed("geo.lat", "geo_lat")
+
+
 # ---------------------------------------------------------------- D1-D6
 
 _PIPE_CONFIG = {"args": {"scope": {"departement": ["01", "02", "99"], "region": ["11"]}}}
