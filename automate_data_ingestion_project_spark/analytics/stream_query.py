@@ -109,3 +109,39 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionized_counts(stream_events(spark, src), gap="30 minutes")
     name = f"ssc_{uuid.uuid4().hex[:8]}"
     return run_available_now(stream, name, output_mode="complete")
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS total_events
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ref="streaming extension (applyInPandasWithState custom stateful op)",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through a real stream replay.
+
+    ``applyInPandasWithState`` accumulates per-user totals in the state
+    store across micro-batches (update mode emits one row per touched
+    user per batch; totals only grow, so max(emission) = final total).
+    The oracle is the plain batch count — state accumulation across
+    replayed batches must converge to it exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming import user_running_totals
+
+    root = scratch_dir("stream_stateful_totals")
+    src = os.path.join(root, "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = user_running_totals(stream_events(spark, src))
+    name = f"sst_{uuid.uuid4().hex[:8]}"
+    got = run_available_now(
+        stream, name, output_mode="update",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    return got.groupBy("user_id").agg(F.max("total_events").alias("total_events"))
