@@ -360,3 +360,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 0.999)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION
+        SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS component_id
+    FROM reach
+    GROUP BY a
+    """
+
+
+@register(
+    "dedup_components",
+    oracle=_components_oracle_sql(),
+    survey_ref="fuzzy dedup: connected-components clustering (iterative algorithm)",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dup evidence → dedup clusters (component id = the
+    canonical doc to KEEP; everything else in the component drops).
+    Iterative min-label propagation; the DuckDB oracle recomputes the
+    same clustering with a recursive transitive-closure CTE."""
+    from ..textops.components import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(pairs)

@@ -1,0 +1,73 @@
+"""Connected components over near-duplicate pairs — the clustering step
+that turns pairwise dedup evidence into dedup ACTION (pick one canonical
+doc per component, drop the rest).
+
+Iterative min-label propagation (the simple alternating form of
+large-star/small-star, cf. the map-reduce CC literature): every node
+starts labeled with itself; each round it takes the min of its own and
+its neighbors' labels; fixpoint in O(component diameter) rounds. This
+is THE canonical Spark iterative-algorithm shape:
+
+- per-round work is two equi-joins + an aggregation (all shuffles on
+  node id — no broadcast of global state);
+- each round's result is ``persist()``-ed and the previous round
+  unpersisted, so lineage stays O(1) instead of growing per iteration;
+- the driver only reads a per-round ``changed`` COUNT (the loop
+  control — bounded scalar, not data).
+
+Near-dup components are overwhelmingly tiny (pairs/triples), so rounds
+≈ 2 in practice; the bound caps pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``edges``;
+    component_id = min node id in the component (deterministic)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            .persist()
+        )
+        # the count materializes new_labels' cache; only THEN drop the
+        # previous round's cache (new_labels no longer depends on it)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels.unpersist()
+        labels = new_labels  # `_old` rides along; never re-selected
+        if changed == 0:
+            break
+    result = labels.select(F.col("node"), F.col("label").alias("component_id"))
+    return result

@@ -80,3 +80,17 @@ def test_candidate_join_is_on_band_key_not_cross(spark, sf_dir):
     plan = candidate_pairs(bands)._jdf.queryExecution().sparkPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A-B, B-C, C-D must collapse into ONE component labeled min(id);
+    an isolated pair stays its own component."""
+    from automate_data_ingestion_project_spark.textops.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r.node: r.component_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
