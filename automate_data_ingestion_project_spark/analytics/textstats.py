@@ -124,3 +124,38 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sha_rel.join(min_rel, "doc_id").select(
         "doc_id", "fp_sha", "fp_minshingle"
     )
+
+
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    st AS (
+        SELECT doc_id, w,
+               unnest(range(0,
+                   (greatest(len(w) - {_CHUNK}, 0) + {_STRIDE - 1}) // {_STRIDE}
+                       * {_STRIDE} + 1,
+                   {_STRIDE})) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(w[s + 1 : s + {_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(w[s + 1 : s + {_CHUNK}], ' ') AS chunk_text
+    FROM st
+    """,
+    survey_ref="LLM pipeline: overlapping token-window chunking (north star)",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → overlapping 32-token windows (stride 24) — the sharding
+    step before embedding/training. Narrow map, scan-speed at any size."""
+    from ..textops.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)

@@ -57,3 +57,37 @@ def test_fingerprint_minshingle_stable_under_suffix_change(spark):
     b = _one(spark, base + " zzz", ta.fingerprint_minhash("text"))
     assert isinstance(a, int)
     assert b <= a  # superset of shingles can only lower the min
+
+
+def test_chunking_tail_coverage_and_short_docs(spark):
+    from automate_data_ingestion_project_spark.textops.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # tail needs round-up
+            (2, " ".join(f"t{i}" for i in range(32))),  # exactly one chunk
+            (3, "a b c"),  # shorter than one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    rows = {(r.doc_id, r.chunk_start): r for r in out.collect()}
+
+    # doc 1: starts 0,24,48,72 — last window reaches token 99
+    assert sorted(s for d, s in rows if d == 1) == [0, 24, 48, 72]
+    assert rows[(1, 72)].n_chunk_tokens == 28
+    assert rows[(1, 72)].chunk_text.endswith("t99")
+    # every token of doc 1 appears in some chunk
+    covered = set()
+    for (d, s), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(100)}
+
+    assert sorted(s for d, s in rows if d == 2) == [0]
+    assert rows[(2, 0)].n_chunk_tokens == 32
+
+    assert sorted(s for d, s in rows if d == 3) == [0]
+    assert rows[(3, 0)].chunk_text == "a b c"
