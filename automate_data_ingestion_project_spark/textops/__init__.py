@@ -1,5 +1,7 @@
 """Text-pipeline operators for large-scale training-data curation:
-dedup (exact / MinHash-LSH), text statistics, language ID, fingerprints.
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), near-dup
+clustering (connected components), chunking, embedding quantization,
+text statistics, language ID, fingerprints.
 
 These extend the reference per BASELINE.json's north star — the
 reference itself has no text operators; all designs here are
@@ -7,22 +9,28 @@ Spark-first (native higher-order functions, no Python in the hot
 path) and sized for 100 TB corpora.
 """
 
+from .chunking import chunk_documents
+from .components import connected_components
 from .dedup import (
+    candidate_pairs,
     content_hash,
     exact_dedup_summary,
-    minhash_signatures,
     lsh_band_keys,
-    candidate_pairs,
-    verified_near_duplicates,
+    minhash_signatures,
     shingle,
+    verified_near_duplicates,
 )
+from .quantize import quantize_int8
 
 __all__ = [
+    "candidate_pairs",
+    "chunk_documents",
+    "connected_components",
     "content_hash",
     "exact_dedup_summary",
-    "minhash_signatures",
     "lsh_band_keys",
-    "candidate_pairs",
-    "verified_near_duplicates",
+    "minhash_signatures",
+    "quantize_int8",
     "shingle",
+    "verified_near_duplicates",
 ]

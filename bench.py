@@ -66,6 +66,8 @@ def main() -> int:
             "range_join_signup_errors",
             "events_hypertable_rollup",
             "stream_windowed_counts",
+            "doc_chunks",
+            "embedding_quantize",
         )
         if n in QUERIES
     ]
