@@ -22,22 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_V = "transform({col}, x -> cast(x as double))"
-
-
 def quantize_int8(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Adds ``q`` (array<bigint> in [0,255]), ``q_min``/``q_max`` (the
-    per-vector dequantization params) to ``df``."""
-    v = _V.format(col=emb_col)
-    mn, mx = f"array_min({v})", f"array_max({v})"
+    per-vector dequantization params) to ``df``.
+
+    Intermediates (the double-cast vector, min, max) are staged as
+    PROJECTED COLUMNS, not repeated subexpressions: higher-order-
+    function lambdas are interpreted, and Spark does not common-
+    subexpression-eliminate them — inlining ``array_min(transform(...))``
+    into the quantize lambda re-casts the vector per reference
+    (measured ~2× slower at sf0.1).
+    """
     q = (
-        f"CASE WHEN {mx} > {mn} THEN "
-        f"transform({v}, x -> cast(floor(((x - {mn}) * 255.0D) / ({mx} - {mn})"
-        f" + 0.5D) as bigint)) "
-        f"ELSE transform({v}, x -> 0L) END"
+        "CASE WHEN q_max > q_min THEN "
+        "transform(_v, x -> cast(floor(((x - q_min) * 255.0D) /"
+        " (q_max - q_min) + 0.5D) as bigint)) "
+        "ELSE transform(_v, x -> 0L) END"
     )
     return (
-        df.withColumn("q", F.expr(q))
-        .withColumn("q_min", F.expr(mn))
-        .withColumn("q_max", F.expr(mx))
+        df.withColumn("_v", F.expr(f"transform({emb_col}, x -> cast(x as double))"))
+        .withColumn("q_min", F.expr("array_min(_v)"))
+        .withColumn("q_max", F.expr("array_max(_v)"))
+        .withColumn("q", F.expr(q))
+        .drop("_v")
     )
