@@ -33,16 +33,20 @@ TOP_K = 5
 _QIDS = ", ".join(map(str, QUERY_IDS))
 
 
-def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_cells(
+    emb: DataFrame, centroids: DataFrame, n_probe: int = 1
+) -> DataFrame:
     """(vec_id, embedding, nrm, cell): nearest-centroid assignment via
-    broadcast join + per-vector rank (ties broken by centroid id)."""
+    broadcast join + per-vector rank (ties broken by centroid id).
+    ``n_probe > 1`` keeps the top-n cells per vector — the multi-probe
+    side of an IVF search (one row per (vector, probed cell))."""
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "cdot", F.expr(dot_sql("embedding", "c_emb"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .filter(F.col("_r") <= n_probe)
         .select("vec_id", "embedding", "nrm", "cell")
     )
 
@@ -119,6 +123,106 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "score",
+            F.expr(dot_sql("q_emb", "c_emb2")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    scored = scored.withColumn("n_candidates", F.count("*").over(wq).cast("long"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rnk", "n_candidates")
+    )
+
+
+N_PROBE = 2
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM base
+        WHERE vec_id < {N_CELLS}
+    ),
+    ranked_cells AS (
+        SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY {dot_sql("b.embedding", "c.c_emb", "duckdb")} DESC,
+                            c.cell
+               ) AS _r
+        FROM base b CROSS JOIN centroids c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cell FROM ranked_cells WHERE _r = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm, cell
+        FROM ranked_cells
+        WHERE _r <= {N_PROBE} AND vec_id IN ({_QIDS})
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               {dot_sql("q.q_emb", "a.embedding", "duckdb")} / (q.q_norm * a.nrm)
+                   AS score
+        FROM q JOIN assigned a USING (cell)
+        WHERE q.query_id != a.vec_id
+    ),
+    counted AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+                      AS n_candidates
+        FROM scored
+    ),
+    final AS (
+        SELECT query_id, vec_id, score, n_candidates,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS INTEGER) AS rnk
+        FROM counted
+    )
+    SELECT query_id, vec_id, score, rnk, n_candidates
+    FROM final WHERE rnk <= {TOP_K}
+    """,
+    survey_ref="similarity search: IVF multi-probe top-k (recall/scan trade)",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search probing the query's top-2 cells: candidates stay in
+    their single home cell (the inverted lists are unchanged), only the
+    QUERY fans out — n_candidates roughly doubles and recall rises,
+    which is exactly FAISS's nprobe knob expressed relationally. At
+    100 TB the probe is two partition-pruned scans instead of one."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = assign_cells(emb, centroids).persist()
+    probes = assign_cells(
+        emb.filter(F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=N_PROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb2"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    scored = (
+        probes.join(c, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "score",
