@@ -68,6 +68,8 @@ def main() -> int:
             "stream_windowed_counts",
             "doc_chunks",
             "embedding_quantize",
+            "decontaminate_overlap",
+            "doc_repetition",
         )
         if n in QUERIES
     ]
