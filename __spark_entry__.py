@@ -30,6 +30,7 @@ import automate_data_ingestion_project_spark.analytics.ingest_replay  # noqa: F4
 import automate_data_ingestion_project_spark.analytics.ivf  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.model_build  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401

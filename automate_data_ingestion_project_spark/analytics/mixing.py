@@ -1,0 +1,165 @@
+"""Corpus-mixing queries: deterministic per-source sampling and
+token-budget sequence packing over ``documents``.
+
+Two more shapes every LLM training-data build runs:
+
+- ``corpus_sample_mix`` — per-source sampling at per-source rates
+  (the "mixture weights" step). Random sampling is useless at
+  100 TB — reruns must keep the SAME documents — so the keep/drop
+  decision is a pure function of ``doc_id``: 56-bit md5 hash mod
+  100 compared to the source's rate. Narrow map + one tiny
+  aggregate; runs at parquet scan speed and is trivially
+  re-entrant (append-only corpora keep their prior decisions).
+- ``pack_sequences`` — pack documents into fixed token-budget
+  training sequences by contiguous concatenation: cumulative token
+  count per source (ordered by ``doc_id``), sequence id =
+  starting-offset ``div`` budget. One shuffle: the window's
+  ``source`` partitioning also satisfies the (source, seq_id)
+  groupBy.
+
+100 TB note for packing: a single ordered window per source
+serializes that source on one task. At real scale the same operator
+runs per (source, shard) with shard base offsets from a two-phase
+prefix-sum (count tokens per shard, broadcast the running totals) —
+the binning arithmetic is unchanged. The fixture-scale query keeps
+the one-window form because it is the semantics being checked.
+
+Beyond-reference family (north star: LLM-pipeline curation);
+fixtures: ``documents.parquet``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..textops import analysis as ta
+from .registry import register
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+
+
+def _hash_pct(dialect: str) -> str:
+    """hash56(doc_id) % 100 — identical value in both engines."""
+    s = "concat('mix:', cast(doc_id as varchar))"
+    if dialect == "spark":
+        s = "concat('mix:', cast(doc_id as string))"
+        return f"cast(conv(substr(md5({s}), 1, 14), 16, 10) as bigint) % 100"
+    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT) % 100"
+
+
+def _rate(dialect: str) -> str:
+    """Per-source mixture rate in [10, 94], derived from the numeric
+    source suffix so the config needs no side table."""
+    return f"10 + 7 * (cast(substr(source, 4) as integer) % 13)"
+
+
+@register(
+    "corpus_sample_mix",
+    oracle=f"""
+    SELECT source,
+           {_rate("duckdb")} AS rate_pct,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER ({_hash_pct("duckdb")} < {_rate("duckdb")})
+               AS n_sampled,
+           CAST(COALESCE(SUM(n_chars) FILTER (
+               {_hash_pct("duckdb")} < {_rate("duckdb")}), 0) AS BIGINT)
+               AS chars_sampled
+    FROM documents
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: deterministic corpus mixing weights (north star)",
+)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight sampling report: docs kept per source when each
+    source samples at its own rate via the deterministic hash rule.
+
+    Plan: scan → narrow hash/compare map → 20-group aggregate. No
+    joins, no window, nothing that grows with corpus size except the
+    scan itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.expr(_hash_pct("spark")) < F.expr(_rate("spark"))
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.expr(_rate("spark")).alias("rate_pct"),
+            kept.alias("kept"),
+        )
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+            ).alias("chars_sampled"),
+        )
+        .select(
+            "source", "rate_pct", "n_docs", "n_sampled", "chars_sampled"
+        )
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT source,
+           (cum_tokens - n_tokens) // {SEQ_BUDGET} AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum
+    GROUP BY 1, 2
+    """,
+    survey_ref="LLM curation: token-budget sequence packing (north star)",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-concatenation packing: per source, documents in
+    ``doc_id`` order fill 256-token sequences; a document belongs to
+    the sequence its starting offset falls in.
+
+    Plan: one shuffle (window hash partition on ``source``); the
+    (source, seq_id) groupBy reuses that partitioning, so count/sum/
+    min/max aggregate shuffle-free on top of the window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+    return (
+        cum.withColumn(
+            "seq_id",
+            F.expr(f"(cum_tokens - n_tokens) div {SEQ_BUDGET}"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

@@ -70,6 +70,8 @@ def main() -> int:
             "embedding_quantize",
             "decontaminate_overlap",
             "doc_repetition",
+            "corpus_sample_mix",
+            "pack_sequences",
         )
         if n in QUERIES
     ]
