@@ -21,6 +21,7 @@ from automate_data_ingestion_project_spark.analytics import QUERIES
 # Importing these modules populates the registry (decorator side effect).
 import automate_data_ingestion_project_spark.analytics.contamination  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.core  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.centroids  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.checks  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401

@@ -72,6 +72,8 @@ def main() -> int:
             "doc_repetition",
             "corpus_sample_mix",
             "pack_sequences",
+            "label_centroids",
+            "centroid_purity",
         )
         if n in QUERIES
     ]
