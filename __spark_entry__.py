@@ -23,6 +23,7 @@ import automate_data_ingestion_project_spark.analytics.contamination  # noqa: F4
 import automate_data_ingestion_project_spark.analytics.core  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.centroids  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.checks  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.curation  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.events_ext  # noqa: F401

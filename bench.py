@@ -74,6 +74,7 @@ def main() -> int:
             "pack_sequences",
             "label_centroids",
             "centroid_purity",
+            "corpus_curation_pipeline",
         )
         if n in QUERIES
     ]
