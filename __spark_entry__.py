@@ -40,6 +40,7 @@ import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F40
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.stream_query  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.temporal  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.terms  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F401

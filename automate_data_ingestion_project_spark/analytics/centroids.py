@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..textops.dedup import spread_for_compute
 from ..textops.quantize import quantize_int8
 from .registry import register
 
@@ -61,8 +62,10 @@ _EX_CTE = """
 
 
 def _exploded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
     )
     return quantize_int8(emb).select(
         "vec_id", "label", F.posexplode("q").alias("pos", "code")

@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..textops import analysis as ta
-from ..textops.dedup import content_hash, shingle
-from .contamination import EVAL_MOD, NGRAM
+from ..textops.dedup import content_hash
+from .contamination import EVAL_MOD, NGRAM, doc_grams
 from .mixing import SEQ_BUDGET, _hash_pct, _rate
 from .registry import register
 
@@ -96,11 +96,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 2. decontamination — drop train docs sharing a 5-gram with eval
-    grams = shingle(dedup, n=NGRAM)
-    ex = grams.select("doc_id", F.explode("shingles").alias("g"))
-    eval_g = ex.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    # (persisted: the gram stream feeds both the eval and train branches)
+    grams = doc_grams(dedup).persist()
+    eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
     contaminated = (
-        ex.filter(F.col("doc_id") % EVAL_MOD != 0)
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(F.broadcast(eval_g), "g")
         .select("doc_id")
         .distinct()

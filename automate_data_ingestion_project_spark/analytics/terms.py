@@ -1,0 +1,82 @@
+"""Inverted-index term statistics over ``documents``.
+
+``top_terms_per_doc`` is the TF-IDF/BM25 building block kept
+integer-exact: per-document term frequencies, corpus document
+frequencies, a df-cap that suppresses stopword-like terms (the same
+hot-key guard the n-gram Jaccard join uses), and a deterministic
+top-3 ranking by (tf DESC, term ASC). No logs or float weights —
+cross-engine log() rounding is NOT guaranteed identical, so ranking
+on raw (tf, df) integers is both the deterministic choice and what
+an index builder actually materializes.
+
+Scale shape: explode → (doc_id, term) count with map-side partials;
+document frequency is a second aggregate over the SAME shuffled
+relation (term df from distinct doc-term rows, not raw tokens); the
+df table joins back on ``term`` — a plain shuffle equi-join at
+vocabulary scale (broadcast only if the vocab is known-small; it is
+not at 100 TB, so no hint). The final per-doc top-3 reuses the
+window pattern: partition by doc_id over ≤|terms-per-doc| rows.
+
+Beyond-reference family (north star: LLM-pipeline text analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..textops.dedup import spread_for_compute
+from .registry import register
+
+DF_CAP_PCT = 80  # drop terms appearing in > 80% of documents
+TOP_K = 3
+
+
+@register(
+    "top_terms_per_doc",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df
+        FROM tf JOIN df ON tf.term = df.term, n
+        WHERE df.df * 100 <= {DF_CAP_PCT} * n.n_docs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) <= {TOP_K}
+    )
+    SELECT doc_id, term, tf, df FROM ranked
+    """,
+    survey_ref="text analysis: inverted-index top terms w/ df cap (north star)",
+)
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents")
+    tok = spread_for_compute(raw).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    # persisted: tf feeds both the df aggregate and the ranking join —
+    # without it each branch re-runs the tokenize+count stage
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = raw.count()  # metadata-speed scalar, not a driver loop
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .filter(F.col("df") * 100 <= DF_CAP_PCT * F.lit(n_docs))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(f"_rn <= {TOP_K}")
+        .select("doc_id", "term", "tf", "df")
+    )

@@ -75,6 +75,7 @@ def main() -> int:
             "label_centroids",
             "centroid_purity",
             "corpus_curation_pipeline",
+            "top_terms_per_doc",
         )
         if n in QUERIES
     ]
