@@ -178,3 +178,36 @@ def test_hypertable_rollup_is_one_expand_one_shuffle(spark, sf_dir):
     plan = _physical(df)
     assert plan.count("Expand") >= 1  # grouping sets = Expand, not 3 jobs
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    q = entrymod.queries()
+    # mixture sampling: narrow map + one tiny aggregate exchange
+    plan = _physical(q["corpus_sample_mix"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # packing: the window's source partitioning feeds both groupBy
+    # aggregates — one hash exchange total
+    plan = _physical(q["pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    # repetition: spread + window exchange only; bigram count and
+    # per-doc max/sum reuse the doc_id partitioning
+    plan = _physical(q["doc_repetition"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    df = entrymod.queries()["decontaminate_overlap"](spark, sf_dir)
+    plan = _physical(df)
+    # the corpus-side gram stream must meet eval grams via broadcast
+    # hash join — never a shuffled join keyed on grams
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_purity_broadcasts_centroids(spark, sf_dir):
+    df = entrymod.queries()["centroid_purity"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan  # k·d centroid table broadcast
+    assert "CartesianProduct" not in plan
