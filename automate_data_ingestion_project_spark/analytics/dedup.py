@@ -73,7 +73,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_cte_prefix() -> str:
+    """Shared DuckDB CTE chain base → shingles → signatures → band keys
+    (reused by the pairwise and the incremental-filter oracles)."""
     a_list = "[" + ", ".join(str(x) for x in A_COEF) + "]"
     b_list = "[" + ", ".join(str(x) for x in B_COEF) + "]"
     band_parts = ", ".join(
@@ -112,7 +114,11 @@ def _minhash_oracle_sql() -> str:
                unnest(list_transform(range(0, {BANDS}),
                    j -> concat_ws(':', j, {band_parts}))) AS band_key
         FROM sig
-    ),
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""{_minhash_cte_prefix()},
     pairs AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM bands a JOIN bands b
@@ -400,3 +406,105 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-duplicate filter (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle_sql() -> str:
+    return f"""{_minhash_cte_prefix()},
+    cand AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bands b JOIN bands c ON b.band_key = c.band_key
+        WHERE b.doc_id >= 100000 AND c.doc_id < 100000
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT cand.batch_id,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+                   AS n_shared,
+               CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS BIGINT) AS n_union
+        FROM cand
+        JOIN sh sa ON cand.batch_id = sa.doc_id
+        JOIN sh sb ON cand.corpus_id = sb.doc_id
+    ),
+    agg AS (
+        SELECT batch_id, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN 2 * n_shared >= n_union
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_dups
+        FROM ver GROUP BY 1
+    )
+    SELECT b.doc_id AS batch_id,
+           COALESCE(a.n_candidates, 0) AS n_candidates,
+           COALESCE(a.n_verified_dups, 0) AS n_verified_dups,
+           COALESCE(a.n_verified_dups, 0) > 0 AS is_near_dup
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.batch_id
+    WHERE b.doc_id >= 100000
+    """
+
+
+@register(
+    "incremental_neardup_filter",
+    oracle=_incremental_oracle_sql(),
+    survey_ref="fuzzy dedup: incremental batch-vs-corpus filter (north star)",
+)
+def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe an incoming BATCH against the existing CORPUS — the shape
+    a 100 TB ingestion actually runs (you never re-dedupe the corpus;
+    you check the day's batch against it). The planted variants
+    (doc_id ≥ 100000) play the batch; the originals play the corpus.
+
+    Scale shape: the batch's band keys are tiny next to the corpus
+    index, so the candidate join BROADCASTS the batch side — the
+    corpus band table (at scale: a materialized index, bucketed by
+    band_key) is probed in place and never reshuffled. Verification
+    touches only candidates. The dup test ``2·|∩| ≥ |∪|`` is the
+    integer-exact form of Jaccard ≥ 0.5.
+    """
+    base = _docs_with_variants(spark, sf_dir)
+    shingled = shingle(base).persist()
+    sigs = minhash_signatures(shingled)
+    bands = lsh_band_keys(sigs).persist()
+    batch_b = bands.filter(F.col("doc_id") >= 100000).withColumnRenamed(
+        "doc_id", "batch_id"
+    )
+    corpus_b = bands.filter(F.col("doc_id") < 100000)
+    cand = (
+        corpus_b.join(F.broadcast(batch_b), "band_key")
+        .select("batch_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    agg = (
+        cand.join(sa, "batch_id")
+        .join(sb, "corpus_id")
+        .select(
+            "batch_id",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_shared"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(2 * F.col("n_shared") >= F.col("n_union"), 1).otherwise(0)
+            ).alias("n_verified_dups"),
+        )
+    )
+    batch_docs = base.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("batch_id")
+    )
+    return batch_docs.join(agg, "batch_id", "left").select(
+        "batch_id",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_verified_dups", F.lit(0)).alias("n_verified_dups"),
+        (F.coalesce("n_verified_dups", F.lit(0)) > 0).alias("is_near_dup"),
+    )

@@ -76,6 +76,7 @@ def main() -> int:
             "centroid_purity",
             "corpus_curation_pipeline",
             "top_terms_per_doc",
+            "incremental_neardup_filter",
         )
         if n in QUERIES
     ]

@@ -94,3 +94,19 @@ def test_connected_components_multi_hop_chain(spark):
     )
     got = {r.node: r.component_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_incremental_filter_flags_planted_variants(spark):
+    from automate_data_ingestion_project_spark.analytics.dedup import (
+        incremental_neardup_filter,
+    )
+
+    rows = incremental_neardup_filter(spark, "/root/testdata/sf0.001").collect()
+    # one output row per batch (variant) doc, each planted as a near-dup
+    assert rows and all(r["batch_id"] >= 100000 for r in rows)
+    flagged = [r for r in rows if r["is_near_dup"]]
+    # every variant differs from its original by ONE prepended token —
+    # Jaccard ≈ (s-2)/(s-1) >> 0.5, so the filter must catch them all
+    assert len(flagged) == len(rows)
+    for r in flagged:
+        assert r["n_candidates"] >= r["n_verified_dups"] >= 1
