@@ -80,3 +80,68 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(f"_rn <= {TOP_K}")
         .select("doc_id", "term", "tf", "df")
     )
+
+
+@register(
+    "vocab_encode",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+    ),
+    vocab AS (
+        SELECT term,
+               ROW_NUMBER() OVER (ORDER BY n DESC, term) AS token_id
+        FROM counts
+    ),
+    enc AS (
+        SELECT tok.doc_id, tok.pos, v.token_id
+        FROM tok JOIN vocab v ON tok.term = v.term
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(token_id * (pos + 1)) AS BIGINT) AS pos_weighted_sum,
+           CAST(SUM(token_id) AS BIGINT) AS id_sum,
+           MIN(token_id) AS min_id,
+           MAX(token_id) AS max_id
+    FROM enc GROUP BY 1
+    """,
+    survey_ref="text analysis: vocab construction + doc encoding (north star)",
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-to-ids: rank terms into a vocabulary by (frequency
+    DESC, term ASC) and encode every document, summarized as
+    position-weighted integer checksums (the checksum pins the exact
+    id-at-position assignment without shipping the arrays).
+
+    The vocab ranking runs a GLOBAL window — over the AGGREGATED term
+    counts, which is |vocab| rows, not corpus rows; a 100 TB corpus
+    with a 1 M-term vocab still ranks on one task in milliseconds.
+    The encode join broadcasts the vocab against the token stream.
+    """
+    raw = load_table(spark, sf_dir, "documents")
+    tok = spread_for_compute(raw).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("n"))
+    vw = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vocab = counts.withColumn("token_id", F.row_number().over(vw)).select(
+        "term", "token_id"
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("token_id") * (F.col("pos") + 1)).alias(
+                "pos_weighted_sum"
+            ),
+            F.sum("token_id").alias("id_sum"),
+            F.min("token_id").alias("min_id"),
+            F.max("token_id").alias("max_id"),
+        )
+    )

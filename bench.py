@@ -77,6 +77,7 @@ def main() -> int:
             "corpus_curation_pipeline",
             "top_terms_per_doc",
             "incremental_neardup_filter",
+            "vocab_encode",
         )
         if n in QUERIES
     ]

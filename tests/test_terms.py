@@ -54,3 +54,33 @@ def test_oracle_parity(spark):
         entry.queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
     )
     assert res["ok"], res
+
+
+def test_vocab_encode_known_values(spark, tmp_path):
+    # counts: zz=3, aa=2, bb=1 → ids: zz=1, aa=2, bb=3
+    rows = [
+        (1, "zz aa zz", "en", "s0", 8),
+        (2, "aa bb zz", "en", "s0", 8),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    from automate_data_ingestion_project_spark.analytics.terms import vocab_encode
+
+    out = {r["doc_id"]: r for r in vocab_encode(spark, str(d)).collect()}
+    # doc1 ids by pos: [1, 2, 1] → pos-weighted 1*1 + 2*2 + 1*3 = 8
+    assert out[1]["pos_weighted_sum"] == 8 and out[1]["id_sum"] == 4
+    # doc2 ids by pos: [2, 3, 1] → 2*1 + 3*2 + 1*3 = 11
+    assert out[2]["pos_weighted_sum"] == 11 and out[2]["id_sum"] == 6
+    assert out[2]["min_id"] == 1 and out[2]["max_id"] == 3
+
+
+def test_vocab_encode_oracle_parity(spark):
+    con = duckdb_connection(SF_DIR)
+    res = compare(
+        entry.queries()["vocab_encode"](spark, SF_DIR),
+        con,
+        entry.oracle_sql()["vocab_encode"],
+    )
+    assert res["ok"], res
