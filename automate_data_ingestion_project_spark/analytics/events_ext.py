@@ -26,13 +26,14 @@ GAP_SECONDS = 1800
     oracle=f"""
     WITH ordered AS (
         SELECT user_id, ts, event_id,
-               epoch(ts) - epoch(lag(ts) OVER w) AS gap
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN gap IS NULL OR gap > {GAP_SECONDS} THEN 1 ELSE 0 END
+               CASE WHEN gap_us IS NULL OR gap_us > {GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END
                    AS new_session
         FROM ordered
     ),
@@ -55,10 +56,13 @@ GAP_SECONDS = 1800
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Compare in microseconds on BOTH engines: unix_timestamp() truncates to
+    # whole seconds while DuckDB epoch() keeps fractions, so a gap within ~1s
+    # of the threshold could classify differently (events.ts is µs-precise).
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > GAP_SECONDS), 1).otherwise(0),
+        F.when(gap_us.isNull() | (gap_us > GAP_SECONDS * 1_000_000), 1).otherwise(0),
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

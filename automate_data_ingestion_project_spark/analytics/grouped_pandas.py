@@ -25,9 +25,14 @@ from .registry import register
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     x = pdf["n_chars"].astype("float64")
     std = x.std(ddof=1)
-    z = (x - x.mean()) / std if std > 0 else x * 0.0
+    if pd.isna(std) or std == 0:
+        # Degenerate group (one row, or all-equal lengths): STDDEV_SAMP is
+        # NULL / 0 in SQL, so emit NULL rather than 0.0 to match the oracle.
+        z = pd.array([None] * len(x), dtype="Float64")
+    else:
+        z = ((x - x.mean()) / std).round(9)
     return pd.DataFrame(
-        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_z": z.round(9)}
+        {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_z": z}
     )
 
 
@@ -35,12 +40,19 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "lang_length_zscores",
     oracle="""
     SELECT doc_id, lang,
-           round(
-               (CAST(n_chars AS DOUBLE) - AVG(CAST(n_chars AS DOUBLE))
-                    OVER (PARTITION BY lang))
-               / STDDEV_SAMP(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang),
-               9
-           ) AS len_z
+           CASE
+               WHEN COALESCE(
+                   STDDEV_SAMP(CAST(n_chars AS DOUBLE))
+                       OVER (PARTITION BY lang), 0) = 0
+               THEN NULL
+               ELSE round(
+                   (CAST(n_chars AS DOUBLE) - AVG(CAST(n_chars AS DOUBLE))
+                        OVER (PARTITION BY lang))
+                   / STDDEV_SAMP(CAST(n_chars AS DOUBLE))
+                         OVER (PARTITION BY lang),
+                   9
+               )
+           END AS len_z
     FROM documents
     """,
     survey_ref="applyInPandas grouped-map operator (north star; Arrow per-group)",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import rank_distributed
 from ..textops.dedup import spread_for_compute
 from .registry import register
 
@@ -69,13 +70,17 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it each branch re-runs the tokenize+count stage
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = raw.count()  # metadata-speed scalar, not a driver loop
+    # lazy scalar: a broadcast 1-row aggregate joined in, so the whole query
+    # stays ONE plan (an eager raw.count() here would run a separate job at
+    # build time)
+    n_docs = raw.agg(F.count("*").alias("_n_docs"))
     win = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("term").asc()
     )
     return (
         tf.join(df, "term")
-        .filter(F.col("df") * 100 <= DF_CAP_PCT * F.lit(n_docs))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 <= DF_CAP_PCT * F.col("_n_docs"))
         .withColumn("_rn", F.row_number().over(win))
         .filter(f"_rn <= {TOP_K}")
         .select("doc_id", "term", "tf", "df")
@@ -118,9 +123,13 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted integer checksums (the checksum pins the exact
     id-at-position assignment without shipping the arrays).
 
-    The vocab ranking runs a GLOBAL window — over the AGGREGATED term
-    counts, which is |vocab| rows, not corpus rows; a 100 TB corpus
-    with a 1 M-term vocab still ranks on one task in milliseconds.
+    The vocab ranking is DISTRIBUTED two-phase (no global window — a
+    web-crawl vocab with its typo long tail can be 100 M+ terms, which
+    breaks the "ranks on one task" assumption): range-partition the
+    aggregated counts on the rank order, rank locally per range
+    partition, then add per-partition offsets computed from the tiny
+    (≤ |partitions| rows) per-partition sizes via a broadcast self-join
+    — no single-partition WindowExec anywhere in the plan.
     The encode join broadcasts the vocab against the token stream.
     """
     raw = load_table(spark, sf_dir, "documents")
@@ -128,10 +137,9 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )
     counts = tok.groupBy("term").agg(F.count("*").alias("n"))
-    vw = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    vocab = counts.withColumn("token_id", F.row_number().over(vw)).select(
-        "term", "token_id"
-    )
+    vocab = rank_distributed(
+        counts, [F.col("n").desc(), F.col("term").asc()], "token_id"
+    ).select("term", "token_id")
     return (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")

@@ -143,10 +143,12 @@ def top_brands_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # pre-aggregate the fact side on the join key BEFORE the join: the
-    # shuffle then carries |distinct partkey| rows instead of |lineitem|
+    # shuffle then carries |distinct partkey| rows instead of |lineitem|.
+    # No forced broadcast hint on `part` — it grows with sf, and AQE picks
+    # broadcast at runtime whenever the side actually fits.
     per_part = li.groupBy("l_partkey").agg(dsum("l_quantity").alias("part_qty"))
     return (
-        per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(dsum("part_qty").alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "brand")
@@ -177,14 +179,33 @@ def top_brands_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="window ranking (engine extension; reference lacks OVER)",
 )
 def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # Skew-proof two-phase top-k: the partition key has only 5 values, so a
+    # single window would drag the whole table onto 5 tasks at scale.
+    # Phase 1 ranks within (priority, salt) — crc32(orderkey)%32, the same
+    # deterministic salt as operators/skew.py, so retries/replays are
+    # stable — and keeps ≤ k rows per salt bucket; the global top-k must
+    # survive its bucket's top-k, so the prune drops nothing needed.
+    # Phase 2 runs the real window over ≤ k·n_salts rows per priority.
+    k, n_salts = 3, 32
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    salt = (F.crc32(F.col("o_orderkey").cast("string")) % n_salts).cast("int")
+    local_w = Window.partitionBy("o_orderpriority", "_salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    survivors = (
+        orders.withColumn("_salt", salt)
+        .withColumn("_local_rank", F.row_number().over(local_w))
+        .filter(F.col("_local_rank") <= k)
+        .drop("_salt", "_local_rank")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .withColumn("rank_in_priority", F.row_number().over(w))
-        .filter(F.col("rank_in_priority") <= 3)
+        survivors.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= k)
     )
 
 

@@ -142,11 +142,18 @@ def sample_chunks(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     fixed windows with binary ``substring`` — no Python, no decode.
     (media_id, chunk_idx, chunk) rows inherit the source partitioning;
     at scale this feeds per-chunk decoders."""
+    # greatest(..., 0) guards the empty-payload case: sequence(0, -1) would
+    # yield a DESCENDING [0, -1] array (two bogus rows), not an empty one.
     chunks = (
-        f"transform(sequence(0, cast(ceil(meta.n_bytes / {chunk_bytes}) as int) - 1), "
+        f"transform(sequence(0, greatest("
+        f"cast(ceil(meta.n_bytes / {chunk_bytes}) as int), 1) - 1), "
         f"i -> substring(payload, i * {chunk_bytes} + 1, {chunk_bytes}))"
     )
-    return media.select(
-        "media_id",
-        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"),
-    ).withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+    return (
+        media.filter(F.col("meta.n_bytes") > 0)
+        .select(
+            "media_id",
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+    )

@@ -49,8 +49,13 @@ def bucketed_range_join(
         _BUCKET,
         F.explode(
             F.expr(
+                # greatest() keeps the sequence non-inverted for empty or
+                # inverted intervals (end <= start): sequence(a, b<a) would
+                # emit a DESCENDING bucket array — spurious candidate rows
+                # the exact-range filter then has to discard.
                 f"sequence(unix_micros({start_col}) div {w_us}, "
-                f"(unix_micros({end_col}) - 1) div {w_us})"
+                f"greatest((unix_micros({end_col}) - 1) div {w_us}, "
+                f"unix_micros({start_col}) div {w_us}))"
             )
         ),
     )

@@ -45,6 +45,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -69,5 +70,12 @@ def connected_components(
         labels = new_labels  # `_old` rides along; never re-selected
         if changed == 0:
             break
+    if changed > 0:
+        # Do not silently return a partial fixpoint: a component with
+        # diameter > max_rounds would get wrong (split) labels.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
     result = labels.select(F.col("node"), F.col("label").alias("component_id"))
     return result
