@@ -15,16 +15,22 @@ Scale design (100 TB):
 
 - the anti-join is a key join — AQE picks broadcast when the source
   batch is small (the common incremental case: daily batch ≪ target);
-- ``partition_by`` lets the target be partitioned so an upsert touching
-  few partitions could be narrowed to them (dynamic partition overwrite
-  is the natural next step; on a lakehouse table format this whole
-  function becomes ``MERGE INTO``);
-- the swap is metadata-only (rename), never a data copy;
+- with ``partition_by`` set, only the partitions the source batch
+  touches are rebuilt and swapped (dynamic-partition-overwrite
+  semantics): a daily batch touching 3 of 3 000 date partitions
+  rewrites 0.1% of the table, not all of it — at 100 TB that is the
+  difference between minutes and hours (on a lakehouse table format
+  this whole function becomes ``MERGE INTO``);
+- each swap is rename-aside (old → ``.old``, tmp → live, delete
+  ``.old``): a crash at any point leaves either the old or the new
+  directory recoverable on disk — never a window where the data is
+  only in a tmp dir nobody knows about;
 - nothing collects to the driver.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import uuid
@@ -71,6 +77,38 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _swap_dir(tmp: str, path: str) -> None:
+    """Crash-safe directory swap: rename the live dir aside, rename the
+    tmp dir into place, then delete the old one.  A crash between any
+    two steps leaves either the old data (at ``path`` or ``path.old-*``)
+    or the new data (at ``path``) intact on disk — the rmtree-then-rename
+    ordering, by contrast, has a window where the table is simply gone.
+    """
+    if os.path.isdir(path):
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
+def _strip_uri(p: str) -> str:
+    """file:///x/y → /x/y (input_file_name returns URIs)."""
+    return p[7:] if p.startswith("file://") else p
+
+
+def _partition_dirs(root: str) -> list[str]:
+    """Relative paths of the leaf partition directories under ``root``
+    (dirs that directly contain parquet files), e.g. ``o_year=1995`` or
+    ``a=1/b=2`` for nested partitioning."""
+    out = []
+    for dp, _, fs in os.walk(root):
+        if any(f.endswith(".parquet") for f in fs) and dp != root:
+            out.append(os.path.relpath(dp, root))
+    return sorted(out)
+
+
 def upsert_parquet(
     spark: SparkSession,
     source: DataFrame,
@@ -87,28 +125,101 @@ def upsert_parquet(
     target rows are untouched. Re-running with the same source is a
     no-op (idempotent). Within one source batch, duplicate keys keep
     one arbitrary-but-single row (PK semantics, Q4).
+
+    With ``partition_by`` set and an existing target, the merge runs in
+    dynamic-partition-overwrite mode: only partitions the batch touches
+    (its own partition values, plus any partition currently holding a
+    batch key, if keys can move) are read, merged, and swapped;
+    untouched partitions keep their files byte-for-byte.
     """
     src = source.dropDuplicates(keys)
     if target_schema is not None:
         src = align_to_schema(src, target_schema)
 
+    dynamic = bool(partition_by) and path_exists(path)
     if path_exists(path):
         target = spark.read.parquet(path)
         if target_schema is None:
             # align source to the existing table by name; keep target cols
             src = align_to_schema(src, target.schema)
+        if dynamic:
+            # Dynamic partition overwrite: only target rows in partitions
+            # the batch touches participate in the merge; every other
+            # partition's files are never read or rewritten.
+            touched = src.select(*partition_by).distinct()
+            if not {c.lower() for c in partition_by} <= {k.lower() for k in keys}:
+                # Keys CAN move across partitions (partition cols aren't
+                # part of the PK): a partition currently holding a batch
+                # key is also touched, or its stale row would survive as
+                # a duplicate.  This is a column-pruned scan of just the
+                # key + partition columns (partition values come from
+                # directory names, so only key bytes are read).
+                moved = (
+                    target.select(*partition_by, *keys)
+                    .join(src.select(*keys), on=keys, how="left_semi")
+                    .select(*partition_by)
+                    .distinct()
+                )
+                touched = touched.union(moved).distinct()
+            # null-safe equality: a NULL partition value in the batch
+            # swaps the __HIVE_DEFAULT_PARTITION__ directory, so target
+            # rows there must participate in the merge too — a plain
+            # equi-join would never match them and they'd be lost.
+            def _narrow(tgt_df: DataFrame) -> DataFrame:
+                t, b = tgt_df.alias("_tgt"), touched.alias("_touched")
+                cond = functools.reduce(
+                    lambda a, c: a & c,
+                    [
+                        F.col(f"_tgt.{c}").eqNullSafe(F.col(f"_touched.{c}"))
+                        for c in partition_by
+                    ],
+                )
+                return t.join(F.broadcast(b), cond, "left_semi")
+
+            target = _narrow(target)
+            # Exact on-disk names of the touched live partition dirs,
+            # taken from the files themselves (no re-implementing Hive
+            # path escaping).  input_file_name() must attach directly to
+            # the bare scan — it doesn't resolve across a multi-source
+            # join — so this is a second, partition-pruned scan that
+            # reads only directory metadata.
+            touched_files = _narrow(
+                spark.read.parquet(path)
+                .select(*partition_by)
+                .withColumn("_f", F.input_file_name())
+            ).select("_f").distinct()
         keep = target.join(src.select(*keys), on=keys, how="left_anti")
         merged = keep.unionByName(src, allowMissingColumns=True)
     else:
         merged = src
 
     # Write-then-swap: the merged plan reads `path`, so the new data
-    # lands in a sibling tmp dir first; the swap is two renames.
+    # lands in a sibling tmp dir first; the swap is rename-only.
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     write_parquet(merged, tmp, partition_by=partition_by)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    if dynamic:
+        # Collect BEFORE the swap — it reads the live tree.  Needed
+        # because a touched partition can come out EMPTY (all its rows
+        # deleted or moved elsewhere): it then has no dir under tmp but
+        # its stale live dir must still go away.
+        live_touched = {
+            os.path.relpath(os.path.dirname(_strip_uri(r._f)), path)
+            for r in touched_files.collect()
+        }
+        written = set(_partition_dirs(tmp))
+        # swap ONLY the rebuilt partition directories into the live tree;
+        # untouched partitions keep their existing files byte-for-byte
+        for rel in written:
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _swap_dir(os.path.join(tmp, rel), dst)
+        for rel in live_touched - written:
+            stale = os.path.join(path, rel)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        shutil.rmtree(tmp)
+    else:
+        _swap_dir(tmp, path)
     # drop cached file listings/footers for the swapped directory so
     # later reads (and any still-live DataFrames) re-list it
     spark.catalog.refreshByPath(path)
@@ -142,8 +253,7 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_dir(tmp, path)
     spark.catalog.refreshByPath(path)
     return sum(
         1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")

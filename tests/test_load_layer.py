@@ -69,6 +69,67 @@ def test_upsert_is_idempotent_and_replaces_on_key(spark, sf_dir):
     assert after3 == before
 
 
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark):
+    """Dynamic partition overwrite: a batch touching one partition must
+    leave every other partition's files byte-identical on disk (same
+    names, same mtimes) — the INSERT OR REPLACE narrowed to partitions."""
+    path = os.path.join(scratch_dir("test_upsert_dpo"), "t")
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2019, "b"), (3, 2020, "c"), (4, 2021, "d")],
+        "k int, year int, v string",
+    )
+    upsert_parquet(spark, base, path, keys=["k"], partition_by=["year"])
+
+    def files_of(part):
+        d = os.path.join(path, f"year={part}")
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_2019, before_2021 = files_of(2019), files_of(2021)
+
+    # batch replaces k=3 (year 2020) and inserts k=5 into a NEW partition
+    batch = spark.createDataFrame(
+        [(3, 2020, "C2"), (5, 2022, "e")], "k int, year int, v string"
+    )
+    upsert_parquet(spark, batch, path, keys=["k"], partition_by=["year"])
+
+    # untouched partitions: identical files, untouched mtimes
+    assert files_of(2019) == before_2019
+    assert files_of(2021) == before_2021
+    out = {(r.k, r.year, r.v) for r in read_parquet(spark, path).collect()}
+    assert out == {
+        (1, 2019, "a"),
+        (2, 2019, "b"),
+        (3, 2020, "C2"),
+        (4, 2021, "d"),
+        (5, 2022, "e"),
+    }
+
+    # idempotence holds in the partitioned path too
+    upsert_parquet(spark, batch, path, keys=["k"], partition_by=["year"])
+    out2 = {(r.k, r.year, r.v) for r in read_parquet(spark, path).collect()}
+    assert out2 == out
+
+
+def test_upsert_partitioned_moves_key_across_partitions(spark):
+    """A key whose partition value CHANGES in the batch must not survive
+    in its old partition: both the old and new partitions are touched by
+    the merge (the old one via the key anti-join)."""
+    path = os.path.join(scratch_dir("test_upsert_dpo_move"), "t")
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2020, "b")], "k int, year int, v string"
+    )
+    upsert_parquet(spark, base, path, keys=["k"], partition_by=["year"])
+    # k=1 moves from year 2019 to 2020
+    batch = spark.createDataFrame([(1, 2020, "a2")], "k int, year int, v string")
+    upsert_parquet(spark, batch, path, keys=["k"], partition_by=["year"])
+    out = {(r.k, r.year, r.v) for r in read_parquet(spark, path).collect()}
+    assert out == {(1, 2020, "a2"), (2, 2020, "b")}
+
+
 def test_upsert_dedupes_source_batch(spark):
     path = os.path.join(scratch_dir("test_upsert_dupes"), "t")
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
