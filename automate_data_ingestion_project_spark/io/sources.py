@@ -108,8 +108,9 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
 
 def read_jdbc(
     spark: SparkSession, url: str, table: str, **options
-) -> DataFrame:  # pragma: no cover - needs a live database + driver jar
+) -> DataFrame:
     """JDBC scan (predicate pushdown + partitioned reads via the
     standard partitionColumn/lowerBound/upperBound/numPartitions
-    options)."""
+    options).  Exercised against embedded Derby in tests/test_jdbc.py —
+    the same code path serves any database given its driver jar."""
     return spark.read.format("jdbc").options(url=url, dbtable=table, **options).load()
