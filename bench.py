@@ -94,18 +94,52 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Round-over-round regression check: diff against the newest prior
+    # BENCH_r{N}.json (same sf) and flag any query >1.2× slower.
+    prior_file, prior = _latest_prior_bench(
+        os.path.dirname(os.path.abspath(__file__)), sf
     )
+    if prior:
+        ratios = {
+            n: round(t / prior[n], 3)
+            for n, t in timings.items()
+            if n in prior and prior[n] > 0
+        }
+        out["vs_prior"] = {
+            "file": prior_file,
+            "total_ratio": round(
+                total / sum(prior[n] for n in ratios) if ratios else 1.0, 3
+            ),
+            "regressions": {n: r for n, r in sorted(ratios.items()) if r > 1.2},
+        }
+    print(json.dumps(out))
     return 0
+
+
+def _latest_prior_bench(repo_dir: str, sf: float):
+    """Newest BENCH_r{N}.json with per-query timings at the same sf."""
+    best_n, best = -1, None
+    for f in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(repo_dir, f)) as fh:
+                data = json.load(fh)
+            parsed = data.get("parsed") or data  # driver wraps under "parsed"
+            qs = parsed.get("queries")
+            if qs and parsed.get("sf") == sf and int(m.group(1)) > best_n:
+                best_n, best = int(m.group(1)), (f, qs)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return best if best else (None, None)
 
 
 if __name__ == "__main__":
