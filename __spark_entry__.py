@@ -21,6 +21,7 @@ from automate_data_ingestion_project_spark.analytics import QUERIES
 # Importing these modules populates the registry (decorator side effect).
 import automate_data_ingestion_project_spark.analytics.contamination  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.core  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.behavior  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.centroids  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.checks  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.curation  # noqa: F401
@@ -38,6 +39,7 @@ import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.splits  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.stream_query  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.temporal  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.terms  # noqa: F401

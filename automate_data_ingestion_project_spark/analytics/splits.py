@@ -1,0 +1,116 @@
+"""Training-data set construction: deterministic stratified splits and
+per-language bigram statistics.
+
+``dataset_split`` is the canonical train/validation/test assignment for
+a 100 TB corpus: a salted 56-bit md5 hash of the document id modulo 100
+buckets (80/10/10). Hash-based assignment is rerun-stable, needs no
+global coordination, and keeps a document in the same split when the
+corpus grows — properties a ``rand()``-based split lacks. The id_sum
+checksum pins the exact membership of every (lang, split) cell, not
+just its size.
+
+``bigram_counts`` is the n-gram statistics pass of a language-model
+data pipeline (top-10 bigrams per language). Tokens explode to rows and
+pair up via ``lead`` over a per-document window — explode + codegen'd
+window, not an interpreted array lambda, per the repo's HOF rule — then
+one aggregate and a per-language top-k window over the (small)
+aggregated counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..textops.dedup import spread_for_compute
+from .registry import register
+
+TOP_K = 10
+
+
+def split_bucket(col, salt: str = "split:"):
+    """Deterministic 0-99 bucket: 56-bit md5 prefix of the salted id
+    (the cross-engine hash recipe used throughout the repo)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 14), 16, 10
+    ).cast("bigint")
+    return h % 100
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    WITH h AS (
+        SELECT lang, doc_id,
+               CAST(concat('0x', substr(
+                   md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 14))
+                   AS BIGINT) % 100 AS b
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM h GROUP BY 1, 2
+    """,
+    survey_ref="deterministic stratified train/val/test split (LLM pipeline)",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT lang,
+               unnest(list_transform(range(0, len(w) - 1),
+                   i -> concat_ws(' ', w[i+1], w[i+2]))) AS bigram
+        FROM tok
+    ),
+    c AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2)
+    SELECT lang, bigram, n FROM c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY n DESC, bigram
+    ) <= {TOP_K}
+    """,
+    survey_ref="n-gram statistics: top bigrams per language (LLM pipeline)",
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("nxt", F.lead("term").over(seq))
+        .filter(F.col("nxt").isNotNull())
+        .select("lang", F.concat_ws(" ", "term", "nxt").alias("bigram"))
+    )
+    counts = bi.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    top = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(top))
+        .filter(F.col("_rn") <= TOP_K)
+        .select("lang", "bigram", "n")
+    )
