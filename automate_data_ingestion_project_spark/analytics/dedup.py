@@ -38,6 +38,7 @@ from ..textops.dedup import (
     verified_near_duplicates,
 )
 from .registry import register
+from ..operators.caching import tracked_persist
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -152,9 +153,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the two relations every downstream join branch reuses —
     # without this, both sides of the band self-join and both sides of
     # the verification join would recompute shingling + signatures
-    shingled = shingle(base).persist()
+    shingled = tracked_persist(shingle(base))
     sigs = minhash_signatures(shingled)
-    bands = lsh_band_keys(sigs).persist()
+    bands = tracked_persist(lsh_band_keys(sigs))
     pairs = candidate_pairs(bands)
     return verified_near_duplicates(shingled, pairs)
 
@@ -237,7 +238,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..textops.simhash import simhash_fingerprints, simhash_near_pairs
 
     base = _docs_with_variants(spark, sf_dir)
-    fps = simhash_fingerprints(base).persist()
+    fps = tracked_persist(simhash_fingerprints(base))
     return simhash_near_pairs(fps, max_hamming=3)
 
 
@@ -289,10 +290,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..textops.simhash import jaccard_index_join
 
     base = _docs_with_variants(spark, sf_dir)
-    shingle_rows = (
-        shingle(base)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .persist()
+    shingle_rows = tracked_persist(
+        shingle(base).select("doc_id", F.explode("shingles").alias("s"))
     )
     return jaccard_index_join(shingle_rows, threshold=0.5, max_doc_freq=200)
 
@@ -343,12 +342,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     base = emb.unionByName(copies)
-    prepped = base.select(
-        "vec_id",
-        "embedding",
-        F.expr(norm_sql("embedding")).alias("nrm"),
-        F.expr(bucket_sql("embedding")).alias("bucket"),
-    ).persist()
+    prepped = tracked_persist(
+        base.select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_sql("embedding")).alias("nrm"),
+            F.expr(bucket_sql("embedding")).alias("bucket"),
+        )
+    )
     a, b = prepped.alias("a"), prepped.alias("b")
     score = F.expr(dot_sql("a.embedding", "b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -465,9 +466,9 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact form of Jaccard ≥ 0.5.
     """
     base = _docs_with_variants(spark, sf_dir)
-    shingled = shingle(base).persist()
+    shingled = tracked_persist(shingle(base))
     sigs = minhash_signatures(shingled)
-    bands = lsh_band_keys(sigs).persist()
+    bands = tracked_persist(lsh_band_keys(sigs))
     batch_b = bands.filter(F.col("doc_id") >= 100000).withColumnRenamed(
         "doc_id", "batch_id"
     )

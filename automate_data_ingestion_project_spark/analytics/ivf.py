@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..textops.similarity import dot_sql, norm_sql
 from .registry import register
+from ..operators.caching import tracked_persist
 
 N_CELLS = 8
 QUERY_IDS = [0, 1, 2, 3, 4]
@@ -108,7 +109,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assigned = assign_cells(emb, centroids).persist()
+    assigned = tracked_persist(assign_cells(emb, centroids))
     q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -206,7 +207,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assigned = assign_cells(emb, centroids).persist()
+    assigned = tracked_persist(assign_cells(emb, centroids))
     probes = assign_cells(
         emb.filter(F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=N_PROBE
     ).select(

@@ -13,8 +13,12 @@ just its size.
 data pipeline (top-10 bigrams per language). Tokens explode to rows and
 pair up via ``lead`` over a per-document window — explode + codegen'd
 window, not an interpreted array lambda, per the repo's HOF rule — then
-one aggregate and a per-language top-k window over the (small)
-aggregated counts.
+one aggregate and a SALTED two-phase top-k: ``lang`` has ~10 distinct
+values, so a plain per-language window would drag billions of
+aggregated bigram rows onto ~10 tasks at 100 TB. Phase 1 ranks within
+(lang, crc32(bigram)%32) and keeps ≤ k rows per salt bucket — the
+global top-k must survive its bucket's top-k, so the prune is lossless
+— phase 2 runs the real window over ≤ k·32 rows per language.
 """
 
 from __future__ import annotations
@@ -108,9 +112,24 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.concat_ws(" ", "term", "nxt").alias("bigram"))
     )
     counts = bi.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    # Skew-proof two-phase top-k (same shape as warehouse.top3_orders_per_
+    # priority): ~10 langs would otherwise serialize the whole aggregated
+    # bigram table onto ~10 window tasks.  Salt is deterministic
+    # (crc32 of the bigram), so retries/replays are stable.
+    n_salts = 32
+    salt = (F.crc32(F.col("bigram")) % n_salts).cast("int")
+    local_w = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("n").desc(), F.col("bigram")
+    )
+    survivors = (
+        counts.withColumn("_salt", salt)
+        .withColumn("_local_rank", F.row_number().over(local_w))
+        .filter(F.col("_local_rank") <= TOP_K)
+        .drop("_salt", "_local_rank")
+    )
     top = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
     return (
-        counts.withColumn("_rn", F.row_number().over(top))
+        survivors.withColumn("_rn", F.row_number().over(top))
         .filter(F.col("_rn") <= TOP_K)
         .select("lang", "bigram", "n")
     )

@@ -29,6 +29,7 @@ from ..io import load_table
 from ..operators.ranking import rank_distributed
 from ..textops.dedup import spread_for_compute
 from .registry import register
+from ..operators.caching import tracked_persist
 
 DF_CAP_PCT = 80  # drop terms appearing in > 80% of documents
 TOP_K = 3
@@ -68,7 +69,9 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: tf feeds both the df aggregate and the ranking join —
     # without it each branch re-runs the tokenize+count stage
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    tf = tracked_persist(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # lazy scalar: a broadcast 1-row aggregate joined in, so the whole query
     # stays ONE plan (an eager raw.count() here would run a separate job at
@@ -130,7 +133,11 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, then add per-partition offsets computed from the tiny
     (≤ |partitions| rows) per-partition sizes via a broadcast self-join
     — no single-partition WindowExec anywhere in the plan.
-    The encode join broadcasts the vocab against the token stream.
+    The encode join is a plain shuffle equi-join on ``term``: the same
+    100 M+-term vocab that rules out the global window also rules out a
+    forced broadcast (it would ship the full vocab to every executor).
+    AQE converts it to a broadcast join at runtime when the vocab
+    actually is small — no hint needed in either regime.
     """
     raw = load_table(spark, sf_dir, "documents")
     tok = spread_for_compute(raw).select(
@@ -141,7 +148,7 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, [F.col("n").desc(), F.col("term").asc()], "token_id"
     ).select("term", "token_id")
     return (
-        tok.join(F.broadcast(vocab), "term")
+        tok.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

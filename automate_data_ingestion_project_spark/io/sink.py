@@ -80,12 +80,20 @@ def write_parquet(
 def _swap_dir(tmp: str, path: str) -> None:
     """Crash-safe directory swap: rename the live dir aside, rename the
     tmp dir into place, then delete the old one.  A crash between any
-    two steps leaves either the old data (at ``path`` or ``path.old-*``)
+    two steps leaves either the old data (at ``path`` or the aside dir)
     or the new data (at ``path``) intact on disk — the rmtree-then-rename
     ordering, by contrast, has a window where the table is simply gone.
+
+    The aside name is dot-prefixed (``.old-<hex>-<basename>``): Spark's
+    file index skips entries starting with ``.`` or ``_``, so if a crash
+    strands the aside dir INSIDE a table root (the partition-level swap
+    case, where ``path`` is ``<table>/year=X``), subsequent reads neither
+    double-count the old partition's rows nor mis-infer the partition
+    column — recovery is a cleanup chore, not a correctness hole.
     """
     if os.path.isdir(path):
-        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        parent, base = os.path.split(path)
+        old = os.path.join(parent, f".old-{uuid.uuid4().hex[:8]}-{base}")
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
@@ -154,8 +162,11 @@ def upsert_parquet(
                 # a duplicate.  This is a column-pruned scan of just the
                 # key + partition columns (partition values come from
                 # directory names, so only key bytes are read).
+                # dict.fromkeys: keys may share columns with partition_by
+                # (e.g. keys=[k, year], partition_by=[year, region]) — a
+                # duplicate projection would make the join ambiguous
                 moved = (
-                    target.select(*partition_by, *keys)
+                    target.select(*dict.fromkeys([*partition_by, *keys]))
                     .join(src.select(*keys), on=keys, how="left_semi")
                     .select(*partition_by)
                     .distinct()

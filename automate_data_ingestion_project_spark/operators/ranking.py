@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import tracked_persist
+
 
 def rank_distributed(
     df: DataFrame,
@@ -44,11 +46,12 @@ def rank_distributed(
     )
     # persisted: both the local ranking and the per-partition sizes read
     # this relation — without the persist each branch re-runs the full
-    # upstream plan (aggregation, joins, scans)
-    parts = (
-        df.repartitionByRange(p, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    # upstream plan (aggregation, joins, scans).  Tracked so callers can
+    # release_caches() after their action (caching.py).
+    parts = tracked_persist(
+        df.repartitionByRange(p, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local_w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = parts.withColumn("_lrn", F.row_number().over(local_w))

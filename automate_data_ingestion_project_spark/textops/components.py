@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_persist, untrack
+
 
 def connected_components(
     edges: DataFrame,
@@ -33,17 +35,15 @@ def connected_components(
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``;
     component_id = min node id in the component (deterministic)."""
-    sym = (
+    sym = tracked_persist(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = tracked_persist(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
     changed = 0
     for _ in range(max_rounds):
@@ -52,7 +52,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = tracked_persist(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -61,12 +61,12 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-            .persist()
         )
         # the count materializes new_labels' cache; only THEN drop the
         # previous round's cache (new_labels no longer depends on it)
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
+        untrack(labels)  # lifetime managed here, round by round
         labels = new_labels  # `_old` rides along; never re-selected
         if changed == 0:
             break

@@ -12,6 +12,14 @@ footer caches), then each query timed end-to-end — plan construction
 through ``collect()`` of its (small) result. Headline queries all
 return bounded result sets, so collect measures full execution without
 driver-transfer noise.
+
+Sub-2 s queries are re-run (best of 3): at 1-2 s a single sample sits
+inside local[32] scheduler jitter, and round-over-round ``vs_prior``
+comparisons on n=1 flagged a dozen untouched queries as regressions in
+r3. Best-of keeps the signal (a real plan regression survives reruns)
+and drops the noise. Library caches are released after every query so
+timings measure each query cold-on-its-own-caches and storage doesn't
+accumulate across the sweep.
 """
 
 from __future__ import annotations
@@ -87,11 +95,24 @@ def main() -> int:
     # land on the first timed query
     QUERIES["pricing_summary"].fn(spark, sf_dir).collect()
 
+    from automate_data_ingestion_project_spark.operators.caching import (
+        release_caches,
+    )
+
     timings: dict[str, float] = {}
     for name in bench_names:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = time.perf_counter() - t0
+        release_caches()
+        # best-of-3 for short queries: n=1 at 1-2 s is scheduler jitter
+        if best < 2.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+                release_caches()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -112,10 +133,15 @@ def main() -> int:
             for n, t in timings.items()
             if n in prior and prior[n] > 0
         }
+        # both sides of the ratio cover the SAME query set — otherwise a
+        # newly added query inflates the numerator and fakes a regression
         out["vs_prior"] = {
             "file": prior_file,
             "total_ratio": round(
-                total / sum(prior[n] for n in ratios) if ratios else 1.0, 3
+                sum(timings[n] for n in ratios) / sum(prior[n] for n in ratios)
+                if ratios
+                else 1.0,
+                3,
             ),
             "regressions": {n: r for n, r in sorted(ratios.items()) if r > 1.2},
         }

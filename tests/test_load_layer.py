@@ -130,6 +130,57 @@ def test_upsert_partitioned_moves_key_across_partitions(spark):
     assert out == {(1, 2020, "a2"), (2, 2020, "b")}
 
 
+def test_upsert_keys_overlapping_partition_by(spark):
+    """keys and partition_by may share columns without either being a
+    subset of the other (keys=[k,year], partition_by=[year,region]) —
+    the moved-keys probe projects each column once, so the merge runs
+    instead of raising an ambiguous-reference error."""
+    path = os.path.join(scratch_dir("test_upsert_overlap"), "t")
+    base = spark.createDataFrame(
+        [(1, 2019, "eu", "a"), (2, 2019, "us", "b"), (1, 2020, "eu", "c")],
+        "k int, year int, region string, v string",
+    )
+    upsert_parquet(
+        spark, base, path, keys=["k", "year"], partition_by=["year", "region"]
+    )
+    batch = spark.createDataFrame(
+        [(1, 2019, "eu", "A2"), (3, 2020, "us", "d")],
+        "k int, year int, region string, v string",
+    )
+    upsert_parquet(
+        spark, batch, path, keys=["k", "year"], partition_by=["year", "region"]
+    )
+    out = {(r.k, r.year, r.region, r.v) for r in read_parquet(spark, path).collect()}
+    assert out == {
+        (1, 2019, "eu", "A2"),
+        (2, 2019, "us", "b"),
+        (1, 2020, "eu", "c"),
+        (3, 2020, "us", "d"),
+    }
+
+
+def test_stranded_swap_aside_dir_is_invisible_to_reads(spark):
+    """A crash between _swap_dir's rename-aside and rmtree strands the
+    old partition dir inside the table root. Its dot-prefixed name must
+    make Spark's file index skip it: no duplicated rows, no corrupted
+    partition-column inference."""
+    path = os.path.join(scratch_dir("test_upsert_stranded"), "t")
+    base = spark.createDataFrame(
+        [(1, 2019, "a"), (2, 2020, "b")], "k int, year int, v string"
+    )
+    upsert_parquet(spark, base, path, keys=["k"], partition_by=["year"])
+    # simulate the crash: copy the live partition dir to the aside name
+    # _swap_dir would have used, as if rmtree never ran
+    import shutil as _sh
+
+    live = os.path.join(path, "year=2019")
+    _sh.copytree(live, os.path.join(path, ".old-deadbeef-year=2019"))
+    spark.catalog.refreshByPath(path)
+    out = [(r.k, r.year, r.v) for r in read_parquet(spark, path).collect()]
+    assert sorted(out) == [(1, 2019, "a"), (2, 2020, "b")]  # not duplicated
+    assert read_parquet(spark, path).schema["year"].dataType.typeName() == "integer"
+
+
 def test_upsert_dedupes_source_batch(spark):
     path = os.path.join(scratch_dir("test_upsert_dupes"), "t")
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")

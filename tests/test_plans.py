@@ -211,3 +211,47 @@ def test_centroid_purity_broadcasts_centroids(spark, sf_dir):
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan  # k·d centroid table broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_encode_has_no_forced_vocab_broadcast(spark, sf_dir):
+    """The tok⋈vocab encode join must NOT carry a mandatory broadcast
+    hint: a 100 M+-term vocab can't ship to every executor. With the
+    broadcast threshold forced off, an un-hinted equi-join plans as
+    SortMergeJoin/ShuffledHashJoin on `term`; a leftover F.broadcast
+    hint would still plan BroadcastHashJoin and fail this test. (The
+    BroadcastExchanges that remain belong to rank_distributed's
+    per-partition offsets — ≤|partitions| rows, bounded by config.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entrymod.queries()["vocab_encode"](spark, sf_dir)
+        plan = _physical(df)
+        term_joins = [
+            ln
+            for ln in plan.splitlines()
+            if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+            and "term" in ln
+        ]
+        assert term_joins, f"no shuffle join on term in plan:\n{plan}"
+        bcast_term = [
+            ln
+            for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln and "term#" in ln
+        ]
+        assert not bcast_term, f"vocab still force-broadcast: {bcast_term}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bigram_topk_is_salted_two_phase(spark, sf_dir):
+    """bigram_counts' per-language top-k must be the salted two-phase
+    shape (lang has ~10 values — a single per-lang window serializes
+    the aggregated bigram table onto ~10 tasks at scale): the plan
+    carries the (lang, salt) local window AND the final ≤k·n_salts-row
+    window, i.e. ≥ 3 Window ops total with the per-doc lead()."""
+    df = entrymod.queries()["bigram_counts"](spark, sf_dir)
+    plan = _physical(df)
+    # lead() sequence window + local (lang, _salt) rank + final lang rank
+    assert plan.count("Window") >= 3
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
