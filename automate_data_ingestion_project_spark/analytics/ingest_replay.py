@@ -20,6 +20,14 @@ hash-match them against a DuckDB oracle with no network involved:
   dBase III file byte-for-byte in scratch, reads it back with
   :func:`..io.dbf.read_dbf` (typed columns, blank→NULL, soft-deleted
   rows skipped), oracle is the literal expected table.
+- ``commune_enrichment`` — the join the stripped
+  ``ressources/v_commune_2023.dbf`` (ref ``.MISSING_LARGE_BLOBS:2``)
+  exists FOR: enrich normalized DV3F rows with commune attributes by
+  department code (INSEE code prefix). The commune table is a classic
+  broadcast dimension — a few MB of reference data against an
+  arbitrarily large fact side, so the explicit ``F.broadcast`` is the
+  right 100 TB shape (unlike a crawl-scale vocab, its size is bounded
+  by French geography).
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ from ..io.dbf import read_dbf
 from ..io.sink import read_parquet
 from ..pipeline import run_pipeline
 from ..schemas import schemas_from_yaml
-from .dv3f import METRICS
+from .dv3f import METRICS, _oracle_sql as _dv3f_oracle_sql, normalize_dv3f
 from .load import scratch_dir
 from .registry import register
 
@@ -338,3 +346,53 @@ def dbf_commune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(scratch_dir("dbf_commune"), "v_commune.dbf")
     _write_dbf(path)
     return read_dbf(spark, path)
+
+
+def _commune_enrich_oracle() -> str:
+    return f"""
+    WITH dv3f AS ({_dv3f_oracle_sql()}),
+    commune AS (
+        SELECT * FROM (VALUES
+            ('01001', 'Abergement', CAST(776 AS BIGINT)),
+            ('2A004', 'Ajaccio', CAST(71361 AS BIGINT)),
+            ('97101', 'Abymes', CAST(NULL AS BIGINT))
+        ) AS t(insee, commune, pop)
+    )
+    SELECT d.uid, d.annee, d.dep, d.libdep, d.cod, d.nbtrans,
+           c.insee, c.commune, c.pop
+    FROM dv3f d
+    JOIN commune c ON substr(c.insee, 1, 2) = d.dep
+    """
+
+
+@register(
+    "commune_enrichment",
+    oracle=_commune_enrich_oracle(),
+    survey_ref=(
+        "S7 enrichment join (ressources/v_commune_2023.dbf "
+        "→ normalized DV3F dep codes; ref .MISSING_LARGE_BLOBS:2)"
+    ),
+)
+def commune_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-enrich normalized DV3F rows with commune attributes.
+
+    The commune dimension comes through the real DBF read path
+    (synthesized file → :func:`..io.dbf.read_dbf`), its department code
+    derived from the INSEE code prefix; the fact side is the reference's
+    normalize chain output. Inner join: departments without a commune
+    row drop out, matching the enrichment-join semantics the reference's
+    stripped ``v_commune_2023.dbf`` implies.
+    """
+    path = os.path.join(scratch_dir("commune_enrichment"), "v_commune.dbf")
+    _write_dbf(path)
+    commune = read_dbf(spark, path).select(
+        "insee",
+        F.col("libelle").alias("commune"),
+        "pop",
+        F.substring("insee", 1, 2).alias("dep"),
+    )
+    norm = normalize_dv3f(spark, sf_dir)
+    return norm.join(F.broadcast(commune), "dep").select(
+        "uid", "annee", "dep", "libdep", "cod", "nbtrans",
+        "insee", "commune", "pop",
+    )

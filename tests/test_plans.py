@@ -243,6 +243,16 @@ def test_vocab_encode_has_no_forced_vocab_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_commune_enrichment_broadcasts_dbf_dim(spark, sf_dir):
+    """The commune reference table (bounded, a few MB) must ride the
+    broadcast side of the enrichment join — no shuffle of the fact side
+    on `dep`, no cartesian."""
+    df = entrymod.queries()["commune_enrichment"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bigram_topk_is_salted_two_phase(spark, sf_dir):
     """bigram_counts' per-language top-k must be the salted two-phase
     shape (lang has ~10 values — a single per-lang window serializes
