@@ -1,4 +1,5 @@
 from .dbf import read_dbf
+from .lakehouse import delta_available, upsert_auto, upsert_delta
 from .sink import (
     align_to_schema,
     path_exists,
@@ -20,6 +21,7 @@ from .sources import (
 __all__ = [
     "TABLES",
     "align_to_schema",
+    "delta_available",
     "load_table",
     "load_tables",
     "path_exists",
@@ -29,6 +31,8 @@ __all__ = [
     "read_json",
     "read_parquet",
     "register_views",
+    "upsert_auto",
+    "upsert_delta",
     "upsert_parquet",
     "write_bucketed_table",
     "write_parquet",

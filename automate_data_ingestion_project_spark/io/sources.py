@@ -37,11 +37,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters and projections land in the scan (``PushedFilters`` /
     ``ReadSchema`` in the physical plan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which the Spark 4 vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a microsecond
-    timestamp JVM-side — same truncation DuckDB applies when casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle parity holds.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across fixture generations, so the loader adapts to
+    what it reads. Spark 4's vectorized reader rejects NANOS
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
+    nanos arrive as long and we rebuild a microsecond timestamp JVM-side —
+    the same truncation DuckDB applies when casting TIMESTAMP_NS →
+    TIMESTAMP, so oracle parity holds. MICROS arrives as TIMESTAMP_NTZ and
+    is reinterpreted as session-TZ TIMESTAMP (UTC is pinned below, so the
+    cast is value-preserving).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timezone independence: string timestamp literals, date_trunc and
@@ -55,9 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
-        # 53-bit mantissa, so float division would lose microseconds
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
+            # 53-bit mantissa, so float division would lose microseconds
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

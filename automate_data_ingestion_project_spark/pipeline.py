@@ -32,7 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 from .ingest.rest import FetchFn, default_http_fetch, read_api
-from .io.sink import upsert_parquet
+from .io.lakehouse import upsert_auto
 from .operators.reshape import normalize_wide
 from .schemas import TableSchema
 
@@ -106,20 +106,21 @@ def run_pipeline(
                 wide, SCOPE_ID_VARS[scope], metrics, SCOPE_UID_COLS[scope]
             )
             schema = (schemas or {}).get(scope)
-            upsert_parquet(
+            backend = upsert_auto(
                 spark,
                 table,
                 warehouse_paths[scope],
                 keys=["uid"],
                 target_schema=schema.to_struct_type() if schema else None,
             )
-            report.rows_upserted = spark.read.parquet(
-                warehouse_paths[scope]
-            ).count()
+            report.rows_upserted = (
+                spark.read.format(backend).load(warehouse_paths[scope]).count()
+            )
             logger.info(
-                "upserted scope=%s rows=%d (codes ok=%d failed=%d)",
+                "upserted scope=%s rows=%d backend=%s (codes ok=%d failed=%d)",
                 scope,
                 report.rows_upserted,
+                backend,
                 len(report.codes_ok),
                 len(report.codes_failed),
             )
