@@ -28,6 +28,7 @@ import automate_data_ingestion_project_spark.analytics.curation  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.events_ext  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.gates  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.grouped_pandas  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ingest_replay  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ivf  # noqa: F401
@@ -36,6 +37,7 @@ import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.model_build  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
@@ -63,6 +65,14 @@ _CHECK_FIRST = [
     "multimodal_features",
     # new in round 4
     "commune_enrichment",
+    "quality_gates",
+    "stratified_sample_exact",
+    "customer_value_quartiles",
+    "orders_rolling_revenue",
+    # dedup internals re-expressed codegen-side this round — fresh rows
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "incremental_neardup_filter",
     # last green row r02 or earlier — refresh
     "upsert_idempotent",
     "rest_ingest_dv3f",

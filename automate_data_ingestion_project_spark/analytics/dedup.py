@@ -33,9 +33,10 @@ from ..textops.dedup import (
     candidate_pairs,
     exact_dedup_summary,
     lsh_band_keys,
-    minhash_signatures,
-    shingle,
-    verified_near_duplicates,
+    minhash_signatures_rows,
+    pair_jaccard_stats,
+    shingle_rows,
+    verified_near_duplicates_rows,
 )
 from .registry import register
 from ..operators.caching import tracked_persist
@@ -153,11 +154,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the two relations every downstream join branch reuses —
     # without this, both sides of the band self-join and both sides of
     # the verification join would recompute shingling + signatures
-    shingled = tracked_persist(shingle(base))
-    sigs = minhash_signatures(shingled)
+    rows = tracked_persist(shingle_rows(base))
+    sigs = minhash_signatures_rows(rows)
     bands = tracked_persist(lsh_band_keys(sigs))
     pairs = candidate_pairs(bands)
-    return verified_near_duplicates(shingled, pairs)
+    return verified_near_duplicates_rows(rows, pairs)
 
 
 def _docs_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,10 +291,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..textops.simhash import jaccard_index_join
 
     base = _docs_with_variants(spark, sf_dir)
-    shingle_rows = tracked_persist(
-        shingle(base).select("doc_id", F.explode("shingles").alias("s"))
-    )
-    return jaccard_index_join(shingle_rows, threshold=0.5, max_doc_freq=200)
+    rows = tracked_persist(shingle_rows(base))
+    return jaccard_index_join(rows, threshold=0.5, max_doc_freq=200)
 
 
 # ---------------------------------------------------------------------------
@@ -466,8 +465,8 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact form of Jaccard ≥ 0.5.
     """
     base = _docs_with_variants(spark, sf_dir)
-    shingled = tracked_persist(shingle(base))
-    sigs = minhash_signatures(shingled)
+    rows = tracked_persist(shingle_rows(base))
+    sigs = minhash_signatures_rows(rows)
     bands = tracked_persist(lsh_band_keys(sigs))
     batch_b = bands.filter(F.col("doc_id") >= 100000).withColumnRenamed(
         "doc_id", "batch_id"
@@ -478,27 +477,12 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", F.col("doc_id").alias("corpus_id"))
         .distinct()
     )
-    sa = shingled.select(
-        F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_a")
-    )
-    sb = shingled.select(
-        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
-    )
-    agg = (
-        cand.join(sa, "batch_id")
-        .join(sb, "corpus_id")
-        .select(
-            "batch_id",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_shared"),
-            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
-        )
-        .groupBy("batch_id")
-        .agg(
-            F.count("*").alias("n_candidates"),
-            F.sum(
-                F.when(2 * F.col("n_shared") >= F.col("n_union"), 1).otherwise(0)
-            ).alias("n_verified_dups"),
-        )
+    stats = pair_jaccard_stats(rows, cand, "batch_id", "corpus_id")
+    agg = stats.groupBy("batch_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(
+            F.when(2 * F.col("n_shared") >= F.col("n_union"), 1).otherwise(0)
+        ).alias("n_verified_dups"),
     )
     batch_docs = base.filter(F.col("doc_id") >= 100000).select(
         F.col("doc_id").alias("batch_id")

@@ -101,3 +101,53 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.5)").alias("median"),
         F.expr("percentile(o_totalprice, 0.75)").alias("q75"),
     )
+
+
+@register(
+    "orders_rolling_revenue",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (
+               ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_3m
+    FROM monthly
+    """,
+    survey_ref="window frames: trailing 3-month revenue (engine extension)",
+)
+def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-month revenue via a ROWS-frame window.
+
+    Scale shape: the window runs over the POST-AGGREGATION monthly
+    relation, whose row count is bounded by the calendar (|months|),
+    not the data — a global ordered window there is O(100) rows at any
+    corpus size. The frame sums DECIMAL-accumulated values (the `dsum`
+    discipline) so the sliding-frame incremental add/remove the
+    window executor performs stays exact — a double frame-sum would be
+    order-sensitive and flap the oracle hash.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"),
+        )
+    )
+    frame = Window.orderBy("month").rowsBetween(-2, Window.currentRow)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(frame).cast("double").alias("revenue_3m"),
+    )

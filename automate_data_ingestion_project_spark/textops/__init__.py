@@ -17,8 +17,12 @@ from .dedup import (
     exact_dedup_summary,
     lsh_band_keys,
     minhash_signatures,
+    minhash_signatures_rows,
+    pair_jaccard_stats,
     shingle,
+    shingle_rows,
     verified_near_duplicates,
+    verified_near_duplicates_rows,
 )
 from .quantize import quantize_int8
 
@@ -30,7 +34,11 @@ __all__ = [
     "exact_dedup_summary",
     "lsh_band_keys",
     "minhash_signatures",
+    "minhash_signatures_rows",
+    "pair_jaccard_stats",
     "quantize_int8",
     "shingle",
+    "shingle_rows",
     "verified_near_duplicates",
+    "verified_near_duplicates_rows",
 ]

@@ -51,10 +51,17 @@ def regex_token_count(text: str, dialect: str = "spark") -> str:
 
 
 def sum_token_lengths(text: str, dialect: str = "spark") -> str:
+    """Closed form: single-space tokenization means the token lengths
+    sum to ``length(text) − (n_tokens − 1)`` exactly (one separator per
+    boundary; empty tokens from doubled spaces contribute 0 either
+    way). The closed form replaces an ``aggregate`` lambda — Spark
+    evaluates HOF lambdas interpreted, outside whole-stage codegen —
+    with two codegen'd scalar ops; both dialects compute the identical
+    integer."""
     w = tokens(text, dialect)
-    if dialect == "spark":
-        return f"aggregate({w}, cast(0 as bigint), (acc, t) -> acc + length(t))"
-    return f"cast(list_sum(list_transform({w}, t -> length(t))) as bigint)"
+    return (
+        f"cast(length({text}) - ({_size(w, dialect)} - 1) as bigint)"
+    )
 
 
 def avg_token_len(text: str, dialect: str = "spark") -> str:
@@ -65,10 +72,21 @@ def avg_token_len(text: str, dialect: str = "spark") -> str:
 
 
 def marker_hits(text: str, lang: str, dialect: str = "spark") -> str:
+    """MULTISET count of marker-stopword occurrences.
+
+    Spark side avoids the interpreted ``filter`` lambda: removing every
+    occurrence of each marker with a (codegen'd) ``array_remove`` chain
+    and differencing sizes counts exactly the same multiset hits the
+    DuckDB ``list_filter`` counts — integer-equal by construction, so
+    the ratio/argmax trees built on top stay bit-identical across
+    engines."""
     w = tokens(text, dialect)
-    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     if dialect == "spark":
-        return f"cast(size(filter({w}, t -> t in ({lst}))) as bigint)"
+        removed = w
+        for m in LANG_MARKERS[lang]:
+            removed = f"array_remove({removed}, '{m}')"
+        return f"cast(size({w}) - size({removed}) as bigint)"
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"cast(len(list_filter({w}, t -> t in ({lst}))) as bigint)"
 
 

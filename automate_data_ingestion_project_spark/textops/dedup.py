@@ -109,10 +109,49 @@ def shingle(
     )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, sigs): K-element MinHash signature per document.
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """DISTINCT (id, s) n-word shingle rows — fully whole-stage-codegen'd.
 
-    Computed as explode → K codegen'd ``min`` aggregates, NOT as nested
+    The array form (:func:`shingle`) builds shingles with
+    ``transform(sequence(...))``; Spark evaluates HOF lambdas
+    interpreted, and that lambda dominated the near-dup queries' runtime
+    (measured: 6.8 s of dedup_ngram_jaccard's 8.8 s at sf0.1 was the
+    shingling projection alone). This form is ``explode(sequence)`` +
+    array-index projection + ``distinct`` — every expression codegen'd;
+    the distinct's (id, s) exchange replaces ``array_distinct`` and is
+    the same shuffle key downstream consumers aggregate on anyway.
+    """
+    words = ", ".join(f"w[i+{k}]" for k in range(n))
+    return (
+        spread_for_compute(df)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            F.col(id_col),
+            F.col("w"),
+            F.explode(F.expr(f"sequence(0, size(w) - {n})")).alias("i"),
+        )
+        .select(F.col(id_col), F.expr(f"concat_ws(' ', {words})").alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sigs) from the ARRAY shingle form — explodes, then delegates
+    to :func:`minhash_signatures_rows` (kept for array-form callers)."""
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("s"))
+    return minhash_signatures_rows(exploded, id_col=id_col)
+
+
+def minhash_signatures_rows(
+    rows: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sigs): K-element MinHash signature per document from
+    (id, s) shingle rows.
+
+    Computed as K codegen'd ``min`` aggregates, NOT as nested
     higher-order-function lambdas: Spark evaluates ``transform``/
     ``array_min`` lambdas interpreted (no whole-stage codegen), which
     measured ~10× slower at sf0.1. The aggregate form is also the
@@ -122,15 +161,13 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
     list-comprehension form and hash-matches).
     """
     base = _BASE_HASH.format(s="s")
-    exploded = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).withColumn("h", F.expr(base))
+    hashed = rows.withColumn("h", F.expr(base))
     mins = [
         F.min(F.expr(f"({a} * h + {b}) % {P}")).alias(f"_sig{i}")
         for i, (a, b) in enumerate(zip(A_COEF, B_COEF))
     ]
     packed = F.array(*[F.col(f"_sig{i}") for i in range(K)]).alias("sigs")
-    return exploded.groupBy(id_col).agg(*mins).select(id_col, packed)
+    return hashed.groupBy(id_col).agg(*mins).select(id_col, packed)
 
 
 def lsh_band_keys(with_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -166,6 +203,77 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.col(f"b.{id_col}").alias("doc_id_b"),
         )
         .distinct()
+    )
+
+
+def pair_jaccard_stats(
+    rows: DataFrame,
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(left, right, n_shared, n_union) for candidate pairs, from
+    DISTINCT (id, s) shingle rows.
+
+    Shingle ARRAYS are materialized only for documents that appear in a
+    candidate pair — a broadcast semi-join (candidate ids are tiny next
+    to the corpus at any scale) followed by ``collect_list`` over just
+    those documents' rows. Verification is then one join of the pairs
+    to their two arrays plus per-pair set-ops. The alternative — an
+    equi-join of pairs against the full (id, s) relation — re-shuffles
+    the corpus-sized rows table per verification and measured 2× slower
+    at sf0.1; this form touches O(|candidate docs| · shingles) rows
+    total, keeping the corpus relation unshuffled (the property that
+    matters at 100 TB). Set-op results on DISTINCT rows are exact:
+    arrays are sets, so |∩|/|∪| are the true Jaccard terms.
+    """
+    ids = (
+        pairs.select(F.col(left_col).alias(id_col))
+        .union(pairs.select(F.col(right_col).alias(id_col)))
+        .distinct()
+    )
+    arrs = (
+        rows.join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("sh"))
+    )
+    sa = arrs.select(F.col(id_col).alias(left_col), F.col("sh").alias("sh_a"))
+    sb = arrs.select(F.col(id_col).alias(right_col), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sa, left_col)
+        .join(sb, right_col)
+        .select(
+            left_col,
+            right_col,
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_shared"),
+            F.size(F.array_union("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+
+
+def verified_near_duplicates_rows(
+    rows: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs from (id, s) rows —
+    the codegen'd twin of :func:`verified_near_duplicates`."""
+    stats = pair_jaccard_stats(
+        rows, pairs, "doc_id_a", "doc_id_b", id_col=id_col
+    )
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / F.col("n_union").cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "n_shared", "jaccard")
     )
 
 

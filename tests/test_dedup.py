@@ -110,3 +110,33 @@ def test_incremental_filter_flags_planted_variants(spark):
     assert len(flagged) == len(rows)
     for r in flagged:
         assert r["n_candidates"] >= r["n_verified_dups"] >= 1
+
+
+def test_shingle_rows_equals_array_form(spark):
+    from automate_data_ingestion_project_spark.textops.dedup import (
+        shingle,
+        shingle_rows,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c"),
+            (3, "x y"),  # too short: no shingles
+            (4, "a a a a"),  # duplicate shingles collapse
+        ],
+        "doc_id int, text string",
+    )
+    via_array = {
+        (r.doc_id, r.s)
+        for r in shingle(df)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .collect()
+    }
+    via_rows = {(r.doc_id, r.s) for r in shingle_rows(df).collect()}
+    assert via_rows == via_array
+    assert (1, "a b c") in via_rows and (3, "x y") not in {
+        (d, s) for d, s in via_rows if d == 3
+    }
+    assert [(d, s) for d, s in via_rows if d == 4] == [(4, "a a a")]

@@ -265,3 +265,30 @@ def test_bigram_topk_is_salted_two_phase(spark, sf_dir):
     assert plan.count("Window") >= 3
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_gates_is_pure_narrow_map(spark, sf_dir):
+    """The gate battery must run at scan speed: no exchange anywhere."""
+    df = entrymod.queries()["quality_gates"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    # whole-stage codegen marker: no interpreted HOF lambdas survive
+    assert plan.lstrip().startswith("*(1)")
+    assert "lambdafunction" not in plan
+
+
+def test_quartiles_broadcast_boundaries_no_global_window(spark, sf_dir):
+    """NTILE-free quartiles: no Window operator; the 1-row boundary
+    relation reaches the assignment via a broadcast join."""
+    df = entrymod.queries()["customer_value_quartiles"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_stratified_sample_is_salted_two_phase(spark, sf_dir):
+    """Phase-1 window must partition by (lang, salt), not lang alone."""
+    df = entrymod.queries()["stratified_sample_exact"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
