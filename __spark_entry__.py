@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "stratified_sample_exact",
     "customer_value_quartiles",
     "orders_rolling_revenue",
+    "leakage_safe_split",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

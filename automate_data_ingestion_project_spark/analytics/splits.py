@@ -133,3 +133,90 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= TOP_K)
         .select("lang", "bigram", "n")
     )
+
+
+def _leakage_safe_oracle_sql() -> str:
+    from .dedup import _VARIANTS_SQL, _minhash_oracle_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION
+        SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component_id
+        FROM reach GROUP BY a
+    ),
+    base AS ({_VARIANTS_SQL}),
+    canon AS (
+        SELECT b.doc_id, COALESCE(c.component_id, b.doc_id) AS canonical_id
+        FROM base b LEFT JOIN comp c ON b.doc_id = c.node
+    ),
+    h AS (
+        SELECT doc_id, canonical_id,
+               CAST(concat('0x', substr(
+                   md5(concat('split:', CAST(canonical_id AS VARCHAR))), 1, 14))
+                   AS BIGINT) % 100 AS bkt
+        FROM canon
+    )
+    SELECT CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           COUNT(DISTINCT canonical_id) AS n_groups
+    FROM h GROUP BY 1
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_safe_oracle_sql(),
+    survey_ref="LLM curation: leakage-safe split (near-dup components share a split)",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents land in
+    the SAME split — hash-splitting each doc independently leaks
+    training text into eval whenever near-dups straddle the boundary,
+    silently inflating eval scores. Composition: verified MinHash pairs
+    → connected components → every doc keyed by its component canonical
+    (docs in no component are their own canonical) → the deterministic
+    split hash applied to the CANONICAL id, so the whole component
+    moves together.
+
+    Scale shape: reuses the banded pair generation (Σ|bucket|², never
+    n²) and O(diameter)-round label propagation; the canonical
+    assignment is one left join on doc_id; the split itself stays a
+    narrow hash map. id_sum pins exact membership; n_groups counts the
+    distinct components per split (the leakage-evidence metric).
+    """
+    from .dedup import _docs_with_variants, dedup_minhash_pairs
+    from ..textops.components import connected_components
+
+    docs = _docs_with_variants(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    comp = connected_components(pairs)
+    canon = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("canonical_id"),
+    )
+    b = split_bucket(F.col("canonical_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    )
+    return (
+        canon.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("canonical_id").alias("n_groups"),
+        )
+    )

@@ -10,8 +10,11 @@ is THE canonical Spark iterative-algorithm shape:
 
 - per-round work is two equi-joins + an aggregation (all shuffles on
   node id — no broadcast of global state);
-- each round's result is ``persist()``-ed and the previous round
-  unpersisted, so lineage stays O(1) instead of growing per iteration;
+- each round's result is eagerly ``localCheckpoint``-ed: the blocks are
+  materialized AND the logical plan is truncated, so both lineage and
+  planning cost stay O(1) per round (a bare persist caches execution
+  but the plan trees still compound and can exhaust the driver heap
+  when the edge input carries a deep upstream pipeline);
 - the driver only reads a per-round ``changed`` COUNT (the loop
   control — bounded scalar, not data).
 
@@ -24,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.caching import tracked_persist, untrack
 
 
 def connected_components(
@@ -34,16 +36,29 @@ def connected_components(
     max_rounds: int = 20,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``;
-    component_id = min node id in the component (deterministic)."""
-    sym = tracked_persist(
+    component_id = min node id in the component (deterministic).
+
+    Lineage discipline: ``edges`` may carry an arbitrarily deep upstream
+    plan (e.g. the full MinHash pipeline), and every round's plan would
+    otherwise embed it twice (both join branches) compounded per round —
+    a persist caches EXECUTION but not the logical plan, and the
+    planning trees alone blew the driver heap when composed downstream
+    (leakage_safe_split in a long bench session). ``localCheckpoint``
+    truncates the plan to the materialized blocks, so round plans stay
+    O(1) regardless of how the edge relation was produced — the standard
+    iterative-algorithm pattern on Spark.
+    """
+    sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = tracked_persist(
+    labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_rounds):
@@ -52,7 +67,11 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = tracked_persist(
+        # eager localCheckpoint materializes the round AND truncates its
+        # plan, so the next round starts from an O(1) logical tree; the
+        # previous round's blocks become unreferenced and the
+        # ContextCleaner reclaims them
+        new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -61,12 +80,9 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
+            .localCheckpoint()
         )
-        # the count materializes new_labels' cache; only THEN drop the
-        # previous round's cache (new_labels no longer depends on it)
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
-        untrack(labels)  # lifetime managed here, round by round
         labels = new_labels  # `_old` rides along; never re-selected
         if changed == 0:
             break

@@ -228,6 +228,13 @@ def pair_jaccard_stats(
     matters at 100 TB). Set-op results on DISTINCT rows are exact:
     arrays are sets, so |∩|/|∪| are the true Jaccard terms.
     """
+    from ..operators.caching import tracked_persist
+
+    # `pairs` feeds three plan branches (both arms of the ids union and
+    # the final join); without a persist the upstream candidate
+    # generation (band self-join + distinct) re-executes per branch —
+    # measured as a 2× regression on the full minhash query at sf0.1.
+    pairs = tracked_persist(pairs)
     ids = (
         pairs.select(F.col(left_col).alias(id_col))
         .union(pairs.select(F.col(right_col).alias(id_col)))

@@ -48,3 +48,43 @@ def test_quartiles_partition_all_customers(spark, sf_dir):
     # quartiles are balanced within rounding of ties
     sizes = [rows[q].n_customers for q in ("q1", "q2", "q3", "q4")]
     assert max(sizes) - min(sizes) <= max(4, n_customers // 10)
+
+
+def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
+    """Every planted near-dup pair (doc, doc+100000) must land in the
+    same split — the property independent hash-splitting violates."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.dedup import (
+        _docs_with_variants,
+        dedup_minhash_pairs,
+    )
+    from automate_data_ingestion_project_spark.analytics.splits import (
+        leakage_safe_split,
+        split_bucket,
+    )
+    from automate_data_ingestion_project_spark.textops.components import (
+        connected_components,
+    )
+
+    # re-derive the per-doc assignment the aggregate query is built on
+    docs = _docs_with_variants(spark, sf_dir).select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    comp = connected_components(pairs)
+    canon = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("canonical_id"),
+    )
+    b = split_bucket(F.col("canonical_id"))
+    assigned = canon.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test"),
+    )
+    by_doc = {r.doc_id: r.split for r in assigned.collect()}
+    planted = [r for r in pairs.collect()]
+    assert planted, "fixture must contain near-dup pairs"
+    for p in planted:
+        assert by_doc[p.doc_id_a] == by_doc[p.doc_id_b]
+    # and the aggregate view partitions the full corpus
+    agg = leakage_safe_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in agg) == len(by_doc)
