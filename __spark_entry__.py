@@ -70,6 +70,8 @@ _CHECK_FIRST = [
     "customer_value_quartiles",
     "orders_rolling_revenue",
     "leakage_safe_split",
+    "orders_monthly_gapfill",
+    "nation_revenue_share",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

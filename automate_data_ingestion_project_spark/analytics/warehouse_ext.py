@@ -151,3 +151,110 @@ def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(frame).cast("double").alias("revenue_3m"),
     )
+
+
+@register(
+    "orders_monthly_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+                   AS month
+        FROM bounds
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               {dsum_expr('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON s.month = m.month
+    """,
+    survey_ref="calendar-spine gap fill: zero-activity months materialize",
+)
+def orders_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly series: a generated calendar spine LEFT JOINs the
+    aggregate so months with no orders appear with zeros — aggregation
+    alone silently drops them and downstream window/rolling math then
+    skips calendar time.
+
+    Scale shape: the spine is `sequence()` over the min/max month — a
+    calendar-bounded relation built from one 1-row aggregate, broadcast
+    to the join; the monthly aggregate is the only data-sized shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("month")
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+    return spine.join(monthly, "month", "left").select(
+        "month",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation, {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT {dsum_expr('revenue')} AS total FROM rev)
+    SELECT nation, revenue,
+           revenue / total AS revenue_share
+    FROM rev, tot
+    """,
+    survey_ref="percent-of-total report: scalar broadcast, no global window",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of total revenue. The naive form is
+    ``revenue / SUM(revenue) OVER ()`` — an empty-frame global window
+    that drags every row to one task; here the total is ONE scalar
+    aggregate broadcast back over the (already tiny) per-nation
+    aggregate. Both sides divide the identical decimal-accumulated
+    doubles, so shares are bit-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(dsum("revenue").alias("total"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "revenue",
+        (F.col("revenue") / F.col("total")).alias("revenue_share"),
+    )

@@ -96,6 +96,8 @@ def main() -> int:
             "leakage_safe_split",
             "bigram_counts",
             "dataset_split",
+            "orders_monthly_gapfill",
+            "nation_revenue_share",
         )
         if n in QUERIES
     ]

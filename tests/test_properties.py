@@ -186,3 +186,29 @@ def test_salted_join_equals_plain_join_for_any_skew(spark, rows):
         map(tuple, big.join(small, "k").select("k", "id", "v", "tag").collect())
     )
     assert salted == plain
+
+
+def test_percentile_approx_within_documented_bound(spark, sf_dir):
+    """SCALE.md prescribes swapping exact `percentile` for
+    `percentile_approx` at 100 TB; this pins the documented error bound
+    on the actual data: with accuracy=10000 the rank error is at most
+    n/10000, so the approx value must fall between the exact values at
+    the rank-error-shifted quantiles."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    acc = 10000
+    eps = 1.0 / acc
+    for q in (0.25, 0.50, 0.75, 0.95):
+        approx = orders.agg(
+            F.expr(
+                f"percentile_approx(o_totalprice, {q}, {acc})"
+            ).alias("a")
+        ).collect()[0].a
+        # the guarantee is on RANK: the returned element's rank must lie
+        # within q·n ± n·eps (±1 slack for ties/discreteness)
+        rank = orders.filter(F.col("o_totalprice") <= approx).count()
+        assert abs(rank - q * n) <= n * eps + 1, (q, approx, rank, n)
