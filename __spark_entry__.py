@@ -72,6 +72,8 @@ _CHECK_FIRST = [
     "leakage_safe_split",
     "orders_monthly_gapfill",
     "nation_revenue_share",
+    "kmeans_step",
+    "multimodal_chunks",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

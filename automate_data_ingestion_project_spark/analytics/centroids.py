@@ -166,3 +166,114 @@ def centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos").alias("max_cos"),
         )
     )
+
+
+def _kmeans_step_oracle_sql() -> str:
+    from .ivf import N_CELLS
+
+    from ..textops.similarity import dot_sql
+
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+    ),
+    centroids AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM base
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT b.vec_id, b.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_sql("b.embedding", "c.c_emb", "duckdb")} DESC,
+                                c.cell
+                   ) AS _r
+            FROM base b CROSS JOIN centroids c
+        ) WHERE _r = 1
+    ),
+    v AS (
+        SELECT vec_id, cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM assigned
+    ),
+    p AS (
+        SELECT vec_id, cell, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+    ),
+    q AS (
+        SELECT vec_id, cell,
+               CASE WHEN mx > mn THEN
+                   list_transform(e, x ->
+                       CAST(floor(((x - mn) * 255.0) / (mx - mn) + 0.5)
+                            AS BIGINT))
+               ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS codes
+        FROM p
+    ),
+    ex AS (
+        SELECT cell, i AS dim, codes[i+1] AS code
+        FROM q, UNNEST(range(0, len(codes))) AS u(i)
+    )
+    SELECT cell, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n_members,
+           CAST(SUM(code) AS BIGINT) AS sum_code,
+           CAST(SUM(code) AS DOUBLE) / COUNT(*) AS c_new
+    FROM ex GROUP BY 1, 2
+    """
+
+
+@register(
+    "kmeans_step",
+    oracle=_kmeans_step_oracle_sql(),
+    survey_ref="iterative ML primitive: one quantized Lloyd update (assign + recompute)",
+)
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration over the IVF codebook: assign every
+    vector to its nearest centroid (broadcast join — the same
+    ``assign_cells`` the IVF search uses), then recompute each cell's
+    centroid as the per-dimension mean of its members.
+
+    Cross-engine determinism: the update sums int8-quantized codes —
+    INTEGER accumulation is order-independent, so 1000-executor partial
+    aggregation cannot flap the result, and the mean converts to double
+    exactly once (same IEEE division both engines). Production k-means
+    sums floats with tolerance; the quantized update is the
+    oracle-grade variant of the identical dataflow (and is itself real
+    practice — PQ/SQ codebook training).
+
+    Scale shape: codebook broadcasts; the only data-sized shuffle is
+    the (cell, dim) partial-aggregated sum — |cells|·dim result rows
+    regardless of corpus size. Iterating = re-running with the output
+    fed back as the codebook (the driver loop pattern of
+    ``textops.components``).
+    """
+    from .ivf import N_CELLS, assign_cells
+
+    from ..textops.similarity import norm_sql
+
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+        )
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = assign_cells(emb, centroids)
+    qd = quantize_int8(assigned)
+    ex = qd.select("cell", F.posexplode("q").alias("dim", "code"))
+    return (
+        ex.groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("code").cast("bigint").alias("sum_code"),
+        )
+        .select(
+            "cell",
+            "dim",
+            "n_members",
+            "sum_code",
+            (
+                F.col("sum_code").cast("double") / F.col("n_members")
+            ).alias("c_new"),
+        )
+    )

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..multimodal import extract_features, manifest, synthesize_media
+from ..multimodal import (
+    extract_features,
+    manifest,
+    sample_chunks,
+    synthesize_media,
+)
 from .registry import register
 
 
@@ -80,4 +85,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_byte", 6).alias("mean_byte"),
         F.round(F.element_at("histogram", 1), 6).alias("hist_bin0"),
         F.round(F.element_at("histogram", 8), 6).alias("hist_bin7"),
+    )
+
+
+@register(
+    "multimodal_chunks",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents
+        WHERE octet_length(CAST(text AS BLOB)) > 0
+    ),
+    ch AS (
+        SELECT media_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+        FROM base,
+             UNNEST(range(0, GREATEST(CAST(ceil(n_bytes / 64) AS BIGINT), 1)))
+                 AS u(i)
+    )
+    SELECT media_id, chunk_idx,
+           CAST(octet_length(CAST(chunk AS BLOB)) AS BIGINT) AS chunk_bytes,
+           sha256(chunk) AS chunk_sha
+    FROM ch
+    """,
+    survey_ref="multimodal: frame-sampling analog — native binary chunking (north star)",
+)
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payloads sliced into fixed 64-byte windows JVM-side (binary
+    ``substring`` — the frame-sampling analog; no Python, no decode)
+    with a per-chunk sha256, so downstream per-frame decoders get
+    addressable, checksummed units. The fixture payload is UTF-8 text,
+    so DuckDB verifies the identical slicing over characters and hashes
+    the same bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    chunks = sample_chunks(media, chunk_bytes=64)
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        F.octet_length("chunk").cast("bigint").alias("chunk_bytes"),
+        F.sha2("chunk", 256).alias("chunk_sha"),
     )

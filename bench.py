@@ -98,6 +98,8 @@ def main() -> int:
             "dataset_split",
             "orders_monthly_gapfill",
             "nation_revenue_share",
+            "kmeans_step",
+            "multimodal_chunks",
         )
         if n in QUERIES
     ]

@@ -292,3 +292,31 @@ def test_stratified_sample_is_salted_two_phase(spark, sf_dir):
     plan = _physical(df)
     assert plan.count("Window") >= 2
     assert "_salt" in plan
+
+
+def test_ivf_cell_partitioned_probe_prunes_scan(spark, sf_dir):
+    """SCALE.md claims the IVF vector table is written partitioned by
+    cell so a probe prunes at the parquet scan — prove it: write the
+    assigned vectors partitioned by cell, probe one cell, and the scan
+    must carry a PartitionFilters entry on `cell` (and read only that
+    directory)."""
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        N_CELLS,
+        assign_cells,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops.similarity import norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    path = os.path.join(scratch_dir("ivf_parted"), "vectors")
+    write_parquet(assign_cells(emb, centroids), path, partition_by=["cell"])
+    probe = spark.read.parquet(path).filter(F.col("cell") == 3)
+    plan = _formatted(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "3" in part_line

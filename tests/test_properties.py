@@ -212,3 +212,50 @@ def test_percentile_approx_within_documented_bound(spark, sf_dir):
         # within q·n ± n·eps (±1 slack for ties/discreteness)
         rank = orders.filter(F.col("o_totalprice") <= approx).count()
         assert abs(rank - q * n) <= n * eps + 1, (q, approx, rank, n)
+
+
+@st.composite
+def partitioned_batches(draw):
+    """Sequence of batches of (k, part, v): keys move between partitions
+    across batches, and partition values include NULL (the
+    __HIVE_DEFAULT_PARTITION__ edge the dynamic overwrite must merge)."""
+    keys = st.integers(min_value=0, max_value=6)
+    parts = st.sampled_from(["a", "b", None])
+    batch = st.lists(
+        st.tuples(keys, parts, st.integers(0, 100)), min_size=0, max_size=6
+    )
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    return [draw(batch) for _ in range(n_batches)]
+
+
+@_SETTINGS
+@given(batches=partitioned_batches())
+def test_dynamic_partition_upsert_matches_key_model(spark, batches):
+    """The partition-pruned merge must behave exactly like the naive
+    full-table merge: last write per key wins, including when a key
+    MOVES partitions (its stale row in the old partition must die) and
+    when the partition value is NULL."""
+    path = os.path.join(scratch_dir("prop_upsert_dyn"), "t")
+    model: dict[int, tuple] = {}
+    applied = False
+    for b in batches:
+        if not b:
+            continue
+        df = spark.createDataFrame(b, "k int, part string, v int")
+        upsert_parquet(spark, df, path, keys=["k"], partition_by=["part"])
+        applied = True
+        # within one batch, dropDuplicates keeps ONE row per key
+        # (arbitrary); the model keeps the set of candidates
+        per_key: dict[int, set] = {}
+        for k, p, v in b:
+            per_key.setdefault(k, set()).add((p, v))
+        for k, cands in per_key.items():
+            model[k] = cands
+    if not applied:
+        return
+    out = read_parquet(spark, path).collect()
+    ks = [r.k for r in out]
+    assert len(ks) == len(set(ks)), "duplicate key after dynamic merge"
+    assert set(ks) == set(model), "key set diverged from model"
+    for r in out:
+        assert (r.part, r.v) in model[r.k], (r, model[r.k])
