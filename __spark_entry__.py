@@ -36,6 +36,7 @@ import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.model_build  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
@@ -74,6 +75,7 @@ _CHECK_FIRST = [
     "nation_revenue_share",
     "kmeans_step",
     "multimodal_chunks",
+    "table_profile",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

@@ -6,6 +6,7 @@ from .sink import (
     read_parquet,
     upsert_parquet,
     write_bucketed_table,
+    write_jsonl,
     write_parquet,
 )
 from .sources import (
@@ -35,5 +36,6 @@ __all__ = [
     "upsert_delta",
     "upsert_parquet",
     "write_bucketed_table",
+    "write_jsonl",
     "write_parquet",
 ]

@@ -291,3 +291,24 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Training-export sink: newline-delimited JSON, the interchange
+    format most LLM training loaders consume. One file per partition
+    (parallel write — never a driver-side collect); gzip by default
+    because JSONL is ~10× parquet on disk otherwise. Column order is
+    preserved in each JSON object; binary columns must be dropped or
+    base64-encoded by the caller first (Spark's JSON writer rejects
+    BinaryType ambiguity by design)."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

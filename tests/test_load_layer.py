@@ -250,3 +250,35 @@ def test_path_exists_probe(tmp_path):
     assert not path_exists(d)  # empty dir is not a table
     (tmp_path / "t" / "part-0.parquet").write_bytes(b"x")
     assert path_exists(d)
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    import gzip
+    import json
+    import os
+
+    from automate_data_ingestion_project_spark.io.sink import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "export")
+    write_jsonl(df, path, partition_by=["lang"])
+    # partitioned layout + gzip files
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".json.gz")
+    ]
+    assert files
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(ln) for ln in fh if ln.strip()]
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    # spark reads its own export back identically (minus partition col type)
+    back = spark.read.json(path)
+    assert back.count() == 2
