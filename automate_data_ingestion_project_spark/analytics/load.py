@@ -60,6 +60,15 @@ def scratch_dir(name: str) -> str:
     return d
 
 
+def cache_dir(name: str) -> str:
+    """Like :func:`scratch_dir` but PERSISTENT across calls: for
+    build-once artifacts (materialized indexes) keyed by content, where
+    a re-run should find the previous build instead of wiping it."""
+    d = os.path.join(SCRATCH_ROOT, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @register(
     "upsert_idempotent",
     oracle=f"""

@@ -58,7 +58,14 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     cols = []
     for f_ in target.fields:
         if f_.name.lower() in have:
-            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            if isinstance(f_.dataType, T.NullType):
+                # the target column has no observed type — e.g. a
+                # partition column whose every live value is NULL infers
+                # as VOID — so adopt the source's type instead of
+                # attempting an illegal CAST(x AS VOID)
+                cols.append(F.col(f_.name).alias(f_.name))
+            else:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
     return df.select(*cols)

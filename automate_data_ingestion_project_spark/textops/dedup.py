@@ -240,7 +240,9 @@ def pair_jaccard_stats(
         .union(pairs.select(F.col(right_col).alias(id_col)))
         .distinct()
     )
-    arrs = (
+    # persisted: arrs feeds BOTH pair sides (sa and sb) — without it the
+    # semi-join + collect_list over the corpus rows executes twice
+    arrs = tracked_persist(
         rows.join(F.broadcast(ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("s").alias("sh"))
