@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "kmeans_step",
     "multimodal_chunks",
     "table_profile",
+    "parts_bought_together",
+    "nation_revenue_pareto",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

@@ -258,3 +258,112 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.col("total")).alias("revenue_share"),
     )
+
+
+@register(
+    "parts_bought_together",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders FROM pairs
+    WHERE n_orders >= 2
+    """,
+    survey_ref="co-occurrence/market-basket: within-order part pairs (self-join)",
+)
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs appearing in the same order at least twice — the
+    association-mining candidate-pair shape.
+
+    Scale shape: the self-join keys on the order (the basket), so cost
+    is Σ|basket|², never |lineitem|² — the same bounded-bucket argument
+    as the LSH band join; baskets are small by construction (an order
+    has a handful of lines). A pathological mega-basket is the hot
+    shingle analog: production adds the same `max_doc_freq`-style cap
+    (drop baskets with > K lines from pairing) without changing the
+    shape. The distinct projection prunes the scan to two columns.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "nation_revenue_pareto",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT {dsum_expr('revenue')} AS total FROM rev)
+    SELECT nation, revenue,
+           CAST(RANK() OVER (ORDER BY revenue DESC, nation) AS INTEGER)
+               AS revenue_rank,
+           SUM(revenue) OVER (
+               ORDER BY revenue DESC, nation
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / total AS cumulative_share
+    FROM rev, tot
+    """,
+    survey_ref="cumulative distribution: Pareto share over a bounded aggregate",
+)
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue Pareto curve per nation (rank + cumulative share of
+    total). The ordered cumulative window runs over the POST-aggregation
+    relation — |nations| rows at any corpus size, so the single-task
+    window is bounded by the dimension, not the data (same argument as
+    the rolling-revenue frame). The running sum adds decimal-exact
+    doubles in a deterministic ROWS order, so both engines fold the
+    identical operand sequence.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(dsum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "nation")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "revenue",
+        F.rank().over(w).cast("int").alias("revenue_rank"),
+        (F.sum("revenue").over(frame) / F.col("total")).alias(
+            "cumulative_share"
+        ),
+    )

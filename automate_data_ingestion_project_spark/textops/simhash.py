@@ -113,10 +113,17 @@ def jaccard_index_join(
     threshold ≥ 0.5 a pair found ONLY through ubiquitous shingles
     cannot pass verification anyway when sizes differ meaningfully.
     """
+    from ..operators.caching import tracked_persist
+
     sizes = shingle_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     doc_freq = shingle_rows.groupBy("s").agg(F.count("*").alias("df_"))
-    rare = shingle_rows.join(
-        doc_freq.filter(F.col("df_") <= max_doc_freq).select("s"), "s"
+    # persisted: rare feeds BOTH sides of the inverted-index self-join —
+    # without it the doc_freq aggregate + filter join execute once per
+    # branch (the recompute-per-plan-branch trap; see pair_jaccard_stats)
+    rare = tracked_persist(
+        shingle_rows.join(
+            doc_freq.filter(F.col("df_") <= max_doc_freq).select("s"), "s"
+        )
     )
     a = rare.select(F.col("doc_id").alias("doc_id_a"), "s")
     b = rare.select(F.col("doc_id").alias("doc_id_b"), "s")

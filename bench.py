@@ -100,6 +100,8 @@ def main() -> int:
             "nation_revenue_share",
             "kmeans_step",
             "multimodal_chunks",
+            "table_profile",
+            "parts_bought_together",
         )
         if n in QUERIES
     ]
