@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "table_profile",
     "parts_bought_together",
     "nation_revenue_pareto",
+    "referential_integrity",
     # dedup internals re-expressed codegen-side this round — fresh rows
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

@@ -92,3 +92,74 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_check("nbtrans", _NBTRANS_LO, _NBTRANS_HI),
     ]
     return violation_counts(base, checks)
+
+
+_RELATIONSHIPS = (
+    # (child table, fk column, parent table, pk column)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "referential_integrity",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{child}.{fk} -> {parent}.{pk}' AS relation,
+               (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+               (SELECT COUNT(*) FROM {child} c
+                LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+                WHERE p.{pk} IS NULL AND c.{fk} IS NOT NULL)
+                   AS n_orphans,
+               (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL)
+                   AS n_null_fk'''
+        for child, fk, parent, pk in _RELATIONSHIPS
+    )}
+    """,
+    survey_ref="dbt relationships test analog: FK orphan counts per relation",
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's ``relationships`` test over the star schema: for each
+    declared FK edge, count child rows whose key has no parent (orphans)
+    and NULL foreign keys, alongside the child row count.
+
+    Scale shape: each check is a LEFT-ANTI join on the key — AQE
+    broadcasts the dimension side for the small parents
+    (nation/region) and shuffle-joins fact⋈fact; nothing collects
+    driver-side, and the per-relation outputs are single aggregate
+    rows unioned together. A clean warehouse returns all zeros — the
+    fixture is clean, so the oracle also proves the checks themselves
+    don't false-positive.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    out = None
+    for child, fk, parent, pk in _RELATIONSHIPS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count("*").alias("n"))
+        )
+        row = (
+            c.agg(
+                F.count("*").alias("n_child_rows"),
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_fk"),
+            )
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
+                "n_child_rows",
+                F.col("n").cast("bigint").alias("n_orphans"),
+                "n_null_fk",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
