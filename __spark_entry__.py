@@ -52,19 +52,21 @@ import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F4
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver caps each round at 50 checked queries of the 73+ registered.
-# Order the registry so the weakest driver evidence comes first: the r3
-# verdict's four evidence-gap queries (dataset_split / bigram_counts never
-# checked; the multimodal pair's code changed after its last green row),
-# then new queries added this round, then everything whose last green row
-# is r02 or older.  r03-green queries follow in registration order.
+# The driver caps each round at 50 checked queries of the 87 registered.
+# Order the registry so the weakest driver evidence comes first:
+# (1) queries with NO driver row ever (all round-4 additions + the r3
+# verdict's evidence-gap four), (2) queries whose CODE changed since
+# their last green row (dedup/textstats rewrites, the checkpointed
+# components, the events-loader µs adaptation touching every
+# events-based query, the sink/pipeline upsert routing), then (3) the
+# oldest still-green refreshes. Unchanged r02/r03-green queries follow
+# in registration order and rotate in as slots allow.
 _CHECK_FIRST = [
-    # never driver-checked / changed since last green row (VERDICT r3 §1)
+    # never driver-checked (VERDICT r3 §1 + all round-4 additions)
     "dataset_split",
     "bigram_counts",
     "multimodal_manifest",
     "multimodal_features",
-    # new in round 4
     "commune_enrichment",
     "quality_gates",
     "stratified_sample_exact",
@@ -79,33 +81,44 @@ _CHECK_FIRST = [
     "parts_bought_together",
     "nation_revenue_pareto",
     "referential_integrity",
-    # dedup internals re-expressed codegen-side this round — fresh rows
+    # code changed this round: shingling/verification rewrite + persists
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "incremental_neardup_filter",
-    # last green row r02 or earlier — refresh
-    "upsert_idempotent",
-    "rest_ingest_dv3f",
-    "rest_datasource_scan",
-    "pipeline_etl_replay",
-    "dbf_commune",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "model_layer_build",
-    "embedding_quantize",
-    "ann_topk_cosine",
-    "ann_lsh_topk",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "source_registry_sql",
-    "csv_roundtrip_region",
-    "json_roundtrip_nation",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    # code changed this round: textops.analysis codegen fragments
+    "text_stats",
+    "lang_confusion",
+    "lang_length_zscores",
+    # code changed this round: events loader µs adaptation
+    "asof_purchase_last_click",
+    "range_join_signup_errors",
+    "events_hypertable_rollup",
+    "event_sessions",
+    "events_json_props",
+    "events_by_type",
+    "scd2_history",
+    "event_funnel",
+    "cohort_retention",
     "stream_windowed_counts",
     "stream_session_counts",
     "stream_stateful_totals",
-    # touched this round (scale-shape fixes) — want fresh rows
+    # code changed this round: sink VOID fix + upsert_auto routing
+    "upsert_idempotent",
+    "pipeline_etl_replay",
+    # touched last session (scale-shape fixes) — fresh rows wanted
     "vocab_encode",
     "top_terms_per_doc",
+    # oldest refresh (r02 vintage, untouched)
+    "rest_ingest_dv3f",
+    "rest_datasource_scan",
+    "dbf_commune",
+    "ann_ivf_topk",
+    "model_layer_build",
+    "embedding_quantize",
+    "source_registry_sql",
 ]
 
 
