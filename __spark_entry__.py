@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "parts_bought_together",
     "nation_revenue_pareto",
     "referential_integrity",
+    "events_weekly_heatmap",
     # code changed this round: shingling/verification rewrite + persists
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

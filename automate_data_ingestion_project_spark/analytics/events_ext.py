@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import dsum, dsum_expr
 from ..io import load_table
 from .registry import register
 
@@ -95,4 +96,40 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("total_k"),
         F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_weekly_heatmap",
+    oracle=f"""
+    SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           {dsum_expr('value')} AS sum_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ref="time-of-day profile: ISO day-of-week x hour activity matrix",
+)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap over the event stream: (ISO day-of-week, hour)
+    counts and value sums — the load-profile query behind capacity
+    planning dashboards. Narrow extraction + ONE bounded-key shuffle
+    (≤ 7×24 groups at any scale, partial-aggregated map-side).
+
+    Cross-engine convention trap: Spark's ``dayofweek`` is 1=Sunday
+    while DuckDB's is 0=Sunday; both sides therefore use the ISO form —
+    Spark ``weekday()`` (0=Monday) + 1 equals DuckDB ``isodow``
+    (1=Monday) exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.select(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            "value",
+        )
+        .groupBy("dow", "hour_of_day")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )
