@@ -97,25 +97,37 @@ def upsert_delta(
 
     - the MERGE source is the deduped batch; Delta broadcasts it when
       small (AQE), exactly like the parquet path's anti-join;
-    - with a partitioned table Delta prunes the matched-file search to
-      partitions the batch's keys can live in when the condition pins
-      the partition column — we append partition equality terms for
-      partition columns that are part of the key, which is the common
-      date-partitioned incremental layout;
-    - schema evolution (`mergeSchema`) covers the BY-NAME column-add
-      case without a table rewrite.
+    - with a partitioned table Delta's MERGE prunes the matched-file
+      search via data-file key statistics (partition pinning in the
+      condition is a further manual optimization a caller can add
+      through its own condition — this function keeps the condition to
+      the PK columns);
+    - schema evolution (``autoMerge``, scoped to this call) covers the
+      BY-NAME column-add case without a table rewrite.
+
+    ``path`` must be empty or already a Delta table: writing Delta over
+    a live plain-parquet directory either fails
+    (CREATE_TABLE_WITH_NON_EMPTY_LOCATION) or silently shadows the
+    existing rows — :func:`upsert_auto` routes such targets to the
+    parquet backend instead of here.
     """
     DeltaTable = _import_delta()
     if DeltaTable is None:  # pragma: no cover - guarded by callers
         raise RuntimeError("delta-spark is not installed")
 
-    from .sink import align_to_schema
+    from .sink import align_to_schema, path_exists
 
     src = source.dropDuplicates(keys)
     if target_schema is not None:
         src = align_to_schema(src, target_schema)
 
     if not DeltaTable.isDeltaTable(spark, path):
+        if path_exists(path):
+            raise ValueError(
+                f"target {path!r} exists but is not a Delta table; "
+                "refusing to overwrite a non-Delta location "
+                "(use upsert_parquet or convert the table first)"
+            )
         writer = src.write.format("delta").mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -123,14 +135,24 @@ def upsert_delta(
         return
 
     tgt = DeltaTable.forPath(spark, path)
-    spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
-    (
-        tgt.alias("t")
-        .merge(src.alias("s"), merge_condition(keys))
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        (
+            tgt.alias("t")
+            .merge(src.alias("s"), merge_condition(keys))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    finally:
+        # scope the schema-evolution flag to this merge — leaving it set
+        # would leak auto-evolution into every later write on the session
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
 
 
 def upsert_auto(
@@ -144,17 +166,25 @@ def upsert_auto(
 ) -> str:
     """Route the upsert to the best available backend.
 
-    ``auto`` → Delta MERGE when the session can run it or the target is
-    already a Delta table; the parquet rewrite otherwise. Returns the
-    backend used (``"delta"`` or ``"parquet"``) so pipelines can log it.
+    ``auto`` → Delta MERGE when the session can run it AND the target
+    is Delta-compatible (already a Delta table, or does not exist yet);
+    the parquet rewrite otherwise. A pre-existing PLAIN-PARQUET target
+    (e.g. a warehouse built earlier by the fallback) stays on the
+    parquet backend even in a delta-enabled session — Delta cannot
+    MERGE into a non-Delta location, and overwriting it would drop the
+    existing rows instead of merging. Returns the backend used
+    (``"delta"`` or ``"parquet"``) so pipelines can log it.
     """
-    from .sink import upsert_parquet
+    from .sink import path_exists, upsert_parquet
 
     if backend not in ("auto", "delta", "parquet"):
         raise ValueError(f"unknown upsert backend: {backend!r}")
     use_delta = backend == "delta" or (
         backend == "auto"
-        and (delta_available(spark) or is_delta_table(spark, path))
+        and (
+            is_delta_table(spark, path)
+            or (delta_available(spark) and not path_exists(path))
+        )
     )
     if use_delta:
         upsert_delta(

@@ -46,10 +46,35 @@ def test_upsert_auto_falls_back_to_parquet(spark, tmp_path):
     used = upsert_auto(spark, df1, path, keys=["k"])
     df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
     used2 = upsert_auto(spark, df2, path, keys=["k"])
-    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    # read back via the backend actually used — a raw parquet read of a
+    # Delta dir would also see superseded data files
+    assert used == used2
+    fmt = "delta" if used == "delta" else "parquet"
+    got = {(r.k, r.v) for r in spark.read.format(fmt).load(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
     if not delta_available(spark):
-        assert used == used2 == "parquet"
+        assert used == "parquet"
+
+
+def test_upsert_auto_keeps_existing_parquet_on_parquet_backend(
+    spark, tmp_path, monkeypatch
+):
+    """A pre-existing plain-parquet warehouse must stay on the parquet
+    backend even when the session could run Delta: MERGE cannot target a
+    non-Delta location, and overwriting would drop the existing rows."""
+    from automate_data_ingestion_project_spark.io import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upsert_auto(spark, df1, path, keys=["k"])  # plain parquet target
+
+    monkeypatch.setattr(lakehouse, "delta_available", lambda _s: True)
+    monkeypatch.setattr(lakehouse, "is_delta_table", lambda _s, _p: False)
+    df2 = spark.createDataFrame([(2, "B")], "k int, v string")
+    used = lakehouse.upsert_auto(spark, df2, path, keys=["k"])
+    assert used == "parquet"
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B")}
 
 
 def test_upsert_auto_rejects_unknown_backend(spark, tmp_path):
