@@ -32,7 +32,7 @@ from .registry import register
     oracle="""
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS checksum,
            CAST(16 * (doc_id % 8 + 1) AS INTEGER) AS width,
            CAST(16 * (doc_id % 6 + 1) AS INTEGER) AS height
@@ -53,6 +53,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
                text
         FROM documents
+        WHERE length(text) = octet_length(encode(text))
     ),
     ch AS (
         SELECT media_id, ascii(c) AS b
@@ -67,7 +68,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ch GROUP BY media_id
     )
     SELECT b.media_id, b.kind,
-           CAST(octet_length(CAST(b.text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(b.text)) AS BIGINT) AS n_bytes,
            round(CAST(s.sb AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS mean_byte,
            round(CAST(s.c0 AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS hist_bin0,
            round(CAST(s.c7 AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS hist_bin7
@@ -76,7 +77,17 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="multimodal: mapInPandas feature extraction (north star)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # ASCII guard (applied identically in the oracle's base CTE): the
+    # DuckDB twin reconstructs byte values from ascii() CODEPOINTS,
+    # which equal UTF-8 bytes only for single-byte text. Filtering both
+    # sides to char-length == byte-length docs keeps parity exact by
+    # construction if a regenerated fixture ever ships multibyte text,
+    # instead of silently flipping the hash. The OPERATOR
+    # (extract_features) handles arbitrary bytes; only the checked
+    # parity set is restricted.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     feats = extract_features(synthesize_media(docs))
     return feats.orderBy("media_id").select(
         "media_id",
@@ -93,9 +104,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id AS media_id, text,
-               octet_length(CAST(text AS BLOB)) AS n_bytes
+               octet_length(encode(text)) AS n_bytes
         FROM documents
-        WHERE octet_length(CAST(text AS BLOB)) > 0
+        WHERE octet_length(encode(text)) > 0
+          AND length(text) = octet_length(encode(text))
     ),
     ch AS (
         SELECT media_id,
@@ -106,7 +118,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS u(i)
     )
     SELECT media_id, chunk_idx,
-           CAST(octet_length(CAST(chunk AS BLOB)) AS BIGINT) AS chunk_bytes,
+           CAST(octet_length(encode(chunk)) AS BIGINT) AS chunk_bytes,
            sha256(chunk) AS chunk_sha
     FROM ch
     """,
@@ -116,10 +128,19 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payloads sliced into fixed 64-byte windows JVM-side (binary
     ``substring`` — the frame-sampling analog; no Python, no decode)
     with a per-chunk sha256, so downstream per-frame decoders get
-    addressable, checksummed units. The fixture payload is UTF-8 text,
-    so DuckDB verifies the identical slicing over characters and hashes
-    the same bytes."""
-    docs = load_table(spark, sf_dir, "documents")
+    addressable, checksummed units.
+
+    Parity note: Spark slices the payload by BYTES; DuckDB can only
+    slice VARCHAR by CHARACTERS (no BLOB substring in 1.0), so both
+    sides restrict the checked set to docs whose char length equals
+    their byte length — for those the two slicings are identical. The
+    guard makes the ASCII assumption explicit instead of letting a
+    multibyte doc in a regenerated fixture silently shift chunk
+    boundaries and flip the hash. The OPERATOR (sample_chunks) is
+    byte-correct for any payload."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     media = synthesize_media(docs)
     chunks = sample_chunks(media, chunk_bytes=64)
     return chunks.select(

@@ -84,3 +84,45 @@ def test_sample_chunks_cover_payload(media):
     payload = b"".join(bytes(r.chunk) for r in one)
     orig = bytes(media.filter("media_id = 0").collect()[0].payload)
     assert payload == orig
+
+
+def test_sample_chunks_byte_exact_on_multibyte_text(spark):
+    """The operator slices BYTES, not characters: a multibyte payload
+    must chunk on UTF-8 byte boundaries and reassemble exactly (the
+    parity queries exclude such docs only because DuckDB cannot slice
+    blobs — the Spark operator itself is byte-correct)."""
+    text = "héllo wörld ✓" * 13  # 16 chars, 19 bytes per repeat
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    media = synthesize_media(docs)
+    rows = sample_chunks(media, chunk_bytes=64).orderBy("chunk_idx").collect()
+    raw = text.encode("utf-8")
+    assert len(rows) == -(-len(raw) // 64)
+    assert all(len(bytes(r.chunk)) == 64 for r in rows[:-1])
+    assert b"".join(bytes(r.chunk) for r in rows) == raw
+
+
+def test_ascii_guard_excludes_multibyte_docs_identically(spark):
+    """The guard predicate used by the multimodal parity queries
+    (char length == byte length) keeps ASCII docs and drops multibyte
+    ones — in Spark and in DuckDB, on the same inputs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    samples = [(0, "plain ascii"), (1, "héllo"), (2, "a✓b"), (3, "")]
+    docs = spark.createDataFrame(samples, "doc_id long, text string")
+    kept_spark = {
+        r.doc_id
+        for r in docs.filter(
+            F.length("text") == F.octet_length("text")
+        ).collect()
+    }
+    con = duckdb.connect()
+    kept_duck = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (VALUES (0, 'plain ascii'), (1, 'héllo'), "
+            "(2, 'a✓b'), (3, '')) AS t(doc_id, text) "
+            "WHERE length(text) = octet_length(encode(text))"
+        ).fetchall()
+    }
+    assert kept_spark == kept_duck == {0, 3}
