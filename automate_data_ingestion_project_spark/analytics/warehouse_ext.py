@@ -260,16 +260,62 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mega-basket cap for the co-occurrence self-join: the basket self-join
+# is Σ|basket|², so ONE pathological basket with B items contributes B²
+# pairs — the hot-shingle analog. Baskets above the cap are dropped
+# from pairing entirely (the association-mining convention: a basket
+# with hundreds of items carries no pairwise signal anyway). TPC-H
+# orders have ≤ 7 lines, so the cap is invisible at fixture scale and
+# the oracle applies the identical rule.
+MAX_BASKET = 32
+
+
+def basket_pairs(
+    li: DataFrame, min_support: int = 2, max_basket: int = MAX_BASKET
+) -> DataFrame:
+    """Within-basket item pairs with support ≥ ``min_support``, over a
+    deduplicated (l_orderkey, l_partkey) relation.
+
+    The basket-size guard is one extra bounded aggregate on the SAME
+    key as the self-join (AQE coalesces the exchanges), and the
+    semi-join against small baskets prunes before any pairing — the
+    `max_doc_freq` pattern from the n-gram Jaccard inverted index.
+    """
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_basket)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey", "left_semi")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+    )
+
+
 @register(
     "parts_bought_together",
-    oracle="""
+    oracle=f"""
     WITH li AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    small AS (
+        SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(*) <= {MAX_BASKET}
+    ),
+    capped AS (
+        SELECT li.l_orderkey, li.l_partkey
+        FROM li JOIN small USING (l_orderkey)
     ),
     pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                COUNT(*) AS n_orders
-        FROM li a JOIN li b
+        FROM capped a JOIN capped b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
     )
@@ -284,26 +330,17 @@ def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the self-join keys on the order (the basket), so cost
     is Σ|basket|², never |lineitem|² — the same bounded-bucket argument
-    as the LSH band join; baskets are small by construction (an order
-    has a handful of lines). A pathological mega-basket is the hot
-    shingle analog: production adds the same `max_doc_freq`-style cap
-    (drop baskets with > K lines from pairing) without changing the
-    shape. The distinct projection prunes the scan to two columns.
+    as the LSH band join — and :data:`MAX_BASKET` caps the per-basket
+    contribution so one pathological mega-basket cannot go quadratic
+    (`tests/test_properties.py` plants one and proves it is excluded).
+    The distinct projection prunes the scan to two columns.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    return basket_pairs(li)
 
 
 @register(

@@ -259,3 +259,38 @@ def test_dynamic_partition_upsert_matches_key_model(spark, batches):
     assert set(ks) == set(model), "key set diverged from model"
     for r in out:
         assert (r.part, r.v) in model[r.k], (r, model[r.k])
+
+
+def test_mega_basket_capped_out_of_pairing(spark):
+    """One pathological mega-basket must not reach the pair self-join:
+    its B² candidate pairs are pruned by the MAX_BASKET guard, while
+    normal baskets pair exactly as before (support counted without the
+    mega basket's contribution)."""
+    from automate_data_ingestion_project_spark.analytics.warehouse_ext import (
+        MAX_BASKET,
+        basket_pairs,
+    )
+
+    rows = []
+    # two normal baskets sharing parts (10, 20) -> pair support 2
+    rows += [(1, 10), (1, 20), (2, 10), (2, 20)]
+    # a mega basket containing 10, 20 AND a long unique tail
+    mega = [(99, p) for p in range(10, 10 + MAX_BASKET + 10)]
+    rows += mega
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r.part_a, r.part_b): r.n_orders
+        for r in basket_pairs(li, min_support=2).collect()
+    }
+    # the pair survives on the two normal baskets only (support 2, not 3)
+    assert got == {(10, 20): 2}
+
+    # without the cap the mega basket inflates the support count AND
+    # injects its quadratic candidate set (B*(B-1)/2 pairs at support 1)
+    uncapped = {
+        (r.part_a, r.part_b): r.n_orders
+        for r in basket_pairs(li, min_support=1, max_basket=10**9).collect()
+    }
+    b = len(mega)
+    assert uncapped[(10, 20)] == 3
+    assert len(uncapped) == b * (b - 1) // 2
