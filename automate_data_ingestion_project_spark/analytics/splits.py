@@ -191,17 +191,22 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split hash applied to the CANONICAL id, so the whole component
     moves together.
 
-    Scale shape: reuses the banded pair generation (Σ|bucket|², never
-    n²) and O(diameter)-round label propagation; the canonical
-    assignment is one left join on doc_id; the split itself stays a
-    narrow hash map. id_sum pins exact membership; n_groups counts the
-    distinct components per split (the leakage-evidence metric).
+    Scale shape: pair evidence comes from the materialized
+    :func:`..analytics.dedup.minhash_pairs_evidence` artifact (banded
+    generation, Σ|bucket|², built once per corpus content — the oracle
+    still re-derives it from scratch, so staleness cannot pass);
+    O(diameter)-round label propagation; the canonical assignment is
+    one left join on doc_id; the split itself stays a narrow hash map.
+    id_sum pins exact membership; n_groups counts the distinct
+    components per split (the leakage-evidence metric).
     """
-    from .dedup import _docs_with_variants, dedup_minhash_pairs
+    from .dedup import _docs_with_variants, minhash_pairs_evidence
     from ..textops.components import connected_components
 
     docs = _docs_with_variants(spark, sf_dir).select("doc_id")
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    pairs = minhash_pairs_evidence(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
     comp = connected_components(pairs)
     canon = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id",

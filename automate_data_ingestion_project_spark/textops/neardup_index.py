@@ -1,0 +1,162 @@
+"""Maintained near-duplicate corpus index — the production ingestion
+loop's state.
+
+A 100 TB ingestion never re-dedupes the corpus per batch: it maintains
+an INDEX of the corpus's LSH band keys and shingle rows as tables, and
+each incoming batch (a) probes the index for near-dup candidates,
+(b) verifies candidates with exact Jaccard, and (c) APPENDS the
+accepted (novel) documents' bands/shingles so the next batch sees them.
+This module is that loop:
+
+- :meth:`NearDupIndex.build` — bootstrap the index from a corpus (one
+  shingling + signature pass, written as parquet; production writes
+  bucketed-by-``band_key`` tables so the probe join is exchange-free);
+- :meth:`NearDupIndex.filter_batch` — batch-vs-corpus decision table.
+  The batch's band keys broadcast; the corpus band table is probed in
+  place and never reshuffled; verification touches candidates only.
+  ``2·|∩| ≥ |∪|`` is the integer-exact form of Jaccard ≥ 0.5;
+- :meth:`NearDupIndex.ingest_batch` — filter, then append the accepted
+  docs' bands/shingles (idempotently: ids already indexed are skipped,
+  so a replayed batch cannot double-append).
+
+Parquet ``append`` is the local-FS stand-in for a transactional table
+commit; the idempotency guard is a column-pruned scan of the index's
+id column semi-joined against the (broadcast) batch ids — a real
+deployment replaces it with PK enforcement / MERGE in the table format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.caching import tracked_persist
+from .dedup import (
+    lsh_band_keys,
+    minhash_signatures_rows,
+    pair_jaccard_stats,
+    shingle_rows,
+)
+
+BANDS_SUBDIR = "bands"
+ROWS_SUBDIR = "shingles"
+
+
+class NearDupIndex:
+    """Handle on a materialized (bands, shingles) index directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.bands_path = os.path.join(root, BANDS_SUBDIR)
+        self.rows_path = os.path.join(root, ROWS_SUBDIR)
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def write_corpus(docs: DataFrame, dest_root: str) -> None:
+        """Write a corpus's index tree under ``dest_root`` (composable
+        with :func:`..io.artifacts.build_once` for atomic publication)."""
+        rows = tracked_persist(shingle_rows(docs))
+        bands = lsh_band_keys(minhash_signatures_rows(rows))
+        rows.write.mode("overwrite").parquet(
+            os.path.join(dest_root, ROWS_SUBDIR)
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(dest_root, BANDS_SUBDIR)
+        )
+
+    @classmethod
+    def build(
+        cls, spark: SparkSession, docs: DataFrame, root: str
+    ) -> "NearDupIndex":
+        cls.write_corpus(docs, root)
+        return cls(spark, root)
+
+    # -- reads (re-read per call so appends are visible) -------------------
+
+    def bands(self) -> DataFrame:
+        return self.spark.read.parquet(self.bands_path)
+
+    def rows(self) -> DataFrame:
+        return self.spark.read.parquet(self.rows_path)
+
+    # -- the ingestion loop ------------------------------------------------
+
+    def _batch_derivations(self, batch: DataFrame):
+        rows = tracked_persist(shingle_rows(batch))
+        bands = tracked_persist(lsh_band_keys(minhash_signatures_rows(rows)))
+        return rows, bands
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Decision table (batch_id, n_candidates, n_verified_dups,
+        is_near_dup) for a (doc_id, text) batch vs the current index."""
+        rows, bands = self._batch_derivations(batch)
+        return self._decisions(batch, rows, bands)
+
+    def _decisions(
+        self, batch: DataFrame, batch_rows: DataFrame, batch_bands: DataFrame
+    ) -> DataFrame:
+        cand = (
+            self.bands()
+            .join(
+                F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
+                "band_key",
+            )
+            .select("batch_id", F.col("doc_id").alias("corpus_id"))
+            .distinct()
+        )
+        all_rows = self.rows().unionByName(batch_rows)
+        stats = pair_jaccard_stats(all_rows, cand, "batch_id", "corpus_id")
+        agg = stats.groupBy("batch_id").agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(2 * F.col("n_shared") >= F.col("n_union"), 1).otherwise(0)
+            ).alias("n_verified_dups"),
+        )
+        ids = batch.select(F.col("doc_id").alias("batch_id"))
+        return ids.join(agg, "batch_id", "left").select(
+            "batch_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_verified_dups", F.lit(0)).alias("n_verified_dups"),
+            (F.coalesce("n_verified_dups", F.lit(0)) > 0).alias("is_near_dup"),
+        )
+
+    def ingest_batch(self, batch: DataFrame) -> DataFrame:
+        """Filter the batch, then append the ACCEPTED documents'
+        bands/shingles to the index so the next batch sees them.
+
+        Returns the decision table. The append reuses the batch's
+        persisted derivations (no recompute), keeps only ids not
+        already present (replay-idempotent), and is the one mutation
+        the loop performs — the corpus index is otherwise read-only.
+        """
+        rows, bands = self._batch_derivations(batch)
+        # Pin the decision table to the PRE-append index snapshot:
+        # eager localCheckpoint materializes it NOW and truncates the
+        # lineage, so no later recompute can re-list the index parquet
+        # after the append below (a lazy persist is not enough — a
+        # recomputed partition would see the batch's own appended bands
+        # and flag every accepted doc as its own near-dup).
+        decisions = self._decisions(batch, rows, bands).localCheckpoint(
+            eager=True
+        )
+        accepted = decisions.filter(~F.col("is_near_dup")).select(
+            F.col("batch_id").alias("doc_id")
+        )
+        # replay guard: drop ids the index already holds (column-pruned
+        # scan of the index id column vs the broadcast batch id set)
+        already = (
+            self.bands()
+            .select("doc_id")
+            .join(F.broadcast(accepted), "doc_id", "left_semi")
+            .distinct()
+        )
+        new_ids = accepted.join(already, "doc_id", "left_anti")
+        new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        new_bands = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        new_rows.write.mode("append").parquet(self.rows_path)
+        new_bands.write.mode("append").parquet(self.bands_path)
+        return decisions

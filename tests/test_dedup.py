@@ -140,3 +140,51 @@ def test_shingle_rows_equals_array_form(spark):
         (d, s) for d, s in via_rows if d == 3
     }
     assert [(d, s) for d, s in via_rows if d == 4] == [(4, "a a a")]
+
+
+def test_ingest_loop_batch2_sees_batch1_appends(spark, tmp_path):
+    """The maintained-index ingestion loop: batch-1's accepted docs are
+    appended to the index, so batch-2 detects a near-dup OF A BATCH-1
+    DOC — the cross-batch detection a build-once/read-only index
+    cannot do. Also: replaying batch-1 must not double-append."""
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+
+    # batch 1: one near-dup of corpus doc 1, one novel doc
+    novel = "completely different words about distributed query engines here"
+    b1 = spark.createDataFrame(
+        [
+            (10, "xq the quick brown fox jumps over the lazy dog today"),
+            (11, novel),
+        ],
+        "doc_id long, text string",
+    )
+    d1 = {r.batch_id: r.is_near_dup for r in index.ingest_batch(b1).collect()}
+    assert d1 == {10: True, 11: False}
+    # accepted doc 11 is now IN the index
+    assert index.bands().filter("doc_id = 11").count() > 0
+    # rejected doc 10 is NOT
+    assert index.bands().filter("doc_id = 10").count() == 0
+
+    # batch 2: a near-dup of BATCH-1's accepted doc 11
+    b2 = spark.createDataFrame(
+        [(20, "zz completely different words about distributed query engines here")],
+        "doc_id long, text string",
+    )
+    d2 = {r.batch_id: r.is_near_dup for r in index.ingest_batch(b2).collect()}
+    assert d2 == {20: True}
+
+    # replaying batch 1 appends nothing new (id guard)
+    n_before = index.bands().count()
+    index.ingest_batch(b1).collect()
+    assert index.bands().count() == n_before
