@@ -5,11 +5,21 @@ counts, exact distinct counts, and min/max, in ONE pass over the table.
 Shape: a single aggregate computes every column's metrics simultaneously
 (Spark evaluates all aggregate expressions in one scan — no per-column
 jobs), then the wide 1-row result unpivots to long (column, metric)
-form driver-side-free via the stack expression. At 100 TB the scan is
-the only data-sized work; exact COUNT(DISTINCT) over many columns
-expands via Spark's single-pass Expand rewrite, and production swaps it
-for approx_count_distinct with a documented error (SCALE.md percentile
-precedent) without changing the output shape.
+form driver-side-free via the stack expression.
+
+Two registered variants:
+
+- :func:`table_profile_approx` — the SCALE DEFAULT. HyperLogLog++
+  ``approx_count_distinct(rsd=0.01)`` keeps the profile a true single
+  pass: partial sketches merge associatively, the shuffle carries one
+  fixed-size sketch per column, and no row multiplication happens.
+  Sketches are engine-specific, so the driver records the (weaker)
+  rows-only check for it — by design.
+- :func:`table_profile` — the exact form, kept as the ORACLE query
+  (hash-matched against DuckDB). Exact multi-column COUNT(DISTINCT)
+  goes through Spark's Expand rewrite — a |columns|× row
+  multiplication before the shuffle, which at 100 TB IS the job; fine
+  at fixture scale, wrong as the default.
 """
 
 from __future__ import annotations
@@ -46,12 +56,35 @@ _COLS = (
     survey_ref="data-quality profiling: per-column null/distinct/min/max in one pass",
 )
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile(spark, sf_dir, exact=True)
+
+
+@register(
+    "table_profile_approx",
+    oracle=None,  # HLL sketches are engine-specific; rows-only by design
+    survey_ref="data-quality profiling: approx-distinct scale default",
+)
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default profile: identical output shape to
+    :func:`table_profile`, with ``approx_count_distinct(rsd=0.01)``
+    replacing the Expand-rewrite exact distinct (see module docstring).
+    ``tests/test_plans.py`` asserts the plan contains NO Expand node
+    and the estimates land within the documented rsd of exact."""
+    return _profile(spark, sf_dir, exact=False)
+
+
+def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    distinct = (
+        F.countDistinct
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=0.01))
+    )
     aggs = []
     for c in _COLS:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            distinct(c).alias(f"{c}__n_distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]

@@ -320,3 +320,26 @@ def test_ivf_cell_partitioned_probe_prunes_scan(spark, sf_dir):
     assert "PartitionFilters" in plan and "cell" in plan
     part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "3" in part_line
+
+
+def test_approx_profile_has_no_expand_and_is_accurate(spark, sf_dir):
+    """The scale-default profile must not pay the Expand rewrite (the
+    |columns|x row multiplication exact multi-distinct needs), and its
+    HLL estimates must land within ~3*rsd of exact counts."""
+    from automate_data_ingestion_project_spark.analytics.profiling import (
+        table_profile,
+        table_profile_approx,
+    )
+
+    approx = table_profile_approx(spark, sf_dir)
+    assert "Expand" not in _physical(approx)
+    # the exact form DOES expand — that's exactly why it isn't the default
+    assert "Expand" in _physical(table_profile(spark, sf_dir))
+
+    exact_n = {
+        r.column_name: r.n_distinct
+        for r in table_profile(spark, sf_dir).collect()
+    }
+    for r in approx.collect():
+        e = exact_n[r.column_name]
+        assert abs(r.n_distinct - e) <= max(3, 0.03 * e), (r.column_name, r.n_distinct, e)
