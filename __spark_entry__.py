@@ -52,74 +52,71 @@ import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F4
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver caps each round at 50 checked queries of the 87 registered.
-# Order the registry so the weakest driver evidence comes first:
-# (1) queries with NO driver row ever (all round-4 additions + the r3
-# verdict's evidence-gap four), (2) queries whose CODE changed since
-# their last green row (dedup/textstats rewrites, the checkpointed
-# components, the events-loader µs adaptation touching every
-# events-based query, the sink/pipeline upsert routing), then (3) the
-# oldest still-green refreshes. Unchanged r02/r03-green queries follow
-# in registration order and rotate in as slots allow.
+# The driver caps each round at 50 checked queries of the ~89
+# registered. Order the registry so the weakest driver evidence comes
+# first: (1) the eight queries whose most recent green row is ROUND 2 —
+# two fixture regenerations old (the r4 verdict's #1 ask; fixtures
+# demonstrably drift under unchanged code), (2) queries NEW or with
+# CODE CHANGED in round 5 (materialized fingerprint-keyed artifacts
+# rewiring the near-dup compositions, the mega-basket cap, the
+# multimodal ASCII parity guards, the profile refactor, the
+# upsert_auto routing fix feeding the pipeline), then (3) the oldest
+# still-green refreshes (r3 vintage). Unchanged green queries follow in
+# registration order and rotate in as slots allow.
 _CHECK_FIRST = [
-    # never driver-checked (VERDICT r3 §1 + all round-4 additions)
-    "dataset_split",
-    "bigram_counts",
-    "multimodal_manifest",
-    "multimodal_features",
-    "commune_enrichment",
-    "quality_gates",
-    "stratified_sample_exact",
-    "customer_value_quartiles",
-    "orders_rolling_revenue",
-    "leakage_safe_split",
-    "orders_monthly_gapfill",
-    "nation_revenue_share",
-    "kmeans_step",
-    "multimodal_chunks",
-    "table_profile",
-    "parts_bought_together",
-    "nation_revenue_pareto",
-    "referential_integrity",
-    "events_weekly_heatmap",
-    # code changed this round: shingling/verification rewrite + persists
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "incremental_neardup_filter",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    # code changed this round: textops.analysis codegen fragments
-    "text_stats",
-    "lang_confusion",
-    "lang_length_zscores",
-    # code changed this round: events loader µs adaptation
-    "asof_purchase_last_click",
-    "range_join_signup_errors",
-    "events_hypertable_rollup",
-    "event_sessions",
-    "events_json_props",
-    "events_by_type",
-    "scd2_history",
-    "event_funnel",
-    "cohort_retention",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
-    # code changed this round: sink VOID fix + upsert_auto routing
-    "upsert_idempotent",
-    "pipeline_etl_replay",
-    # touched last session (scale-shape fixes) — fresh rows wanted
-    "vocab_encode",
-    "top_terms_per_doc",
-    # oldest refresh (r02 vintage, untouched)
-    "rest_ingest_dv3f",
-    "rest_datasource_scan",
-    "dbf_commune",
-    "ann_ivf_topk",
-    "model_layer_build",
-    "embedding_quantize",
+    # (1) stalest evidence: last green in round 2
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_multiprobe",
+    "csv_roundtrip_region",
+    "json_roundtrip_nation",
+    "skew_salted_agg",
+    "skew_salted_join",
     "source_registry_sql",
+    # (2a) new in round 5
+    "table_profile_approx",
+    # (2b) code or oracle changed in round 5
+    "parts_bought_together",  # MAX_BASKET cap (both sides)
+    "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex
+    "dedup_components",  # reads materialized pair evidence
+    "leakage_safe_split",  # reads materialized pair evidence
+    "dedup_minhash_pairs",  # pair-evidence artifact builder
+    "multimodal_chunks",  # ASCII parity guard + encode() oracle
+    "multimodal_features",  # ASCII parity guard + encode() oracle
+    "multimodal_manifest",  # encode() oracle
+    "table_profile",  # refactored through _profile
+    "upsert_idempotent",  # upsert routing fix in io layer
+    "pipeline_etl_replay",  # pipeline uses upsert_auto
+    # (3) oldest refresh (r3 vintage, untouched) — fill remaining slots
+    "smoke_select_star",
+    "nations_in_region1",
+    "not_null_filter",
+    "orders_by_month",
+    "orders_by_category",
+    "orders_per_year",
+    "pricing_summary",
+    "categories",
+    "normalize_dv3f",
+    "dbt_first_model",
+    "dbt_second_model",
+    "top10_orders",
+    "top_brands_by_quantity",
+    "quality_report",
+    "dedup_exact",
+    "price_quantiles",
+    "revenue_by_nation",
+    "top3_orders_per_priority",
+    "doc_fingerprints",
+    "doc_chunks",
+    "lang_confusion",
+    "decontaminate_overlap",
+    "doc_repetition",
+    "corpus_sample_mix",
+    "pack_sequences",
+    "label_centroids",
+    "centroid_purity",
+    "corpus_curation_pipeline",
+    "orders_rolling_revenue",
 ]
 
 
