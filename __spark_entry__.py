@@ -49,6 +49,7 @@ import automate_data_ingestion_project_spark.analytics.terms  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.warehouse_subq  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -75,6 +76,17 @@ _CHECK_FIRST = [
     "source_registry_sql",
     # (2a) new in round 5
     "table_profile_approx",
+    "ann_recall_eval",
+    "minhash_estimate_error",
+    "customer_order_histogram",
+    "promo_revenue_share",
+    "order_priority_exists",
+    "small_qty_revenue_by_brand",
+    "important_revenue_nations",
+    "big_ticket_orders",
+    "cheapest_supplier_per_part",
+    "customer_interarrival",
+    "stream_dedup_events",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

@@ -416,6 +416,96 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _minhash_estimate_oracle_sql() -> str:
+    return f"""{_minhash_cte_prefix()},
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               CAST(len(list_filter(range(0, {K}),
+                   i -> sa.sigs[i+1] = sb.sigs[i+1])) AS DOUBLE) / {K}
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON c.doc_id_a = sa.doc_id
+        JOIN sig sb ON c.doc_id_b = sb.doc_id
+    ),
+    exact AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(ha.shingles, hb.shingles)))
+                   AS DOUBLE) AS exact_jaccard
+        FROM cand c
+        JOIN sh ha ON c.doc_id_a = ha.doc_id
+        JOIN sh hb ON c.doc_id_b = hb.doc_id
+    )
+    SELECT e.doc_id_a, e.doc_id_b, e.est_jaccard, x.exact_jaccard,
+           abs(e.est_jaccard - x.exact_jaccard) AS abs_err
+    FROM est e JOIN exact x USING (doc_id_a, doc_id_b)
+    """
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_minhash_estimate_oracle_sql(),
+    survey_ref="fuzzy dedup: sketch-quality evaluation (estimate vs exact Jaccard)",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: for every banded candidate pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    positions) next to the EXACT shingle Jaccard and the absolute
+    error — the calibration check that tells you whether K signatures
+    and the banding threshold are actually delivering the designed
+    precision before you trust them on 100 TB ("measure, don't
+    guess" applied to the sketch).
+
+    Scale shape: everything downstream of candidate generation touches
+    candidates only — the signature-agreement compare is a K-element
+    zip on the (tiny) candidate join, and the exact side reuses the
+    candidates-only verification (:func:`pair_jaccard_stats`, corpus
+    relation never reshuffled). The estimate/exact HOFs run interpreted
+    but over |candidates|·K elements, not corpus-scale data.
+    """
+    base = _docs_with_variants(spark, sf_dir)
+    rows = tracked_persist(shingle_rows(base))
+    sigs = tracked_persist(minhash_signatures_rows(rows))
+    pairs = candidate_pairs(lsh_band_keys(sigs))
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sigs").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sigs").alias("sig_b"))
+    est = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.expr(
+                    "aggregate(zip_with(sig_a, sig_b, "
+                    "(x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+                ).cast("double")
+                / K
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = pair_jaccard_stats(rows, pairs, "doc_id_a", "doc_id_b").select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_shared").cast("double") / F.col("n_union").cast("double")
+        ).alias("exact_jaccard"),
+    )
+    return est.join(exact, ["doc_id_a", "doc_id_b"]).select(
+        "doc_id_a",
+        "doc_id_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+    )
+
+
 def minhash_pairs_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized verified near-dup PAIR EVIDENCE over the
     planted-variant corpus — the :func:`dedup_minhash_pairs` result as

@@ -112,3 +112,76 @@ def _lsh_oracle() -> str:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, QUERY_IDS, k=TOP_K)
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH ex AS (SELECT * FROM ({_exact_oracle()}) x),
+    ls AS (SELECT * FROM ({_lsh_oracle()}) y),
+    hit AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ex JOIN ls ON ex.query_id = ls.query_id
+                       AND ex.vec_id = ls.vec_id
+        GROUP BY 1
+    ),
+    cand AS (
+        SELECT query_id, MAX(n_candidates) AS n_candidates
+        FROM ls GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit h USING (query_id)
+    LEFT JOIN cand c USING (query_id)
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_recall_oracle(),
+    survey_ref="similarity search: recall@k evaluation of the ANN scale path",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured speed/quality tradeoff of the LSH scale path: per query,
+    recall@k against the brute-force ground truth, next to how many
+    candidates the bucket join actually scored — the evaluation loop
+    any production ANN deployment runs before trusting an index
+    ("measure, don't guess" applied to the index itself).
+
+    Scale shape: both sides are the already-bounded top-k relations
+    (Q·k rows), so the comparison join and the per-query aggregate are
+    driver-trivial at any corpus size; the expensive inputs reuse the
+    exact/LSH plans unchanged. A query whose bucket contained no other
+    vector scores recall 0 with n_candidates 0 (left join + coalesce),
+    surfacing empty-bucket degradation instead of hiding it.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = exact_topk(emb, QUERY_IDS, k=TOP_K).select("query_id", "vec_id")
+    lsh = lsh_topk(emb, QUERY_IDS, k=TOP_K).select(
+        "query_id", "vec_id", "n_candidates"
+    )
+    hits = (
+        lsh.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    cand = lsh.groupBy("query_id").agg(
+        F.max("n_candidates").alias("n_candidates")
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .join(cand, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+    )

@@ -260,6 +260,90 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY 1
+    """,
+    survey_ref="distribution report: counts-of-counts double aggregation (Q13 shape)",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed how many orders — the TPC-H Q13
+    counts-of-counts shape. The LEFT join keeps zero-order customers
+    (COUNT over the right key yields 0 for them), which an inner join
+    silently drops — the classic distribution-report bug.
+
+    Scale shape: the first aggregate shuffles on c_custkey (the join
+    key, so AQE reuses the exchange); the second aggregates the
+    |customers|-row intermediate down to |distinct counts| rows — tiny.
+    No window, no skew: order counts per customer are bounded.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           {dsum_expr("CASE WHEN p.p_type LIKE 'PROMO%' "
+                      "THEN l.l_extendedprice * (1 - l.l_discount) "
+                      "ELSE 0 END")} AS promo_revenue,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           {dsum_expr("CASE WHEN p.p_type LIKE 'PROMO%' "
+                      "THEN l.l_extendedprice * (1 - l.l_discount) "
+                      "ELSE 0 END")} /
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    survey_ref="conditional-aggregate ratio over a dim join (Q14 shape)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promo parts per ship year — the TPC-H Q14
+    conditional-aggregate-ratio shape: numerator and denominator come
+    out of ONE aggregate pass (a CASE inside the sum), never two jobs.
+
+    Scale shape: part is the broadcast dim (plan-audited star-join
+    rule), the fact shuffles once on the group key, and both sums
+    accumulate in DECIMAL (:func:`..functions.dsum`) so 1000-way
+    partial-aggregation order cannot flap the ratio's low bits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_year",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
 # Mega-basket cap for the co-occurrence self-join: the basket self-join
 # is Σ|basket|², so ONE pathological basket with B items contributes B²
 # pairs — the hot-shingle analog. Baskets above the cap are dropped

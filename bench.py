@@ -105,6 +105,17 @@ def main() -> int:
             # round 5 additions
             "table_profile_approx",
             "dedup_components",
+            "ann_recall_eval",
+            "minhash_estimate_error",
+            "customer_order_histogram",
+            "promo_revenue_share",
+            "order_priority_exists",
+            "small_qty_revenue_by_brand",
+            "important_revenue_nations",
+            "big_ticket_orders",
+            "cheapest_supplier_per_part",
+            "customer_interarrival",
+            "stream_dedup_events",
         )
         if n in QUERIES
     ]
