@@ -112,6 +112,54 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+    FROM events
+    """,
+    survey_ref="streaming extension (watermarked exactly-once dedup on delivery key)",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup through a real replay with PLANTED
+    redelivery: the source directory gets the full events table plus a
+    second file re-delivering every 3rd event, and the watermarked
+    ``dropDuplicatesWithinWatermark`` stream must reduce it back to
+    exactly the batch table (the at-least-once → exactly-once front
+    door every streaming ingestion needs).
+
+    The redelivered file is written second (a later micro-batch in the
+    AvailableNow replay), so suppression crosses the batch boundary
+    through the state store, not just within one batch. Watermark delay
+    (90 days) exceeds the fixture's 30-day span so no replayed row is
+    ever late; production sets it to the delivery layer's actual
+    redelivery SLA, which is what bounds state at 100 TB/day.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming import KEYED_EVENT_SCHEMA, deduped_events
+
+    src = os.path.join(scratch_dir("stream_dedup_events"), "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    # planted redelivery: every 3rd event arrives a second time, later
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = deduped_events(
+        stream_events(spark, src, schema=KEYED_EVENT_SCHEMA), watermark="90 days"
+    )
+    name = f"sde_{uuid.uuid4().hex[:8]}"
+    root = scratch_dir("stream_dedup_events_ckpt")
+    return run_available_now(
+        stream, name, output_mode="append",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+
+
+@register(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS total_events

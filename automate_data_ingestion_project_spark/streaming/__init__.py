@@ -1,6 +1,8 @@
 """Structured Streaming surface for the events stream."""
 
 from .events import (
+    KEYED_EVENT_SCHEMA,
+    deduped_events,
     kafka_available,
     parse_kafka_events,
     run_available_now,
@@ -13,6 +15,8 @@ from .events import (
 )
 
 __all__ = [
+    "KEYED_EVENT_SCHEMA",
+    "deduped_events",
     "kafka_available",
     "parse_kafka_events",
     "run_available_now",

@@ -28,14 +28,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENT_SCHEMA = "ts timestamp, event_type string, user_id bigint"
+# keyed variant: the delivery key rides along for streaming dedup
+KEYED_EVENT_SCHEMA = f"event_id bigint, {EVENT_SCHEMA}"
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, fmt: str = "parquet"
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "parquet",
+    schema: str = EVENT_SCHEMA,
 ) -> DataFrame:
     """File-source event stream; one file = one micro-batch replay unit."""
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .format(fmt)
         .option("path", source_dir)
         .load()
@@ -147,6 +152,26 @@ def sessionized_counts(
             "user_id",
             "n_events",
         )
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """Streaming exactly-once dedup on ``event_id`` — the ingestion
+    front-door for at-least-once delivery (Kafka redelivery, file
+    re-drops): each key is emitted the first time it is seen and
+    suppressed afterwards.
+
+    ``dropDuplicatesWithinWatermark`` bounds the key state: a key's
+    dedup record is evicted once the watermark passes its event time +
+    delay, so state is O(events per watermark window), not O(stream
+    lifetime). The delay is therefore the redelivery bound the deployment
+    guarantees — here it is set wider than the whole fixture's time span
+    so the replayed stream dedups completely and equals batch DISTINCT
+    (the batch-equivalence harness); production sets it to its actual
+    redelivery SLA.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
 
 

@@ -294,3 +294,28 @@ def test_mega_basket_capped_out_of_pairing(spark):
     b = len(mega)
     assert uncapped[(10, 20)] == 3
     assert len(uncapped) == b * (b - 1) // 2
+
+
+def test_argmin_joinback_preserves_ties(spark):
+    """The Q2-shape argmin must return EVERY supplier tying on the
+    minimum unit price (min_by would arbitrarily pick one and flap the
+    oracle hash), and nothing else."""
+    from automate_data_ingestion_project_spark.analytics.warehouse_subq import (
+        cheapest_by_unit_price,
+    )
+
+    rows = [
+        # part 1: suppliers 10 and 11 tie at unit 2.0; 12 loses
+        (1, 10, 20.0, 10.0),
+        (1, 11, 4.0, 2.0),
+        (1, 12, 30.0, 10.0),
+        # part 2: single winner, evidence across two lines
+        (2, 20, 50.0, 10.0),
+        (2, 21, 9.0, 3.0),
+        (2, 21, 90.0, 10.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_extendedprice double, l_quantity double"
+    )
+    got = {(r.partkey, r.suppkey): r.unit_price for r in cheapest_by_unit_price(li).collect()}
+    assert got == {(1, 10): 2.0, (1, 11): 2.0, (2, 21): 3.0}
