@@ -36,6 +36,7 @@ import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.model_build  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.pq  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
@@ -87,6 +88,11 @@ _CHECK_FIRST = [
     "cheapest_supplier_per_part",
     "customer_interarrival",
     "stream_dedup_events",
+    "dedup_canonical_keep",
+    "incremental_daily_rollup",
+    "sales_cube",
+    "events_value_histogram",
+    "ann_pq_topk",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

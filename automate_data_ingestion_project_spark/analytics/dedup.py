@@ -416,6 +416,96 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _canonical_keep_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION
+        SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS component_id
+        FROM reach GROUP BY a
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, concat('xqzv ', text) AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    members AS (
+        SELECT c.component_id, c.node AS doc_id,
+               octet_length(encode(x.text)) AS n_bytes
+        FROM comp c JOIN corpus x ON c.node = x.doc_id
+    ),
+    ranked AS (
+        SELECT component_id, doc_id, n_bytes,
+               row_number() OVER (
+                   PARTITION BY component_id
+                   ORDER BY n_bytes DESC, doc_id) AS rk
+        FROM members
+    )
+    SELECT component_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+               AS bytes_dropped
+    FROM ranked
+    GROUP BY 1
+    """
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=_canonical_keep_oracle_sql(),
+    survey_ref="fuzzy dedup: canonical-representative selection per cluster",
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept/dropped DECISION per near-dup cluster — the step that
+    turns clustering into an actual training-set reduction: each
+    component keeps its longest member (most content; production swaps
+    in its quality score), ties broken by smallest doc_id so the choice
+    is total-ordered and replay-stable.
+
+    Spark-first form: argmax-by-struct ``max(struct(n_bytes, -doc_id))``
+    inside the ONE per-component aggregate — no window pass, no second
+    shuffle, order-independent under partial aggregation. The member
+    relation is |cluster members| (tiny vs corpus); the corpus side
+    contributes only byte lengths through a broadcast-joined projection.
+    """
+    from ..textops.components import connected_components
+
+    pairs = minhash_pairs_evidence(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    comp = connected_components(pairs)
+    docs = _docs_with_variants(spark, sf_dir).select(
+        "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    members = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        "component_id", "doc_id", "n_bytes"
+    )
+    agg = members.groupBy("component_id").agg(
+        F.max(
+            F.struct(F.col("n_bytes"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+        F.count("*").alias("n_members"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    return agg.select(
+        "component_id",
+        (-F.col("best.neg_id")).cast("long").alias("kept_doc_id"),
+        "n_members",
+        (F.col("total_bytes") - F.col("best.n_bytes"))
+        .cast("long")
+        .alias("bytes_dropped"),
+    )
+
+
 def _minhash_estimate_oracle_sql() -> str:
     return f"""{_minhash_cte_prefix()},
     cand AS (

@@ -488,3 +488,64 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_share"
         ),
     )
+
+
+@register(
+    "sales_cube",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o_totalprice')} AS sales
+    FROM orders
+    GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+    """,
+    survey_ref="cube lattice (engine extension; absent in reference §2.13)",
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (year × status) aggregation lattice — every combination
+    of present/rolled-up dimensions — in ONE pass. Like
+    :func:`sales_rollup` this compiles to a single Expand + one
+    shuffle; the 2^d row multiplication is why d stays small (2 here)
+    and high-cardinality dimensions never go in a cube at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .cube("order_year", "status")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sales"))
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           {dsum_expr('value')} AS bucket_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="fixed-width histogram (distribution profiling; engine extension)",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile every data-quality dashboard draws. The bucket id is plain
+    arithmetic (``floor(value/width)``), so the whole query is one
+    map + one partial-then-final aggregate: the shuffle carries
+    |types × buckets| rows regardless of data size, and no sort or
+    window appears anywhere. (Spark's ``width_bucket`` builtin does
+    the same with explicit bounds; the arithmetic form is used here
+    because the oracle engine lacks that function — identical IEEE
+    double division and floor on both sides.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("n"), dsum("value").alias("bucket_value"))

@@ -319,3 +319,66 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory so each
+    output file holds ~``target_rows_per_file`` rows. Returns the
+    number of partitions written.
+
+    The small-files problem is the canonical slow death of an
+    incremental 100 TB table: every streaming micro-batch / upsert
+    appends a few files, and a year later the scan spends longer
+    opening footers than reading data. Compaction is a full rewrite of
+    the affected directory — schedule it per partition, not per table.
+
+    Shape: ONE count to size the job (metadata-cheap on parquet), then
+    a round-robin ``repartition(n)`` so output files are uniform
+    regardless of input skew. The rewrite goes through a temp dir +
+    atomic rename so a failed compaction never destroys the live table
+    (readers see old files or new files, never a mix).
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_parts = max(1, -(-n_rows // target_rows_per_file))  # ceil-div
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(n_parts).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    spark.catalog.refreshByPath(path)
+    return n_parts
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered write: globally range-partition on
+    ``cluster_cols`` and sort within each partition before writing, so
+    each output file covers a NARROW, non-overlapping range of the
+    cluster key.
+
+    This is what makes parquet min/max row-group statistics actually
+    prune: a filter on the cluster key skips every file whose range
+    doesn't intersect (the poor-man's Z-order — exact for 1-D keys,
+    which covers the dominant time-series case). ``repartitionByRange``
+    samples the key distribution, so skewed keys still yield balanced
+    files. The sort is within-partition only — no global sort barrier.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -116,6 +116,11 @@ def main() -> int:
             "cheapest_supplier_per_part",
             "customer_interarrival",
             "stream_dedup_events",
+            "dedup_canonical_keep",
+            "incremental_daily_rollup",
+            "sales_cube",
+            "events_value_histogram",
+            "ann_pq_topk",
         )
         if n in QUERIES
     ]

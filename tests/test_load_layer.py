@@ -282,3 +282,59 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     # spark reads its own export back identically (minus partition col type)
     back = spark.read.json(path)
     assert back.count() == 2
+
+
+def test_compact_parquet_uniform_files_and_atomic_swap(spark):
+    """A fragmented directory (many tiny files) compacts to
+    ceil(rows/target) uniform files with identical contents; the live
+    path never holds a partial rewrite."""
+    import glob
+
+    from automate_data_ingestion_project_spark.io.sink import compact_parquet
+
+    path = os.path.join(scratch_dir("compact_parquet"), "t")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # fragment: 64 small files
+    df.repartition(64).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+
+    n_parts = compact_parquet(spark, path, target_rows_per_file=2_500)
+    assert n_parts == 4
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
+    # no leftover temp dir
+    assert not os.path.exists(path + "._compact_tmp")
+
+
+def test_range_clustered_write_gives_nonoverlapping_file_ranges(spark):
+    """write_range_clustered must produce files whose [min,max] ranges
+    on the cluster key do not overlap — the property parquet min/max
+    skipping needs — and a point filter must prune to one file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from automate_data_ingestion_project_spark.io.sink import write_range_clustered
+
+    path = os.path.join(scratch_dir("range_clustered"), "t")
+    df = spark.range(0, 100_000).select(
+        (F.col("id") * 48271 % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_clustered(df, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # non-overlapping file ranges
