@@ -93,6 +93,7 @@ _CHECK_FIRST = [
     "sales_cube",
     "events_value_histogram",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

@@ -119,17 +119,12 @@ def _pq_oracle() -> str:
     """
 
 
-@register(
-    "ann_pq_topk",
-    oracle=_pq_oracle(),
-    survey_ref="similarity search: product-quantization ADC top-k (memory-bound scale path)",
-)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k (see module docstring for why and for
-    the determinism contract)."""
-    from ..operators.caching import tracked_persist
-
-    emb = load_table(spark, sf_dir, "embeddings")
+def pq_dists(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, j, d): squared-L2 from every vector's every subvector
+    to every centroid of that subspace — the one relation both the
+    encoder (argmin over j) and the query LUT (filter to query ids)
+    slice from. Persisted by callers; M·K = {M}·{KPQ} rows per vector.
+    """
     subs = emb.select(
         "vec_id",
         F.posexplode(
@@ -144,7 +139,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = subs.filter(F.col("vec_id").isin(CODEBOOK_IDS)).select(
         "s", F.col("vec_id").cast("int").alias("j"), F.col("subvec").alias("cvec")
     )
-    dists = tracked_persist(
+    from ..operators.caching import tracked_persist
+
+    return tracked_persist(
         subs.join(F.broadcast(cb), "s").select(
             "vec_id",
             "s",
@@ -152,17 +149,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_sqdist_sql("subvec", "cvec")).alias("d"),
         )
     )
-    # per-(vector, subspace) argmin under the (d, j) TOTAL order
-    codes = (
+
+
+def pq_codes(dists: DataFrame) -> DataFrame:
+    """(vec_id, s, code): per-(vector, subspace) argmin under the
+    (d, j) TOTAL order — one aggregate, no window."""
+    return (
         dists.groupBy("vec_id", "s")
         .agg(F.min(F.struct("d", "j")).alias("m"))
         .select("vec_id", "s", F.col("m.j").alias("code"))
     )
-    lut = dists.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+
+
+def pq_lut(dists: DataFrame) -> DataFrame:
+    """(query_id, s, j, qd): the per-query ADC lookup table — just the
+    query rows of the dists relation, Q·M·K rows, always broadcast."""
+    return dists.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "s", "j", F.col("d").alias("qd")
     )
-    # ADC: M lookups per (query, vector); pivot so the 4-term sum adds in
-    # fixed order (a plain SUM's partial-agg order is not guaranteed)
+
+
+def adc_scores(codes: DataFrame, lut: DataFrame) -> DataFrame:
+    """(query_id, vec_id, adist): M lookups per (query, vector), summed
+    via a pivot so the M-term addition happens in fixed column order (a
+    plain SUM's partial-agg order is not guaranteed bit-stable)."""
     joined = codes.join(
         F.broadcast(lut),
         (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
@@ -175,12 +185,188 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("qd"))
     )
     adist = sum((F.col(str(s)) for s in range(1, M)), F.col("0"))
-    scored = adc.select("query_id", "vec_id", adist.alias("adist")).filter(
-        F.col("query_id") != F.col("vec_id")
-    )
+    return adc.select("query_id", "vec_id", adist.alias("adist"))
+
+
+def _rank_adc(scored: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    cols = ["query_id", "vec_id", "adist", "rnk", *(extra_cols or [])]
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "vec_id", "adist", "rnk")
+        .select(*cols)
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    survey_ref="similarity search: product-quantization ADC top-k (memory-bound scale path)",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k over the WHOLE corpus (see module
+    docstring for the determinism contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dists = pq_dists(emb)
+    return _rank_adc(adc_scores(pq_codes(dists), pq_lut(dists)))
+
+
+def _ivfpq_oracle() -> str:
+    from ..textops.similarity import dot_sql, norm_sql
+    from .ivf import N_CELLS
+
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN c.s = {s} THEN l.qd END)" for s in range(M)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM base
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT b.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_sql("b.embedding", "c.c_emb", "duckdb")} DESC,
+                                c.cell
+                   ) AS _r
+            FROM base b CROSS JOIN centroids c
+        ) WHERE _r = 1
+    ),
+    qcell AS (
+        SELECT vec_id AS query_id, cell FROM assigned
+        WHERE vec_id IN ({_QIDS})
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM qcell q JOIN assigned a USING (cell)
+        WHERE q.query_id != a.vec_id
+    ),
+    ncand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY 1
+    ),
+    subs AS (
+        SELECT vec_id, CAST(s AS INTEGER) AS s,
+               list_slice(embedding, s * {SUBDIM} + 1, (s + 1) * {SUBDIM})
+                   AS subvec
+        FROM embeddings, (SELECT unnest(range(0, {M})) AS s)
+    ),
+    cb AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS j, subvec AS cvec
+        FROM subs WHERE vec_id IN ({_CBIDS})
+    ),
+    dists AS (
+        SELECT c.vec_id, c.s, b.j,
+               {_sqdist_sql('c.subvec', 'b.cvec', 'duckdb')} AS d
+        FROM subs c JOIN cb b USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code
+        FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT vec_id AS query_id, s, j, d AS qd
+        FROM dists WHERE vec_id IN ({_QIDS})
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id, {adc_terms} AS adist
+        FROM cand x
+        JOIN codes c ON x.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = x.query_id
+                  AND c.s = l.s AND c.code = l.j
+        GROUP BY l.query_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT a.query_id, a.vec_id, a.adist, n.n_candidates,
+               CAST(row_number() OVER (
+                   PARTITION BY a.query_id ORDER BY a.adist, a.vec_id
+               ) AS INTEGER) AS rnk
+        FROM adc a JOIN ncand n USING (query_id)
+    )
+    SELECT query_id, vec_id, adist, rnk, n_candidates
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    survey_ref="similarity search: IVF coarse quantizer + PQ ADC (the composed production index)",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-style IVF-PQ composition — the shape a real 100 TB
+    vector store runs: the IVF coarse quantizer prunes the search to
+    the query's cell (`analytics/ivf.py`; at scale the table is
+    partition-pruned on ``cell`` at the parquet scan), and PQ/ADC
+    scores ONLY the surviving cell-mates with M table lookups each
+    instead of full-precision cosine. Sub-linear candidate generation ×
+    memory-bound scoring — each half is oracle-checked alone
+    (`ann_ivf_topk`, `ann_pq_topk`); this query checks the
+    COMPOSITION, including `n_candidates` so the pruning factor is
+    visible next to the result.
+    """
+    from ..textops.similarity import norm_sql
+    from ..operators.caching import tracked_persist
+    from .ivf import N_CELLS, assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    embn = emb.select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    centroids = embn.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = tracked_persist(
+        assign_cells(embn, centroids).select("vec_id", "cell")
+    )
+    qcell = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        qcell.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    dists = pq_dists(emb)
+    codes = pq_codes(dists)
+    lut = (
+        pq_lut(dists)
+        .withColumnRenamed("query_id", "l_qid")
+        .withColumnRenamed("s", "l_s")
+        .withColumnRenamed("j", "l_j")
+    )
+    joined = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("s") == F.col("l_s"))
+            & (F.col("code") == F.col("l_j")),
+        )
+        .select("vec_id", "query_id", "s", "qd")
+    )
+    adc = (
+        joined.groupBy("vec_id", "query_id")
+        .pivot("s", list(range(M)))
+        .agg(F.first("qd"))
+    )
+    adist = sum((F.col(str(s)) for s in range(1, M)), F.col("0"))
+    scored = adc.select("query_id", "vec_id", adist.alias("adist")).join(
+        F.broadcast(ncand), "query_id"
+    )
+    return _rank_adc(scored, extra_cols=["n_candidates"])

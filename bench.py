@@ -121,6 +121,7 @@ def main() -> int:
             "sales_cube",
             "events_value_histogram",
             "ann_pq_topk",
+            "ann_ivfpq_topk",
         )
         if n in QUERIES
     ]
