@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "events_value_histogram",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_pq_recall_eval",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

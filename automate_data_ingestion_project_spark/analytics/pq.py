@@ -370,3 +370,92 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ncand), "query_id"
     )
     return _rank_adc(scored, extra_cols=["n_candidates"])
+
+
+def _exact_l2_oracle() -> str:
+    return f"""
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sqdist_sql('q.embedding', 'c.embedding', 'duckdb')},
+                            c.vec_id
+               ) AS INTEGER) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id IN ({_QIDS})) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id != c.vec_id
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+def _pq_recall_oracle() -> str:
+    return f"""
+    WITH ex AS ({_exact_l2_oracle()}),
+    pq AS (SELECT query_id, vec_id FROM ({_pq_oracle()}) p),
+    hit AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ex JOIN pq ON ex.query_id = pq.query_id
+                       AND ex.vec_id = pq.vec_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit h USING (query_id)
+    """
+
+
+@register(
+    "ann_pq_recall_eval",
+    oracle=_pq_recall_oracle(),
+    survey_ref="similarity search: recall@k of the PQ tier vs exact L2 ground truth",
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC tier against the exact squared-L2 ground
+    truth (the metric PQ approximates — cosine ground truth would
+    conflate metric mismatch with quantization loss). With the
+    deterministic untrained codebook this number is the FLOOR a trained
+    codebook must beat; the eval harness is the deliverable, same
+    contract as `ann_recall_eval` for the LSH tier.
+
+    Scale shape: ground truth is the brute-force scan (run once per
+    eval batch, not per production query); the comparison operates on
+    two Q·k relations — driver-trivial at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(_sqdist_sql("q_emb", "c_emb")).alias("l2d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("l2d", "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        pq.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+    )

@@ -122,6 +122,7 @@ def main() -> int:
             "events_value_histogram",
             "ann_pq_topk",
             "ann_ivfpq_topk",
+            "ann_pq_recall_eval",
         )
         if n in QUERIES
     ]
