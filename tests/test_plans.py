@@ -408,3 +408,35 @@ def test_streaming_dedup_replay_equals_batch_distinct(spark, sf_dir):
     ev = _lt(spark, sf_dir, "events")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_pq_lut_broadcasts_and_dists_computed_once(spark, sf_dir):
+    """ann_pq_topk: the per-query LUT joins in as a broadcast (never a
+    shuffle of the candidate codes), and the dists relation is
+    persisted so encoder + LUT derive from ONE computation."""
+    df = entrymod.queries()["ann_pq_topk"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastExchange" in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_ivfpq_restricts_adc_to_cell_candidates(spark, sf_dir):
+    """The composed index must score fewer candidates than the corpus:
+    every query's n_candidates < N (cell pruning actually engaged),
+    and the ADC distances equal the full-PQ distances on the
+    candidates it did score (pruning changes the candidate set, never
+    the scoring arithmetic)."""
+    from automate_data_ingestion_project_spark.io import load_table as _lt
+
+    n = _lt(spark, sf_dir, "embeddings").count()
+    rows = entrymod.queries()["ann_ivfpq_topk"](spark, sf_dir).collect()
+    assert rows and all(r.n_candidates < n for r in rows)
+
+    full = {
+        (r.query_id, r.vec_id): r.adist
+        for r in entrymod.queries()["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        key = (r.query_id, r.vec_id)
+        if key in full:  # both ranked it: identical ADC value, bit-for-bit
+            assert r.adist == full[key], key
