@@ -123,7 +123,8 @@ def pq_dists(emb: DataFrame) -> DataFrame:
     """(vec_id, s, j, d): squared-L2 from every vector's every subvector
     to every centroid of that subspace — the one relation both the
     encoder (argmin over j) and the query LUT (filter to query ids)
-    slice from. Persisted by callers; M·K = {M}·{KPQ} rows per vector.
+    slice from. Persisted here (both consumers reuse one computation);
+    M·K rows per vector.
     """
     subs = emb.select(
         "vec_id",

@@ -251,26 +251,37 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    target_rows_per_file: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction — the lakehouse maintenance op.
 
     Streaming upserts and per-code ingests leave many small files; scans
     then pay per-file open cost and tiny row groups defeat the
     vectorized reader. Rewrite the directory into
-    ``ceil(total_bytes / target_file_bytes)`` files (atomic swap).
+    ``ceil(total_bytes / target_file_bytes)`` files — or
+    ``ceil(rows / target_rows_per_file)`` when the row form is given
+    (row counts come from parquet footers, no data scan). The rewrite
+    is an atomic swap: readers see old files or new files, never a mix.
     Returns the new file count."""
     import math
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
+    if target_rows_per_file is not None:
+        n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.parquet(tmp)
+    writer = df.repartition(n_files).write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     _swap_dir(tmp, path)
     spark.catalog.refreshByPath(path)
     return sum(
@@ -319,42 +330,6 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
-
-
-def compact_parquet(
-    spark: SparkSession,
-    path: str,
-    target_rows_per_file: int,
-    partition_by: list[str] | None = None,
-) -> int:
-    """Small-files compaction: rewrite a parquet directory so each
-    output file holds ~``target_rows_per_file`` rows. Returns the
-    number of partitions written.
-
-    The small-files problem is the canonical slow death of an
-    incremental 100 TB table: every streaming micro-batch / upsert
-    appends a few files, and a year later the scan spends longer
-    opening footers than reading data. Compaction is a full rewrite of
-    the affected directory — schedule it per partition, not per table.
-
-    Shape: ONE count to size the job (metadata-cheap on parquet), then
-    a round-robin ``repartition(n)`` so output files are uniform
-    regardless of input skew. The rewrite goes through a temp dir +
-    atomic rename so a failed compaction never destroys the live table
-    (readers see old files or new files, never a mix).
-    """
-    df = spark.read.parquet(path)
-    n_rows = df.count()
-    n_parts = max(1, -(-n_rows // target_rows_per_file))  # ceil-div
-    tmp = path.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(n_parts).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    spark.catalog.refreshByPath(path)
-    return n_parts
 
 
 def write_range_clustered(
