@@ -95,6 +95,8 @@ _CHECK_FIRST = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_pq_recall_eval",
+    "cumulative_new_customers",
+    "median_order_by_nation",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

@@ -549,3 +549,85 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") / 50.0).cast("int").alias("bucket"),
     ).agg(F.count("*").alias("n"), dsum("value").alias("bucket_value"))
+
+
+@register(
+    "cumulative_new_customers",
+    oracle="""
+    WITH first_seen AS (
+        SELECT o_custkey,
+               MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month
+        FROM orders GROUP BY 1
+    ),
+    per_month AS (
+        SELECT month, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT month, n_new,
+           CAST(SUM(n_new) OVER (
+               ORDER BY month ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS n_customers_cum
+    FROM per_month
+    """,
+    survey_ref="cumulative distinct count via first-seen rewrite (engine extension)",
+)
+def cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers per month — written as the
+    FIRST-SEEN REWRITE, because the naive form (a running
+    COUNT(DISTINCT) window) keeps every key seen so far in window
+    state and re-deduplicates per frame: O(|keys|) state per row,
+    unrunnable at 100 TB. The rewrite is exact and cheap: each
+    customer contributes once at their first month (one groupBy),
+    months aggregate to |months| rows, and the running total is a
+    window over that tiny relation — the distinct-ness moved OUT of
+    the window and into a key-partitioned aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    first_seen = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("month")
+    )
+    per_month = first_seen.groupBy("month").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return per_month.select(
+        "month",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_customers_cum"),
+    )
+
+
+@register(
+    "median_order_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           quantile_cont(o.o_totalprice, 0.5) AS median_order,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    survey_ref="exact grouped median (order statistic per group; engine extension)",
+)
+def median_order_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation median order value — the order-statistic
+    aggregate (``percentile``, linear interpolation, same definition as
+    the oracle's ``quantile_cont``). Exact medians need the group's
+    values together: one shuffle on the group key, in-group sort.
+    That is affordable when groups are bounded (25 nations); for
+    billions-of-keys profiling the scale default is the sketch form —
+    the documented ``approx_percentile`` swap (same contract as
+    table_profile vs table_profile_approx).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_order"),
+            F.count("*").alias("n_orders"),
+        )
+    )

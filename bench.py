@@ -123,6 +123,8 @@ def main() -> int:
             "ann_pq_topk",
             "ann_ivfpq_topk",
             "ann_pq_recall_eval",
+            "cumulative_new_customers",
+            "median_order_by_nation",
         )
         if n in QUERIES
     ]
