@@ -338,3 +338,39 @@ def test_range_clustered_write_gives_nonoverlapping_file_ranges(spark):
     assert len(ranges) == 8
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)  # non-overlapping file ranges
+
+
+def test_incremental_rollup_late_data_reupserts_closed_day(spark, sf_dir):
+    """Late rows for an already-rolled-up day: recomputing THAT DAY's
+    aggregate and upserting replaces the stale row, leaves every other
+    day byte-identical, and the table equals the full recompute."""
+    from automate_data_ingestion_project_spark.functions import dsum
+
+    path = os.path.join(scratch_dir("rollup_late"), "rollup")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    late_day = "2024-01-10"
+    on_time = ev.filter(F.col("day") != F.lit(late_day).cast("date"))
+    late = ev.filter(F.col("day") == F.lit(late_day).cast("date"))
+
+    def agg(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n_events"), dsum("value").alias("total_value")
+        )
+
+    upsert_parquet(spark, agg(on_time), path, keys=["day", "event_type"],
+                   partition_by=["day"])
+    # late batch arrives: recompute ONLY the affected day, upsert it
+    upsert_parquet(spark, agg(late), path, keys=["day", "event_type"],
+                   partition_by=["day"])
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in read_parquet(spark, path).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in agg(ev).collect()
+    }
+    assert got == want
