@@ -156,6 +156,22 @@ def main() -> int:
     release_caches()
     artifact_build = round(time.perf_counter() - t0, 4)
 
+    # Machine-speed canary: a FIXED pure-CPU Spark job (no IO, no repo
+    # code) timed best-of-2. Query timings divided by this are
+    # host-speed-normalized — successive same-code runs on this VM have
+    # measured 76 s → 105 s totals purely from host/noisy-neighbor
+    # variance, which otherwise reads as a uniform fake regression in
+    # vs_prior. Compare canary_sec across BENCH_r{N}.json before
+    # believing a broad slowdown.
+    canary = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        canary = min(canary, time.perf_counter() - t0)
+    canary = round(canary, 4)
+
     timings: dict[str, float] = {}
     for name in bench_names:
         t0 = time.perf_counter()
@@ -185,6 +201,9 @@ def main() -> int:
         # one-time materialized-artifact maintenance (near-dup corpus
         # index + pair evidence), deliberately outside query timings
         "artifact_build_sec": artifact_build,
+        # fixed-size pure-CPU job: compare across rounds to separate
+        # host-speed drift from real plan regressions
+        "canary_sec": canary,
     }
     # Round-over-round regression check: diff against the newest prior
     # BENCH_r{N}.json (same sf) and flag any query >1.2× slower.
@@ -209,6 +228,12 @@ def main() -> int:
             ),
             "regressions": {n: r for n, r in sorted(ratios.items()) if r > 1.2},
         }
+        # host-speed drift between the two runs (needs the prior file's
+        # canary); a total_ratio ≈ canary_ratio means the machine moved,
+        # not the plans
+        prior_canary = prior.get("__canary_sec__")
+        if prior_canary:
+            out["vs_prior"]["canary_ratio"] = round(canary / prior_canary, 3)
     print(json.dumps(out))
     return 0
 
@@ -226,6 +251,11 @@ def _latest_prior_bench(repo_dir: str, sf: float):
             parsed = data.get("parsed") or data  # driver wraps under "parsed"
             qs = parsed.get("queries")
             if qs and parsed.get("sf") == sf and int(m.group(1)) > best_n:
+                qs = dict(qs)
+                if parsed.get("canary_sec"):
+                    # smuggled alongside the timings under a key no
+                    # query can collide with (names are identifiers)
+                    qs["__canary_sec__"] = parsed["canary_sec"]
                 best_n, best = int(m.group(1)), (f, qs)
         except (OSError, ValueError, AttributeError):
             continue
