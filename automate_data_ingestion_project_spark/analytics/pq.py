@@ -170,16 +170,13 @@ def pq_lut(dists: DataFrame) -> DataFrame:
     )
 
 
-def adc_scores(codes: DataFrame, lut: DataFrame) -> DataFrame:
-    """(query_id, vec_id, adist): M lookups per (query, vector), summed
-    via a pivot so the M-term addition happens in fixed column order (a
-    plain SUM's partial-agg order is not guaranteed bit-stable)."""
-    joined = codes.join(
-        F.broadcast(lut),
-        (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
-    ).select(
-        codes["vec_id"], lut["query_id"], codes["s"].alias("s"), lut["qd"]
-    )
+def _adc_from_joined(joined: DataFrame) -> DataFrame:
+    """(query_id, vec_id, adist) from a (vec_id, query_id, s, qd)
+    lookup relation — THE one place the M-term ADC addition happens,
+    via a pivot so it adds in fixed column order (a plain SUM's
+    partial-agg order is not guaranteed bit-stable). Both the pure-PQ
+    and the IVF-PQ paths route through here, which is what keeps their
+    arithmetic bit-identical on shared candidates."""
     adc = (
         joined.groupBy("vec_id", "query_id")
         .pivot("s", list(range(M)))
@@ -187,6 +184,18 @@ def adc_scores(codes: DataFrame, lut: DataFrame) -> DataFrame:
     )
     adist = sum((F.col(str(s)) for s in range(1, M)), F.col("0"))
     return adc.select("query_id", "vec_id", adist.alias("adist"))
+
+
+def adc_scores(codes: DataFrame, lut: DataFrame) -> DataFrame:
+    """(query_id, vec_id, adist): M lookups per (query, vector) over
+    the FULL corpus (every code row matches every query's LUT)."""
+    joined = codes.join(
+        F.broadcast(lut),
+        (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
+    ).select(
+        codes["vec_id"], lut["query_id"], codes["s"].alias("s"), lut["qd"]
+    )
+    return _adc_from_joined(joined)
 
 
 def _rank_adc(scored: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
@@ -361,15 +370,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "query_id", "s", "qd")
     )
-    adc = (
-        joined.groupBy("vec_id", "query_id")
-        .pivot("s", list(range(M)))
-        .agg(F.first("qd"))
-    )
-    adist = sum((F.col(str(s)) for s in range(1, M)), F.col("0"))
-    scored = adc.select("query_id", "vec_id", adist.alias("adist")).join(
-        F.broadcast(ncand), "query_id"
-    )
+    scored = _adc_from_joined(joined).join(F.broadcast(ncand), "query_id")
     return _rank_adc(scored, extra_cols=["n_candidates"])
 
 

@@ -148,8 +148,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(src)
 
+    # one file per micro-batch, so the redelivered file really is a LATER
+    # batch and suppression must cross the batch boundary through the
+    # state store (AvailableNow would otherwise drain all files in one
+    # batch and only exercise within-batch dedup)
     stream = deduped_events(
-        stream_events(spark, src, schema=KEYED_EVENT_SCHEMA), watermark="90 days"
+        stream_events(
+            spark, src, schema=KEYED_EVENT_SCHEMA, max_files_per_trigger=1
+        ),
+        watermark="90 days",
     )
     name = f"sde_{uuid.uuid4().hex[:8]}"
     root = scratch_dir("stream_dedup_events_ckpt")

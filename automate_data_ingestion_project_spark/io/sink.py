@@ -263,7 +263,13 @@ def compact_parquet(
     ``ceil(rows / target_rows_per_file)`` when the row form is given
     (row counts come from parquet footers, no data scan). The rewrite
     is an atomic swap: readers see old files or new files, never a mix.
-    Returns the new file count."""
+    Returns the new file count.
+
+    With ``partition_by``, rows are hash-clustered on the partition
+    columns first, so each partition value lands wholly in one task and
+    writes ONE file — a round-robin repartition would instead spread
+    every value across every task and `partitionBy` would emit
+    tasks×values tiny files, re-creating the problem being fixed."""
     import math
 
     df = spark.read.parquet(path)
@@ -278,9 +284,12 @@ def compact_parquet(
         )
         n_files = max(1, math.ceil(total / target_file_bytes))
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_files).write
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        writer = df.repartition(n_files, *partition_by).write.partitionBy(
+            *partition_by
+        )
+    else:
+        writer = df.repartition(n_files).write
     writer.parquet(tmp)
     _swap_dir(tmp, path)
     spark.catalog.refreshByPath(path)

@@ -37,14 +37,16 @@ def stream_events(
     source_dir: str,
     fmt: str = "parquet",
     schema: str = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source event stream; one file = one micro-batch replay unit."""
-    return (
-        spark.readStream.schema(schema)
-        .format(fmt)
-        .option("path", source_dir)
-        .load()
-    )
+    """File-source event stream. Without ``max_files_per_trigger``,
+    Trigger.AvailableNow drains ALL pending files in one micro-batch —
+    set it to 1 when a test's point is behavior ACROSS batch boundaries
+    (state-store suppression, watermark advancement)."""
+    reader = spark.readStream.schema(schema).format(fmt).option("path", source_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load()
 
 
 def kafka_available(spark: SparkSession) -> bool:

@@ -207,7 +207,7 @@ def main() -> int:
     }
     # Round-over-round regression check: diff against the newest prior
     # BENCH_r{N}.json (same sf) and flag any query >1.2× slower.
-    prior_file, prior = _latest_prior_bench(
+    prior_file, prior, prior_canary = _latest_prior_bench(
         os.path.dirname(os.path.abspath(__file__)), sf
     )
     if prior:
@@ -231,7 +231,6 @@ def main() -> int:
         # host-speed drift between the two runs (needs the prior file's
         # canary); a total_ratio ≈ canary_ratio means the machine moved,
         # not the plans
-        prior_canary = prior.get("__canary_sec__")
         if prior_canary:
             out["vs_prior"]["canary_ratio"] = round(canary / prior_canary, 3)
     print(json.dumps(out))
@@ -251,15 +250,11 @@ def _latest_prior_bench(repo_dir: str, sf: float):
             parsed = data.get("parsed") or data  # driver wraps under "parsed"
             qs = parsed.get("queries")
             if qs and parsed.get("sf") == sf and int(m.group(1)) > best_n:
-                qs = dict(qs)
-                if parsed.get("canary_sec"):
-                    # smuggled alongside the timings under a key no
-                    # query can collide with (names are identifiers)
-                    qs["__canary_sec__"] = parsed["canary_sec"]
-                best_n, best = int(m.group(1)), (f, qs)
+                best_n = int(m.group(1))
+                best = (f, qs, parsed.get("canary_sec"))
         except (OSError, ValueError, AttributeError):
             continue
-    return best if best else (None, None)
+    return best if best else (None, None, None)
 
 
 if __name__ == "__main__":

@@ -305,8 +305,8 @@ def test_compact_parquet_uniform_files_and_atomic_swap(spark):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
-    # no leftover temp dir
-    assert not os.path.exists(path + "._compact_tmp")
+    # no leftover temp dir from the atomic swap
+    assert not glob.glob(path + ".tmp-*")
 
 
 def test_range_clustered_write_gives_nonoverlapping_file_ranges(spark):
@@ -374,3 +374,33 @@ def test_incremental_rollup_late_data_reupserts_closed_day(spark, sf_dir):
         for r in agg(ev).collect()
     }
     assert got == want
+
+
+def test_compact_parquet_partitioned_one_file_per_value(spark):
+    """Partitioned compaction must cluster rows on the partition cols
+    before the write: one file per partition value — NOT n_files×values
+    fragments (the round-robin failure mode)."""
+    import glob
+
+    from automate_data_ingestion_project_spark.io.sink import compact_parquet
+
+    path = os.path.join(scratch_dir("compact_parted"), "t")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    df.repartition(16).write.partitionBy("g").parquet(path)
+    n_before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 5 * 16 * 0.5  # genuinely fragmented
+
+    n_after = compact_parquet(
+        spark, path, target_rows_per_file=2_500, partition_by=["g"]
+    )
+    assert n_after == 5  # one file per partition value
+    for g in range(5):
+        files = glob.glob(os.path.join(path, f"g={g}", "*.parquet"))
+        assert len(files) == 1, (g, files)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(10_000))
