@@ -97,6 +97,7 @@ _CHECK_FIRST = [
     "ann_pq_recall_eval",
     "cumulative_new_customers",
     "median_order_by_nation",
+    "disjunctive_promo_revenue",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

@@ -350,3 +350,72 @@ def customer_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_days").cast("double") / F.count("gap_days")
         ).alias("mean_gap_days"),
     )
+
+
+_Q19_ARMS = [
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#22", 10, 30, 10, 35),
+    ("Brand#33", 20, 50, 20, 50),
+]
+
+
+def _q19_pred_sql() -> str:
+    arms = [
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q19_ARMS
+    ]
+    return " OR ".join(arms)
+
+
+@register(
+    "disjunctive_promo_revenue",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_lines,
+           {dsum_expr(REV)} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_q19_pred_sql()}
+    GROUP BY 1
+    """,
+    survey_ref="disjunctive OR-of-ANDs predicate across a join (Q19 shape)",
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of per-brand (size, quantity) windows — the
+    TPC-H Q19 disjunctive-predicate shape, the classic optimizer trap:
+    naive engines evaluate the whole OR after the join; the right plan
+    pushes each side's COMMON factor down to its scan (every arm
+    constrains p_brand + p_size → part filters before broadcasting;
+    every arm bounds l_quantity → the fact scan keeps only
+    1 ≤ qty ≤ 50) and leaves only the cross-side correlation for the
+    join filter. Expressing the predicate ON the joined relation lets
+    Catalyst do exactly that (CNF conversion + pushdown — the
+    brand/size IN-bounds reach PushedFilters).
+
+    Scale shape: part shrinks to the 3 brands BEFORE the broadcast;
+    the fact never shuffles (broadcast join), and the residual OR is a
+    codegen'd row predicate — no Expand, no union-of-three-joins
+    (which would scan lineitem three times).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm_preds = [
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+        for b, s0, s1, q0, q1 in _Q19_ARMS
+    ]
+    pred = arm_preds[0]
+    for p in arm_preds[1:]:
+        pred = pred | p
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).filter(pred)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_lines"),
+        dsum(_rev()).alias("revenue"),
+    )

@@ -125,6 +125,7 @@ def main() -> int:
             "ann_pq_recall_eval",
             "cumulative_new_customers",
             "median_order_by_nation",
+            "disjunctive_promo_revenue",
         )
         if n in QUERIES
     ]

@@ -366,9 +366,9 @@ def test_scalar_subquery_shapes_scan_fact_once(spark, sf_dir):
     li_scans = [
         ln
         for ln in plan.splitlines()
-        if "Scan parquet" in ln and "lineitem" in ln
+        if "Location" in ln and "lineitem" in ln
     ]
-    assert len(li_scans) <= 1, li_scans
+    assert len(li_scans) == 1, li_scans
     # the global threshold rides in as a broadcast, not a second agg job
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
@@ -384,9 +384,9 @@ def test_argmin_joinback_reuses_partkey_exchange(spark, sf_dir):
     li_scans = [
         ln
         for ln in plan.splitlines()
-        if "Scan parquet" in ln and "lineitem" in ln
+        if "Location" in ln and "lineitem" in ln
     ]
-    assert len(li_scans) <= 1, li_scans
+    assert len(li_scans) == 1, li_scans
 
 
 def test_interarrival_reuses_window_partitioning(spark, sf_dir):
@@ -440,3 +440,21 @@ def test_ivfpq_restricts_adc_to_cell_candidates(spark, sf_dir):
         key = (r.query_id, r.vec_id)
         if key in full:  # both ranked it: identical ADC value, bit-for-bit
             assert r.adist == full[key], key
+
+
+def test_disjunctive_predicate_pushes_or_factors_to_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst must extract each side's common OR-factor and
+    push it into that side's scan — quantity bounds reach the lineitem
+    scan, brand+size arms reach the part scan — instead of evaluating
+    the whole OR post-join (or scanning the fact once per arm)."""
+    df = entrymod.queries()["disjunctive_promo_revenue"](spark, sf_dir)
+    plan = _formatted(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), pushed
+    assert any("p_brand" in ln and "p_size" in ln for ln in pushed), pushed
+    # one lineitem scan total — no union-of-arms rewrite
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(li_scans) == 1, li_scans
