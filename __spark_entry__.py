@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "cumulative_new_customers",
     "median_order_by_nation",
     "disjunctive_promo_revenue",
+    "local_supplier_revenue",
     # (2b) code or oracle changed in round 5
     "parts_bought_together",  # MAX_BASKET cap (both sides)
     "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex

@@ -419,3 +419,52 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum(_rev()).alias("revenue"),
     )
+
+
+@register(
+    "local_supplier_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           {dsum_expr(REV)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+    survey_ref="multi-dim join with cross-dimension correlation predicate (Q5 shape)",
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders fulfilled by a supplier in the CUSTOMER'S OWN
+    nation — the TPC-H Q5 local-supplier shape. Its distinguishing
+    feature is the correlation predicate between two DIMENSIONS
+    (``c_nationkey = s_nationkey``): neither dim alone can be filtered;
+    the predicate only becomes evaluable after the fact row connects
+    them.
+
+    Spark-first form: the fact joins each broadcast dim on its own
+    key (no dim⋈dim product is ever formed), and the cross-dimension
+    equality rides as a post-join residual filter on the already-joined
+    row — then one shuffle for the per-nation aggregate. At 100 TB the
+    only shuffle is the final |nations|-group aggregate; everything
+    upstream is broadcast-hash against the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_lines"), dsum(_rev()).alias("revenue"))
+    )

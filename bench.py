@@ -126,6 +126,7 @@ def main() -> int:
             "cumulative_new_customers",
             "median_order_by_nation",
             "disjunctive_promo_revenue",
+            "local_supplier_revenue",
         )
         if n in QUERIES
     ]
