@@ -37,6 +37,7 @@ import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.model_build  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.pq  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.pq_train  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
@@ -54,72 +55,33 @@ import automate_data_ingestion_project_spark.analytics.warehouse_subq  # noqa: F
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The driver caps each round at 50 checked queries of the ~89
-# registered. Order the registry so the weakest driver evidence comes
-# first: (1) the eight queries whose most recent green row is ROUND 2 —
-# two fixture regenerations old (the r4 verdict's #1 ask; fixtures
-# demonstrably drift under unchanged code), (2) queries NEW or with
-# CODE CHANGED in round 5 (materialized fingerprint-keyed artifacts
-# rewiring the near-dup compositions, the mega-basket cap, the
-# multimodal ASCII parity guards, the profile refactor, the
-# upsert_auto routing fix feeding the pipeline), then (3) the oldest
-# still-green refreshes (r3 vintage). Unchanged green queries follow in
-# registration order and rotate in as slots allow.
+# The driver caps each round at 50 checked queries of the registered
+# set (it checks the first 50 in this ordering; the count below rotates
+# round to round). Order the registry so the weakest driver evidence
+# comes first: (1) queries whose CODE or ORACLE changed this round —
+# the six de-hinted SF-scaled-broadcast queries and the new
+# table_profile_approx sketch contract, plus queries NEW this round;
+# (2) the 22 queries whose most recent green row is ROUND 3 (oldest
+# evidence on file; fixture drift under unchanged code is proven —
+# the r3→r4 timestamp-dtype incident); (3) the r4-vintage rows in
+# driver order, filling remaining slots. Fresh r5 rows rotate back in
+# next round.
 _CHECK_FIRST = [
-    # (1) stalest evidence: last green in round 2
-    "ann_topk_cosine",
-    "ann_lsh_topk",
-    "ann_ivf_multiprobe",
-    "csv_roundtrip_region",
-    "json_roundtrip_nation",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "source_registry_sql",
-    # (2a) new in round 5
-    "table_profile_approx",
-    "ann_recall_eval",
-    "minhash_estimate_error",
-    "customer_order_histogram",
+    # (1a) code changed in round 6: forced broadcasts on SF-scaled
+    # customer/part/supplier removed (AQE now chooses) — hashes must
+    # not change
     "promo_revenue_share",
-    "order_priority_exists",
+    "median_order_by_nation",
     "small_qty_revenue_by_brand",
     "important_revenue_nations",
-    "big_ticket_orders",
-    "cheapest_supplier_per_part",
-    "customer_interarrival",
-    "stream_dedup_events",
-    "dedup_canonical_keep",
-    "incremental_daily_rollup",
-    "sales_cube",
-    "events_value_histogram",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_recall_eval",
-    "cumulative_new_customers",
-    "median_order_by_nation",
     "disjunctive_promo_revenue",
     "local_supplier_revenue",
-    # (2b) code or oracle changed in round 5
-    "parts_bought_together",  # MAX_BASKET cap (both sides)
-    "incremental_neardup_filter",  # fingerprint-keyed NearDupIndex
-    "dedup_components",  # reads materialized pair evidence
-    "leakage_safe_split",  # reads materialized pair evidence
-    "dedup_minhash_pairs",  # pair-evidence artifact builder
-    "multimodal_chunks",  # ASCII parity guard + encode() oracle
-    "multimodal_features",  # ASCII parity guard + encode() oracle
-    "multimodal_manifest",  # encode() oracle
-    "table_profile",  # refactored through _profile
-    "upsert_idempotent",  # upsert routing fix in io layer
-    "pipeline_etl_replay",  # pipeline uses upsert_auto
-    # (3) oldest refresh (r3 vintage, untouched) — fill remaining slots
-    "smoke_select_star",
-    "nations_in_region1",
-    "not_null_filter",
-    "orders_by_month",
-    "orders_by_category",
-    "orders_per_year",
-    "pricing_summary",
-    "categories",
+    # (1b) new/changed contract in round 6
+    "table_profile_approx",  # hash-checkable sketch-tolerance contract
+    "pq_train_distortion",  # new: k-means codebook training curve
+    "ann_pq_trained_recall_eval",  # new: trained-vs-sampled recall
+    "neardup_ingest_replay",  # new: two-batch ingest loop, cross-batch
+    # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",
     "dbt_second_model",
@@ -132,7 +94,6 @@ _CHECK_FIRST = [
     "top3_orders_per_priority",
     "doc_fingerprints",
     "doc_chunks",
-    "lang_confusion",
     "decontaminate_overlap",
     "doc_repetition",
     "corpus_sample_mix",
@@ -140,7 +101,49 @@ _CHECK_FIRST = [
     "label_centroids",
     "centroid_purity",
     "corpus_curation_pipeline",
+    "nation_only_keys_except",
+    "repeat_customers_intersect",
+    "sales_rollup",
+    # (3) r4 vintage — fill remaining slots in driver order
+    "asof_purchase_last_click",
+    "range_join_signup_errors",
+    "events_hypertable_rollup",
+    "lang_confusion",
+    "text_stats",
+    "top_terms_per_doc",
+    "vocab_encode",
+    "events_by_type",
+    "scd2_history",
+    "event_funnel",
+    "cohort_retention",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "event_sessions",
+    "events_json_props",
+    "lang_length_zscores",
+    "dataset_split",
+    "bigram_counts",
+    "commune_enrichment",
+    "quality_gates",
+    "stratified_sample_exact",
+    "customer_value_quartiles",
     "orders_rolling_revenue",
+    "orders_monthly_gapfill",
+    "nation_revenue_share",
+    "kmeans_step",
+    "nation_revenue_pareto",
+    "referential_integrity",
+    "events_weekly_heatmap",
+    "stream_windowed_counts",
+    "stream_session_counts",
+    "stream_stateful_totals",
+    "rest_ingest_dv3f",
+    "rest_datasource_scan",
+    "dbf_commune",
+    "ann_ivf_topk",
+    "model_layer_build",
+    "embedding_quantize",
 ]
 
 

@@ -77,21 +77,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cte_prefix() -> str:
+def _minhash_cte_prefix(base_sql: str | None = None) -> str:
     """Shared DuckDB CTE chain base → shingles → signatures → band keys
-    (reused by the pairwise and the incremental-filter oracles)."""
+    (reused by the pairwise, incremental-filter and ingest-replay
+    oracles). ``base_sql`` overrides the (doc_id, text) base relation;
+    default is the planted-variant corpus."""
     a_list = "[" + ", ".join(str(x) for x in A_COEF) + "]"
     b_list = "[" + ", ".join(str(x) for x in B_COEF) + "]"
     band_parts = ", ".join(
         f"sigs[{ROWS_PER_BAND}*j+{k + 1}]" for k in range(ROWS_PER_BAND)
     )
-    return f"""
-    WITH base AS (
+    if base_sql is None:
+        base_sql = """
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000 AS doc_id, concat('xqzv ', text) AS text
         FROM documents WHERE doc_id % 20 = 0
-    ),
+        """
+    return f"""
+    WITH base AS ({base_sql}),
     tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
     sh AS (
         SELECT doc_id,
@@ -728,3 +732,151 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= 100000
     )
     return index.filter_batch(batch)
+
+
+# ---------------------------------------------------------------------------
+# Two-batch ingestion replay (probe + append + cross-batch detection)
+# ---------------------------------------------------------------------------
+
+# Deterministic two-batch construction over the documents fixture:
+# corpus = the originals (doc_id < 100000);
+# batch 1 = planted near-dups of the corpus (+100000, 'xqzv ' prefix —
+#   must be REJECTED) plus novel docs (+300000, the doc's tokens
+#   REVERSED — all 3-gram shingles change, so Jaccard vs the original
+#   is ~0 and they must be ACCEPTED and appended);
+# batch 2 = near-dups of BATCH 1's accepted docs (+400000, 'qjkx ' +
+#   the same reversed text — only detectable if batch 1's append
+#   actually happened) plus fresh near-dups of the corpus (+500000,
+#   'wvux ' prefix — proving the original probe path still works after
+#   the append).
+_REPLAY_BASE_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, concat('xqzv ', text) AS text
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                   AS text
+        FROM documents WHERE doc_id % 20 = 10
+        UNION ALL
+        SELECT doc_id + 400000 AS doc_id,
+               concat('qjkx ',
+                   array_to_string(list_reverse(string_split(text, ' ')), ' '))
+                   AS text
+        FROM documents WHERE doc_id % 40 = 10
+        UNION ALL
+        SELECT doc_id + 500000 AS doc_id, concat('wvux ', text) AS text
+        FROM documents WHERE doc_id % 20 = 5
+"""
+
+
+def _ingest_replay_oracle_sql() -> str:
+    def decisions(tag: str, batch_pred: str, index_cte: str) -> str:
+        return f"""
+    cand{tag} AS (
+        SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM bands b JOIN {index_cte} c ON b.band_key = c.band_key
+        WHERE {batch_pred.format(col='b.doc_id')}
+        GROUP BY 1, 2
+    ),
+    ver{tag} AS (
+        SELECT cand{tag}.batch_id,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+                   AS n_shared,
+               CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS BIGINT) AS n_union
+        FROM cand{tag}
+        JOIN sh sa ON cand{tag}.batch_id = sa.doc_id
+        JOIN sh sb ON cand{tag}.corpus_id = sb.doc_id
+    ),
+    agg{tag} AS (
+        SELECT batch_id, COUNT(*) AS n_candidates,
+               CAST(SUM(CASE WHEN 2 * n_shared >= n_union
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_dups
+        FROM ver{tag} GROUP BY 1
+    ),
+    dec{tag} AS (
+        SELECT b.doc_id AS batch_id,
+               COALESCE(a.n_candidates, 0) AS n_candidates,
+               COALESCE(a.n_verified_dups, 0) AS n_verified_dups,
+               COALESCE(a.n_verified_dups, 0) > 0 AS is_near_dup
+        FROM base b LEFT JOIN agg{tag} a ON b.doc_id = a.batch_id
+        WHERE {batch_pred.format(col='b.doc_id')}
+    )"""
+
+    return f"""{_minhash_cte_prefix(_REPLAY_BASE_SQL)},
+    idx1 AS (SELECT doc_id, band_key FROM bands WHERE doc_id < 100000),
+    {decisions('1', "{col} >= 100000 AND {col} < 400000", 'idx1').lstrip()},
+    acc1 AS (SELECT batch_id AS doc_id FROM dec1 WHERE NOT is_near_dup),
+    idx2 AS (
+        SELECT doc_id, band_key FROM idx1
+        UNION ALL
+        SELECT bands.doc_id, band_key FROM bands JOIN acc1 USING (doc_id)
+    ),
+    {decisions('2', "{col} >= 400000", 'idx2').lstrip()}
+    SELECT CAST(1 AS INTEGER) AS batch_no, * FROM dec1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS batch_no, * FROM dec2
+    """
+
+
+@register(
+    "neardup_ingest_replay",
+    oracle=_ingest_replay_oracle_sql(),
+    survey_ref="fuzzy dedup: two-batch ingest loop (probe + append + cross-batch)",
+)
+def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production ingestion loop, hash-checked: two consecutive
+    batches run through :meth:`..textops.neardup_index.NearDupIndex.
+    ingest_batch` against a fresh index — batch 1's accepted documents
+    are appended, and batch 2 contains near-dups OF THOSE documents, so
+    its decisions prove the cross-batch append actually happened (the
+    r5 gap: the loop existed but was pytest-only).
+
+    Scale shape: identical to :func:`incremental_neardup_filter` per
+    batch (batch bands broadcast, corpus index probed in place,
+    verification candidates-only) plus the append — idempotent,
+    column-pruned id guard, parquet append as the local stand-in for a
+    transactional table commit. The index is rebuilt in a scratch dir
+    each run (the replay must start from a known state to be
+    hash-checkable); production would keep it as the long-lived table
+    :func:`corpus_neardup_index` maintains."""
+    from ..textops.neardup_index import NearDupIndex
+    from .load import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = NearDupIndex.build(
+        spark, docs, scratch_dir("neardup_ingest_replay")
+    )
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    b1 = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("xqzv "), F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 10).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), rev.alias("text")
+            )
+        )
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 40 == 10)
+        .select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat(F.lit("qjkx "), rev).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 5).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.lit("wvux "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
+    d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
+    return d1.unionByName(d2).select(
+        "batch_no", "batch_id", "n_candidates", "n_verified_dups", "is_near_dup"
+    )

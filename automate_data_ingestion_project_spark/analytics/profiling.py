@@ -59,11 +59,6 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile(spark, sf_dir, exact=True)
 
 
-@register(
-    "table_profile_approx",
-    oracle=None,  # HLL sketches are engine-specific; rows-only by design
-    survey_ref="data-quality profiling: approx-distinct scale default",
-)
 def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-default profile: identical output shape to
     :func:`table_profile`, with ``approx_count_distinct(rsd=0.01)``
@@ -71,6 +66,60 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_plans.py`` asserts the plan contains NO Expand node
     and the estimates land within the documented rsd of exact."""
     return _profile(spark, sf_dir, exact=False)
+
+
+@register(
+    "table_profile_approx",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value,
+               TRUE AS distinct_ok
+        FROM orders'''
+        for c in _COLS
+    )}
+    """,
+    survey_ref="data-quality profiling: approx-distinct scale default (sketch contract)",
+)
+def table_profile_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-CHECKABLE contract for the approx profile. HLL++ sketch
+    values are engine-specific (DuckDB's sketch cannot hash-match
+    Spark's), so the registered form re-expresses the claim so it does
+    not have to: compute exact AND approx in ONE Spark pass and emit a
+    per-column ``distinct_ok = |approx - exact| <= max(3, 5·rsd·exact)``
+    boolean alongside the exact profile values; the oracle returns the
+    identical exact profile with the expected all-TRUE column. Same
+    measure-before-trusting discipline as ``minhash_estimate_error`` —
+    the calibration deliberately pays the exact pass; the production
+    scale default (:func:`table_profile_approx`, no Expand, plan-tested)
+    skips it.
+
+    The two profiles run as SEPARATE aggregates joined on column_name,
+    not one fused aggregate: fusing 6 exact distincts (the Expand
+    rewrite) with 6 rsd=0.01 HLL sketches (~10k registers each)
+    multiplies partial-aggregation buffer memory across Expand groups ×
+    shuffle partitions — measured OOM on a 1 GiB driver at sf0.01. Each
+    pass alone is the already-proven shape; the join is 6 rows ⋈ 6
+    rows."""
+    rsd = 0.01
+    exact = _profile(spark, sf_dir, exact=True)
+    approx = _profile(spark, sf_dir, exact=False).select(
+        "column_name", F.col("n_distinct").alias("n_approx")
+    )
+    tol = F.greatest(F.lit(3.0), F.lit(5 * rsd) * F.col("n_distinct"))
+    return exact.join(approx, "column_name").select(
+        "column_name",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        (F.abs(F.col("n_approx") - F.col("n_distinct")) <= tol).alias(
+            "distinct_ok"
+        ),
+    )
 
 
 def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:

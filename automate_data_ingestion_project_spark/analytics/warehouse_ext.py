@@ -319,17 +319,21 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-aggregate-ratio shape: numerator and denominator come
     out of ONE aggregate pass (a CASE inside the sum), never two jobs.
 
-    Scale shape: part is the broadcast dim (plan-audited star-join
-    rule), the fact shuffles once on the group key, and both sums
-    accumulate in DECIMAL (:func:`..functions.dsum`) so 1000-way
-    partial-aggregation order cannot flap the ratio's low bits.
+    Scale shape: the part join carries NO broadcast hint — ``part`` is
+    SF-scaled (SF x 200k rows; multi-TB at the 100 TB north star), so a
+    forced broadcast would override ``autoBroadcastJoinThreshold`` and
+    OOM the driver at scale. AQE picks broadcast when part actually
+    fits and sort-merge when it doesn't. The fact shuffles once on the
+    group key, and both sums accumulate in DECIMAL
+    (:func:`..functions.dsum`) so 1000-way partial-aggregation order
+    cannot flap the ratio's low bits.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
     agg = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             dsum(promo).alias("promo_revenue"),
@@ -618,12 +622,17 @@ def median_order_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions-of-keys profiling the scale default is the sketch form —
     the documented ``approx_percentile`` swap (same contract as
     table_profile vs table_profile_approx).
+
+    Join shape: customer is SF-scaled (SF x 150k rows) so it gets NO
+    broadcast hint — AQE broadcasts it at fixture scale and falls back
+    to a key-partitioned join when it no longer fits. nation (25 rows,
+    fixed by construction) keeps its hint.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

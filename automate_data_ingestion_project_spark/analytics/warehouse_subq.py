@@ -105,7 +105,9 @@ def small_qty_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first form: the per-part average is a group aggregate joined
     back on the SAME key the aggregate shuffled on, so AQE reuses the
     exchange — the fact relation shuffles once, and the |parts|-row
-    aggregate is the (small) probe side. ``part`` is the broadcast dim.
+    aggregate is the (small) probe side. ``part`` is SF-scaled (SF x
+    200k rows), so it carries NO broadcast hint: AQE broadcasts it at
+    fixture scale and switches to a key-partitioned join at 100 TB.
     The average accumulates in DECIMAL (identical expression in the
     oracle) so the `< 0.5*avg` boundary cannot flip under partial-agg
     reordering.
@@ -122,7 +124,7 @@ def small_qty_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     return (
-        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        small.join(part, small["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count("*").alias("n_small"),
@@ -161,6 +163,10 @@ def important_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice (the naive scalar-subquery plan re-executes the whole join
     tree for the threshold). Both aggregate levels accumulate in
     DECIMAL so the `>` boundary is stable.
+
+    Hint policy: only fixed-size relations are hinted — nation (25
+    rows) and the 1-row threshold aggregate. customer is SF-scaled so
+    its join is left to AQE.
     """
     from ..operators.caching import tracked_persist
 
@@ -172,7 +178,7 @@ def important_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nr = tracked_persist(
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(_rev()).alias("revenue"))
@@ -392,10 +398,12 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst do exactly that (CNF conversion + pushdown — the
     brand/size IN-bounds reach PushedFilters).
 
-    Scale shape: part shrinks to the 3 brands BEFORE the broadcast;
-    the fact never shuffles (broadcast join), and the residual OR is a
-    codegen'd row predicate — no Expand, no union-of-three-joins
-    (which would scan lineitem three times).
+    Scale shape: part shrinks to the 3 brands at its SCAN (the pushed
+    brand/size bounds), so the join's build side is tiny by filtering,
+    not by fiat — no broadcast hint is forced (part is SF-scaled; AQE
+    sees the post-filter size at runtime and broadcasts the shrunken
+    side). The residual OR is a codegen'd row predicate — no Expand,
+    no union-of-three-joins (which would scan lineitem three times).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -413,7 +421,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in arm_preds[1:]:
         pred = pred | p
     joined = li.join(
-        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        part, li["l_partkey"] == part["p_partkey"]
     ).filter(pred)
     return joined.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count("*").alias("n_lines"),
@@ -445,12 +453,14 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate only becomes evaluable after the fact row connects
     them.
 
-    Spark-first form: the fact joins each broadcast dim on its own
-    key (no dim⋈dim product is ever formed), and the cross-dimension
-    equality rides as a post-join residual filter on the already-joined
-    row — then one shuffle for the per-nation aggregate. At 100 TB the
-    only shuffle is the final |nations|-group aggregate; everything
-    upstream is broadcast-hash against the fact.
+    Spark-first form: the fact joins each dim on its own key (no
+    dim⋈dim product is ever formed), and the cross-dimension equality
+    rides as a post-join residual filter on the already-joined row —
+    then one shuffle for the per-nation aggregate. customer and
+    supplier are SF-scaled, so they carry NO broadcast hint: at
+    fixture scale AQE broadcasts both; at 100 TB those joins become
+    key-partitioned and the plan degrades gracefully instead of
+    OOMing the driver. Only nation (25 rows, fixed) keeps its hint.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -461,8 +471,8 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))

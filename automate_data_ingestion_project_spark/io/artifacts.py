@@ -81,8 +81,15 @@ def build_once(
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # prune superseded generations (and any abandoned build scratch)
+    # Prune superseded generations. `.build-*` scratch dirs are skipped:
+    # one may belong to a CONCURRENT builder mid-write (rmtree'ing it
+    # would fail that builder's Spark job after the point where its
+    # rename-race fallback could save it). Abandoned scratch from
+    # crashed builders is reclaimed lazily — the next builder with the
+    # same (fingerprint, pid) rmtree's its own path before building,
+    # and superseded FINGERPRINT dirs (the unbounded-growth risk) are
+    # still pruned every build.
     for d in os.listdir(root):
-        if d != fingerprint:
+        if d != fingerprint and not d.startswith(".build-"):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return final

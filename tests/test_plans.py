@@ -458,3 +458,62 @@ def test_disjunctive_predicate_pushes_or_factors_to_both_scans(spark, sf_dir):
         if "Location" in ln and "lineitem" in ln
     ]
     assert len(li_scans) == 1, li_scans
+
+
+# Queries whose join trees touch SF-scaled relations (customer SF×150k,
+# part SF×200k, supplier SF×10k). These are "dimensions" only at
+# fixture scale: at the 100 TB north star they are multi-TB, and a
+# mandatory F.broadcast hint overrides autoBroadcastJoinThreshold
+# unconditionally — the textbook driver-OOM scale-killer. The rule
+# (same as test_vocab_encode_has_no_forced_vocab_broadcast): only
+# relations whose size is FIXED BY CONSTRUCTION (nation, region, 1-row
+# aggregates, codebooks, the commune dim) may carry hints.
+_SF_SCALED_JOIN_QUERIES = [
+    "promo_revenue_share",
+    "median_order_by_nation",
+    "small_qty_revenue_by_brand",
+    "important_revenue_nations",
+    "disjunctive_promo_revenue",
+    "local_supplier_revenue",
+]
+_SF_SCALED_KEYS = ("c_custkey#", "p_partkey#", "s_suppkey#")
+
+
+def test_no_forced_broadcast_on_sf_scaled_relations(spark, sf_dir):
+    """With the broadcast threshold forced off, any BroadcastHashJoin
+    keyed on an SF-scaled relation's key can only come from a leftover
+    mandatory hint — there must be none. Fixed-size hints (nation,
+    1-row threshold aggregates) legitimately survive; they are keyed on
+    n_nationkey / hint-free crossJoins and don't match the scaled keys."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # queries that tracked_persist() intermediates may have been cached
+    # by an EARLIER test under the default threshold — the frozen
+    # InMemoryRelation child plan would then show that run's
+    # BroadcastHashJoin and fake an offender here
+    spark.catalog.clearCache()
+    try:
+        qs = entrymod.queries()
+        for name in _SF_SCALED_JOIN_QUERIES:
+            plan = _physical(qs[name](spark, sf_dir))
+            offenders = [
+                ln
+                for ln in plan.splitlines()
+                if "BroadcastHashJoin" in ln
+                and any(k in ln for k in _SF_SCALED_KEYS)
+            ]
+            assert not offenders, f"{name} still force-broadcasts: {offenders}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sf_scaled_joins_still_broadcast_at_fixture_scale(spark, sf_dir):
+    """The de-hinting must not cost the fixture-scale plan: with the
+    default threshold, Spark's size statistics (file sizes at sf0.001)
+    still pick broadcast for the same joins — proving the hint was
+    redundant where it was safe and only mattered where it was unsafe."""
+    spark.catalog.clearCache()  # see test above: stale cached plans lie
+    qs = entrymod.queries()
+    for name in _SF_SCALED_JOIN_QUERIES:
+        plan = _physical(qs[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name

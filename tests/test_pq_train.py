@@ -1,0 +1,51 @@
+"""PQ codebook training: the k-means contract (distortion monotone
+non-increasing; trained recall not worse than the sampled floor) and
+the plan shape (codebook broadcasts, no corpus-sized window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automate_data_ingestion_project_spark.analytics.pq_train import (
+    N_TRAIN_ITERS,
+    ann_pq_trained_recall_eval,
+    pq_train_distortion,
+)
+
+
+def test_distortion_monotone_non_increasing(spark, sf_dir):
+    """Lloyd's theorem: each (assign, mean-update) step cannot increase
+    total quantization distortion. With exact integer accumulation the
+    inequality must hold exactly, every iteration."""
+    rows = sorted(pq_train_distortion(spark, sf_dir).collect(), key=lambda r: r.iter)
+    assert [r.iter for r in rows] == list(range(N_TRAIN_ITERS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.mean_distortion <= prev.mean_distortion, (
+            prev.iter, prev.mean_distortion, cur.iter, cur.mean_distortion)
+    # training must actually move: the seed codebook is an arbitrary
+    # sample, so at least the first update strictly improves
+    assert rows[-1].mean_distortion < rows[0].mean_distortion
+
+
+def test_trained_recall_not_worse_than_sampled(spark):
+    """Mean recall@k with the trained codebook must be >= the sampled
+    floor (ann_pq_recall_eval's documented contract: the untrained
+    number is "the FLOOR a trained codebook must beat"). Evaluated at
+    the oracle SF so the query set matches the driver's check."""
+    from tests.conftest import SF_ORACLE_DIR
+
+    rows = ann_pq_trained_recall_eval(spark, SF_ORACLE_DIR).collect()
+    mean_s = sum(r.recall_sampled for r in rows) / len(rows)
+    mean_t = sum(r.recall_trained for r in rows) / len(rows)
+    assert mean_t >= mean_s, (mean_s, mean_t)
+
+
+def test_training_plan_broadcasts_codebook(spark, sf_dir):
+    """Every Lloyd iteration's assignment joins the corpus against the
+    M*K-row codebook — that join must be broadcast (the codebook is
+    fixed-size by construction), and no corpus-sized window may appear
+    (assignment is the min-struct aggregate, not row_number)."""
+    df = pq_train_distortion(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
