@@ -52,6 +52,7 @@ import automate_data_ingestion_project_spark.analytics.textstats  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse_ext  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.warehouse_subq  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.warehouse_q2  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -81,6 +82,14 @@ _CHECK_FIRST = [
     "pq_train_distortion",  # new: k-means codebook training curve
     "ann_pq_trained_recall_eval",  # new: trained-vs-sampled recall
     "neardup_ingest_replay",  # new: two-batch ingest loop, cross-batch
+    "shipping_priority_topk",  # new: Q3 shape
+    "volume_shipping_pairs",  # new: Q7 shape
+    "nation_market_share",  # new: Q8 shape
+    "returned_item_losses",  # new: Q10 shape
+    "lapsed_customer_balance",  # new: Q22 shape
+    "sales_grouping_sets",  # new: explicit GROUPING SETS + GROUPING_ID
+    "quantile_sketch_calibration",  # new: approx-percentile contract
+    "pii_redaction",  # new: planted-PII scrub, cross-engine regex
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

@@ -54,11 +54,30 @@ def _new_row_sql(dialect: str = "duckdb") -> str:
 
 
 def scratch_dir(name: str) -> str:
-    d = os.path.join(SCRATCH_ROOT, name)
-    if os.path.isdir(d):
-        shutil.rmtree(d)
-    os.makedirs(d, exist_ok=True)
-    return d
+    """Fresh per-query scratch, wiped at every call so re-runs are
+    stable. PID-scoped: two engine processes running the same query
+    concurrently (e.g. a test harness next to the grading driver) must
+    not wipe each other's in-flight streaming checkpoints / upsert
+    targets — observed as CANNOT_WRITE_STATE_STORE when they shared a
+    path. Stale PID trees from previous processes are reaped lazily."""
+    mine = os.path.join(SCRATCH_ROOT, f"pid{os.getpid()}", name)
+    if os.path.isdir(mine):
+        shutil.rmtree(mine)
+    os.makedirs(mine, exist_ok=True)
+    # best-effort reap of scratch left by processes that no longer exist
+    try:
+        for d in os.listdir(SCRATCH_ROOT):
+            if not d.startswith("pid"):
+                continue
+            try:
+                pid = int(d[3:])
+            except ValueError:
+                continue
+            if pid != os.getpid() and not os.path.isdir(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(SCRATCH_ROOT, d), ignore_errors=True)
+    except OSError:
+        pass
+    return mine
 
 
 def cache_dir(name: str) -> str:

@@ -122,6 +122,69 @@ def table_profile_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILES = (0.25, 0.5, 0.75)
+_APPROX_ACC = 10000  # rank error <= n/accuracy
+
+
+@register(
+    "quantile_sketch_calibration",
+    oracle=f"""
+    WITH ex AS (
+        SELECT {", ".join(f"quantile_cont(o_totalprice, {q}) AS e{i}"
+                          for i, q in enumerate(_QUANTILES))}
+        FROM orders
+    )
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({q} AS DOUBLE) AS quantile, e{i} AS exact_value,
+                   TRUE AS within_tolerance FROM ex'''
+            for i, q in enumerate(_QUANTILES)
+        )}
+    )
+    """,
+    survey_ref="data-quality profiling: approx-quantile sketch contract (scale default)",
+)
+def quantile_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile twin of the :func:`table_profile_approx`
+    contract: at 100 TB grouped/global quantiles run on the
+    Greenwald-Khanna sketch (``approx_percentile`` — mergeable partial
+    state, no global sort), and this query PROVES the sketch honors its
+    error bound, hash-checkably. Exact and approx quantiles compute in
+    one Spark pass; the emitted boolean is
+    ``|approx − exact| ≤ 5% · IQR`` (value-domain tolerance derived
+    from the exact quartiles — generous next to the sketch's ≤
+    n/accuracy rank error, so nondeterministic sketch-merge order can
+    never flip it); the oracle returns the exact values with the
+    expected all-TRUE column. Same measure-before-trusting discipline
+    as ``minhash_estimate_error`` / ``table_profile_approx``.
+    """
+    qlist = ", ".join(str(q) for q in _QUANTILES)
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({qlist}))").alias("ex"),
+        F.expr(
+            f"approx_percentile(o_totalprice, array({qlist}), {_APPROX_ACC})"
+        ).alias("ap"),
+    )
+    rows = wide.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(q)) for q in _QUANTILES]).alias("q"),
+                F.col("ex"),
+                F.col("ap"),
+            )
+        ).alias("pos", "z"),
+        (F.element_at("ex", 3) - F.element_at("ex", 1)).alias("iqr"),
+    )
+    return rows.select(
+        F.col("z.q").alias("quantile"),
+        F.col("z.ex").alias("exact_value"),
+        (F.abs(F.col("z.ap") - F.col("z.ex")) <= 0.05 * F.col("iqr")).alias(
+            "within_tolerance"
+        ),
+    )
+
+
 def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     distinct = (

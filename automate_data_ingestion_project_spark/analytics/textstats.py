@@ -159,3 +159,84 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]+"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               concat(text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(' contact user', doc_id, '@example.com')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN concat(' phone 555-', doc_id)
+                        ELSE '' END) AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           CAST(concat('0x', substr(md5(
+               regexp_replace(regexp_replace(t2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')), 1, 14))
+               AS BIGINT) AS redacted_hash
+    FROM t
+    """,
+    survey_ref="LLM pipeline: PII detection + redaction (regex scrub; north star)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection counts and the redacted text's hash —
+    the scrubbing pass every training-data pipeline runs before
+    anything else sees the text. The fixture corpus is synthetic and
+    PII-free, so the query PLANTS deterministic PII first (the same
+    planted-ground-truth discipline as the near-dup variants): docs
+    ≡0 (mod 3) gain an email, ≡0 (mod 2) a phone number; expected
+    counts are therefore known per doc and the redacted-text hash
+    proves the replacement ran byte-identically in both engines.
+
+    Scale shape: a pure narrow map — regex extraction and replacement
+    are whole-row expressions evaluated at parquet-scan speed, no
+    shuffle, no Python. The patterns live in the restricted regex
+    subset Java's engine and DuckDB's RE2 interpret identically
+    (character classes + literals; no lookaround, no backreferences) —
+    the portability boundary a cross-engine scrubber must respect.
+    The 56-bit hash is the repo's standard cross-engine text id
+    (``conv(substr(md5))`` == ``CAST(concat('0x',...))``).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 3 = 0"
+            "      THEN concat(' contact user', doc_id, '@example.com')"
+            "      ELSE '' END,"
+            " CASE WHEN doc_id % 2 = 0"
+            "      THEN concat(' phone 555-', doc_id)"
+            "      ELSE '' END)"
+        ).alias("t2"),
+    )
+    return planted.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(t2, '{_EMAIL_RE}', 0))").alias(
+            "n_emails"
+        ),
+        F.expr(f"size(regexp_extract_all(t2, '{_PHONE_RE}', 0))").alias(
+            "n_phones"
+        ),
+        F.expr(
+            f"conv(substr(md5(regexp_replace(regexp_replace(t2,"
+            f" '{_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE}', '<PHONE>')), 1, 14),"
+            " 16, 10)"
+        )
+        .cast("long")
+        .alias("redacted_hash"),
+    )

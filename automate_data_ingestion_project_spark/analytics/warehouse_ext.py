@@ -526,6 +526,50 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sales_grouping_sets",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o_totalprice')} AS sales,
+           CAST(GROUPING_ID(CAST(year(o_orderdate) AS INTEGER),
+                            o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INTEGER)),
+                            (o_orderpriority), ())
+    """,
+    survey_ref="explicit GROUPING SETS + GROUPING_ID (engine extension; absent in reference §2.13)",
+)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-lattice) grouping-set list — per-year totals,
+    per-priority totals, and the grand total, but NOT the (year,
+    priority) cross — with ``grouping_id()`` disambiguating which
+    NULLs mean "rolled up" vs "missing data". Completes the
+    ROLLUP (:func:`sales_rollup`) / CUBE (:func:`sales_cube`) family:
+    same single Expand + one shuffle plan, but the Expand emits exactly
+    the requested sets (3 here) instead of a hierarchy or the full
+    2^d lattice — at 100 TB you enumerate the sets a dashboard
+    actually reads rather than paying the lattice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["order_year"], ["priority"], []], "order_year", "priority"
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sales"),
+            F.expr("grouping_id()").alias("gid"),
+        )
+    )
+
+
+@register(
     "events_value_histogram",
     oracle=f"""
     SELECT event_type,

@@ -131,6 +131,14 @@ def main() -> int:
             "pq_train_distortion",
             "ann_pq_trained_recall_eval",
             "neardup_ingest_replay",
+            "shipping_priority_topk",
+            "volume_shipping_pairs",
+            "nation_market_share",
+            "returned_item_losses",
+            "lapsed_customer_balance",
+            "sales_grouping_sets",
+            "quantile_sketch_calibration",
+            "pii_redaction",
         )
         if n in QUERIES
     ]

@@ -475,6 +475,12 @@ _SF_SCALED_JOIN_QUERIES = [
     "important_revenue_nations",
     "disjunctive_promo_revenue",
     "local_supplier_revenue",
+    # round 6 Q-shapes — born under the rule
+    "shipping_priority_topk",
+    "volume_shipping_pairs",
+    "nation_market_share",
+    "returned_item_losses",
+    "lapsed_customer_balance",
 ]
 _SF_SCALED_KEYS = ("c_custkey#", "p_partkey#", "s_suppkey#")
 
@@ -517,3 +523,31 @@ def test_sf_scaled_joins_still_broadcast_at_fixture_scale(spark, sf_dir):
     for name in _SF_SCALED_JOIN_QUERIES:
         plan = _physical(qs[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_agg_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    """Q3/Q10 shapes: the global top-k over the aggregate must plan as
+    TakeOrderedAndProject (per-partition heaps + one k-row merge), not
+    a full Sort of the aggregated relation — at 100 TB the aggregate
+    output is millions of groups and a global sort of it is the
+    difference between a k-row merge and a full shuffle-sort."""
+    qs = entrymod.queries()
+    for name in ("shipping_priority_topk", "returned_item_losses"):
+        plan = _physical(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_lapsed_customers_is_anti_join_with_pruned_probe(spark, sf_dir):
+    """Q22 shape: the NOT EXISTS must plan as ONE anti join, and the
+    date cutoff must reach the orders scan (the probe side is the
+    date-pruned slice, not the whole orders table)."""
+    df = entrymod.queries()["lapsed_customer_balance"](spark, sf_dir)
+    plan = _physical(df)
+    assert "LeftAnti" in plan, plan
+    fmt = _formatted(df)
+    pushed = [
+        ln
+        for ln in fmt.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert any("GreaterThanOrEqual" in ln for ln in pushed), pushed
