@@ -90,6 +90,8 @@ _CHECK_FIRST = [
     "sales_grouping_sets",  # new: explicit GROUPING SETS + GROUPING_ID
     "quantile_sketch_calibration",  # new: approx-percentile contract
     "pii_redaction",  # new: planted-PII scrub, cross-engine regex
+    "multimodal_resize",  # new: downsample through the Arrow decode seam
+    "stream_stream_join",  # new: watermarked stream-stream interval join
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

@@ -838,17 +838,28 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (batch bands broadcast, corpus index probed in place,
     verification candidates-only) plus the append — idempotent,
     column-pruned id guard, parquet append as the local stand-in for a
-    transactional table commit. The index is rebuilt in a scratch dir
-    each run (the replay must start from a known state to be
-    hash-checkable); production would keep it as the long-lived table
-    :func:`corpus_neardup_index` maintains."""
-    from ..textops.neardup_index import NearDupIndex
+    transactional table commit. The replay must start from a known
+    state to be hash-checkable, and it MUTATES its index, so it clones
+    the fingerprint-keyed :func:`corpus_neardup_index` artifact (a file
+    copy — the corpus is the same originals-only relation, and artifact
+    content is deterministic, so the clone hash-matches a fresh build
+    without recomputing shingles/signatures; production replays against
+    a table snapshot the same way)."""
+    import shutil
+
+    from ..textops.neardup_index import BANDS_SUBDIR, ROWS_SUBDIR, NearDupIndex
     from .load import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    index = NearDupIndex.build(
-        spark, docs, scratch_dir("neardup_ingest_replay")
-    )
+    src = corpus_neardup_index(spark, sf_dir)
+    root = scratch_dir("neardup_ingest_replay")
+    shutil.copytree(src.bands_path, os.path.join(root, BANDS_SUBDIR))
+    shutil.copytree(src.rows_path, os.path.join(root, ROWS_SUBDIR))
+    # the copy happened outside Spark's write path, so the session's
+    # FileStatusCache still holds the PREVIOUS run's listing for this
+    # scratch path — refresh or the re-run reads deleted file names
+    spark.catalog.refreshByPath(root)
+    index = NearDupIndex(spark, root)
     rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
     b1 = (
         docs.filter(F.col("doc_id") % 20 == 0)

@@ -149,3 +149,46 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("chunk").cast("bigint").alias("chunk_bytes"),
         F.sha2("chunk", 256).alias("chunk_sha"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
+               text, length(text) AS n
+        FROM documents
+        WHERE length(text) = octet_length(encode(text)) AND length(text) > 0
+    )
+    SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+           {", ".join(f"CAST(ascii(text[(({j} * n) // 8) + 1]) AS INTEGER)"
+                      f" AS s{j}" for j in range(8))}
+    FROM base
+    """,
+    survey_ref="multimodal: resize/downsample via Arrow mapInPandas (north star)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width nearest-neighbor downsample of every payload — the
+    RESIZE member of the decode quartet (decode / feature-extract /
+    resize / frame-sample), through the same Arrow ``mapInPandas`` seam
+    as ``multimodal_features``. The stub treats bytes as the decoded
+    signal (integer index arithmetic — exactly mirrored by the oracle
+    on the ASCII parity set); a real thumbnailer plugs into
+    :func:`..multimodal.downsample_media`'s decoder seam unchanged.
+    """
+    from ..multimodal import THUMB_SAMPLES, downsample_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    thumbs = downsample_media(synthesize_media(docs))
+    return thumbs.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.element_at("thumb", j + 1).alias(f"s{j}")
+            for j in range(THUMB_SAMPLES)
+        ],
+    )

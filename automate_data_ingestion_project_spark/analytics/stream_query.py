@@ -200,3 +200,86 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
     return got.groupBy("user_id").agg(F.max("total_events").alias("total_events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE
+    """,
+    survey_ref="streaming extension (stream-stream interval join w/ watermarks)",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via a REAL stream-stream inner join: the view stream
+    joins the click stream on user within a 60-minute event-time bound,
+    both sides watermarked — the canonical two-unbounded-inputs shape
+    (ad impressions ⋈ clicks) that batch engines fake with a windowed
+    self-join.
+
+    Why this is its own operator: a stream-stream join buffers BOTH
+    sides in the state store, and the watermark + the time-bound join
+    condition are what let Spark evict state (a view older than
+    watermark − 60 min can never match a future click). Without the
+    interval bound the state grows without limit — the join condition
+    IS the retention policy at 100 TB/day. Replay uses
+    Trigger.AvailableNow + append mode (the only mode stream-stream
+    inner joins support); the result must equal the batch interval
+    join, which is the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    base = scratch_dir("stream_stream_join")
+    vsrc, csrc = os.path.join(base, "views"), os.path.join(base, "clicks")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    ev.filter(F.col("event_type") == "view").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(vsrc)
+    ev.filter(F.col("event_type") == "click").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(csrc)
+
+    schema = "event_id long, ts timestamp, event_type string, user_id long"
+    views = (
+        stream_events(spark, vsrc, schema=schema)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "90 days")
+    )
+    clicks = (
+        stream_events(spark, csrc, schema=schema)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "90 days")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    root = scratch_dir("stream_stream_join_ckpt")
+    return run_available_now(
+        joined,
+        name,
+        output_mode="append",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )

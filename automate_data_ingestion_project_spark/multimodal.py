@@ -137,6 +137,49 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+THUMB_SAMPLES = 8
+
+
+def downsample_media(media: DataFrame, n_samples: int = THUMB_SAMPLES) -> DataFrame:
+    """The RESIZE analog of the decode pipeline: nearest-neighbor
+    downsample of each payload's byte sequence to a fixed number of
+    samples (a thumbnail for images, a waveform sketch for audio) —
+    the standard pre-embedding normalization step, run through the
+    same Arrow ``mapInPandas`` seam as :func:`extract_features`.
+
+    The stub "decode" treats the payload as its raw byte signal;
+    sample j of n is byte ``(j * len) // n`` (pure integer arithmetic,
+    so the DuckDB oracle reproduces it exactly on ASCII fixtures). A
+    real resize (PIL thumbnail, librosa resample) plugs into the same
+    function shape: bytes in, fixed-width numeric vector out, schema
+    declared up front, cost per Arrow batch not per row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                n = len(p)
+                thumbs.append(
+                    [int(p[(j * n) // n_samples]) for j in range(n_samples)]
+                    if n
+                    else [0] * n_samples
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, kind string, n_bytes long, thumb array<int>",
+    )
+
+
 def sample_chunks(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     """Frame-sampling analog, fully native: slice the payload into
     fixed windows with binary ``substring`` — no Python, no decode.
