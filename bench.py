@@ -165,10 +165,14 @@ def main() -> int:
         corpus_neardup_index,
         minhash_pairs_evidence,
     )
+    from automate_data_ingestion_project_spark.analytics.pq_train import (
+        _train as pq_train_artifact,
+    )
 
     t0 = time.perf_counter()
     corpus_neardup_index(spark, sf_dir)
     minhash_pairs_evidence(spark, sf_dir)
+    pq_train_artifact(spark, sf_dir)
     release_caches()
     artifact_build = round(time.perf_counter() - t0, 4)
 
@@ -275,24 +279,26 @@ def main() -> int:
         if canary_ratio:
             out["vs_prior"]["canary_ratio"] = canary_ratio
 
-    # Trim the PRINTED line to the driver's 2000-char stdout window:
-    # keep the slowest queries (the informative ones) until the line
-    # fits, and record how many were elided + where the full map is.
+    print(_fit_line(out, timings))
+    return 0
+
+
+def _fit_line(out: dict, timings: dict, limit: int = 1900) -> str:
+    """Trim the PRINTED record to the driver's 2000-char stdout window:
+    keep the slowest queries (the informative ones) until the compact
+    JSON line fits ``limit``, recording how many queries were elided
+    and where the full map lives."""
     printed = dict(out)
     printed["n_queries"] = len(timings)
     printed["full_map"] = "BENCH_FULL.json"
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = len(by_cost)
-    while keep > 5:
-        printed["queries"] = dict(
-            sorted(by_cost[:keep], key=lambda kv: kv[0])
-        )
+    while True:
+        printed["queries"] = dict(sorted(by_cost[:keep], key=lambda kv: kv[0]))
         line = json.dumps(printed, separators=(",", ":"))
-        if len(line) <= 1900:
-            break
+        if len(line) <= limit or keep <= 5:
+            return line
         keep -= 5
-    print(json.dumps(printed, separators=(",", ":")))
-    return 0
 
 
 def _latest_prior_bench(repo_dir: str, sf: float):

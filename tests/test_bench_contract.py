@@ -1,0 +1,67 @@
+"""bench.py's driver contract: the printed line must fit the grading
+driver's 2000-char stdout window at ANY registry size, and the
+prior-round reader must recover per-query timings from a truncated
+record (the BENCH_r05.json failure mode)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _fit_line, _latest_prior_bench
+
+
+def _fake(n):
+    return {f"query_name_number_{i:04d}": round(0.1 * i, 4) for i in range(n)}
+
+
+def test_fit_line_fits_at_any_registry_size():
+    for n in (10, 80, 200, 500):
+        timings = _fake(n)
+        out = {
+            "metric": "headline_queries_total",
+            "value": 1.0,
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+            "canary_sec": 0.2,
+        }
+        line = _fit_line(out, timings)
+        assert len(line) <= 1900, (n, len(line))
+        d = json.loads(line)
+        assert d["n_queries"] == n
+        assert d["full_map"] == "BENCH_FULL.json"
+        # the kept subset is the SLOWEST queries — the informative ones
+        if d["queries"] and len(d["queries"]) < n:
+            kept_min = min(d["queries"].values())
+            dropped_max = max(
+                v for k, v in timings.items() if k not in d["queries"]
+            )
+            assert kept_min >= dropped_max
+
+
+def test_prior_reader_recovers_truncated_tail(tmp_path):
+    # a record whose JSON line was cut at the FRONT (driver tail), with
+    # a vs_prior block whose regression RATIOS must not parse as timings
+    full = {
+        "queries": {"alpha_query": 1.5, "beta_query": 2.25},
+        "sf": 0.1,
+        "canary_sec": 0.21,
+        "vs_prior": {"regressions": {"gamma_query": 1.33}},
+    }
+    line = json.dumps(full)
+    record = {"rc": 0, "sf": 0.1, "tail": line[10:], "parsed": None}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(record))
+    f, qs, canary = _latest_prior_bench(str(tmp_path), 0.1)
+    assert f == "BENCH_r03.json"
+    assert qs == {"alpha_query": 1.5, "beta_query": 2.25}
+    assert "gamma_query" not in qs
+    assert canary == 0.21
+
+
+def test_prior_reader_prefers_parsed_record(tmp_path):
+    rec3 = {"rc": 0, "parsed": {"queries": {"q": 1.0}, "sf": 0.1, "canary_sec": 0.2}}
+    rec4 = {"rc": 0, "parsed": {"queries": {"q": 2.0}, "sf": 0.1, "canary_sec": 0.3}}
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(rec3))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(rec4))
+    f, qs, canary = _latest_prior_bench(str(tmp_path), 0.1)
+    assert f == "BENCH_r04.json" and qs == {"q": 2.0} and canary == 0.3

@@ -44,8 +44,18 @@ def test_training_plan_broadcasts_codebook(spark, sf_dir):
     """Every Lloyd iteration's assignment joins the corpus against the
     M*K-row codebook — that join must be broadcast (the codebook is
     fixed-size by construction), and no corpus-sized window may appear
-    (assignment is the min-struct aggregate, not row_number)."""
-    df = pq_train_distortion(spark, sf_dir)
+    (assignment is the min-struct aggregate, not row_number). Audited
+    on the LIVE loop (the artifact builder); the registered queries
+    read the materialized artifact, whose plan is just scans."""
+    from automate_data_ingestion_project_spark.analytics.pq_train import (
+        assign_codes,
+        fp_subvectors,
+        sampled_codebook,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    subs = fp_subvectors(load_table(spark, sf_dir, "embeddings"))
+    df = assign_codes(subs, sampled_codebook(subs))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
