@@ -92,6 +92,7 @@ _CHECK_FIRST = [
     "pii_redaction",  # new: planted-PII scrub, cross-engine regex
     "multimodal_resize",  # new: downsample through the Arrow decode seam
     "stream_stream_join",  # new: watermarked stream-stream interval join
+    "peak_concurrent_sessions",  # new: per-day interval sweep-line
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

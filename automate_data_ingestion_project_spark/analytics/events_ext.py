@@ -133,3 +133,124 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour_of_day")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > {GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, sid, MIN(ts) AS s,
+               MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT s, e,
+               CAST(unnest(generate_series(
+                   CAST(s AS DATE), CAST(e AS DATE), INTERVAL 1 DAY))
+                   AS DATE) AS day
+        FROM intervals
+    ),
+    bounds AS (
+        SELECT day, greatest(s, CAST(day AS TIMESTAMP)) AS t, 1 AS delta
+        FROM days
+        UNION ALL
+        SELECT day, least(e, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS t,
+               -1 AS delta
+        FROM days
+    ),
+    running AS (
+        SELECT day, delta,
+               SUM(delta) OVER (
+                   PARTITION BY day ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING) AS cur
+        FROM bounds
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+           CAST(MAX(cur) AS BIGINT) AS peak_concurrency
+    FROM running GROUP BY 1
+    """,
+    survey_ref="interval sweep-line: peak concurrent sessions per day (engine ext)",
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous OPEN sessions per day — the classic sweep-line
+    (+1 at session start, −1 at session end, running sum, max), the
+    load-planning number behind capacity dashboards. A session stays
+    open ``GAP_SECONDS`` past its last event (the session-window
+    semantics) and counts in every day it touches, boundaries clipped
+    to the day.
+
+    Scale shape: the naive sweep is ONE global ordered running sum —
+    a single-task serialization at 100 TB. Clipping each interval to
+    the days it touches makes the sweep per-day independent: the
+    window partitions by ``day`` (bounded rows per partition, parallel
+    across days), and no cross-day carry is needed because a session
+    spanning midnight contributes a +1 at 00:00 of the later day by
+    construction. Tie order (t, delta) processes ends before starts at
+    equal timestamps — half-open [s, e) intervals, deterministic in
+    both engines; equal-(t, delta) permutations cannot change the
+    prefix-sum multiset, so MAX is stable under ROWS-frame tie
+    arbitrariness.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > GAP_SECONDS * 1_000_000), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_session").over(run))
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr(f"INTERVAL {GAP_SECONDS} SECONDS")).alias("e"),
+    )
+    days = intervals.select(
+        "s",
+        "e",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"),
+    )
+    starts = days.select(
+        "day",
+        F.greatest(F.col("s"), F.col("day").cast("timestamp")).alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = days.select(
+        "day",
+        F.least(
+            F.col("e"),
+            F.date_add("day", 1).cast("timestamp"),
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    sweep = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = bounds.withColumn("cur", F.sum("delta").over(sweep))
+    return running.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max("cur").cast("long").alias("peak_concurrency"),
+    )

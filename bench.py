@@ -141,6 +141,7 @@ def main() -> int:
             "pii_redaction",
             "multimodal_resize",
             "stream_stream_join",
+            "peak_concurrent_sessions",
         )
         if n in QUERIES
     ]
