@@ -250,8 +250,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(csrc)
 
     schema = "event_id long, ts timestamp, event_type string, user_id long"
+    # one file per trigger: each side has 2 files, so matches MUST form
+    # across micro-batches through the join's buffered state (a click
+    # arriving in batch 3 joining a view buffered since batch 1) — the
+    # whole point of a stream-stream join; a single drained batch would
+    # only exercise within-batch matching
     views = (
-        stream_events(spark, vsrc, schema=schema)
+        stream_events(spark, vsrc, schema=schema, max_files_per_trigger=1)
         .select(
             F.col("user_id"),
             F.col("event_id").alias("view_id"),
@@ -260,7 +265,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "90 days")
     )
     clicks = (
-        stream_events(spark, csrc, schema=schema)
+        stream_events(spark, csrc, schema=schema, max_files_per_trigger=1)
         .select(
             F.col("user_id").alias("c_user_id"),
             F.col("event_id").alias("click_id"),
