@@ -21,11 +21,13 @@ from .registry import register
 
 GAP_SECONDS = 1800
 
-
-@register(
-    "event_sessions",
-    oracle=f"""
-    WITH ordered AS (
+# ONE definition of "session" shared by every consumer (event_sessions,
+# peak_concurrent_sessions): gap threshold, (ts, event_id) tie order and
+# NULL-gap handling live here so the queries cannot silently diverge.
+# Compare in microseconds on BOTH engines: unix_timestamp() truncates to
+# whole seconds while DuckDB epoch() keeps fractions, so a gap within ~1s
+# of the threshold could classify differently (events.ts is µs-precise).
+_SESSION_CTE = f"""ordered AS (
         SELECT user_id, ts, event_id,
                epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
         FROM events
@@ -45,7 +47,27 @@ GAP_SECONDS = 1800
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM flagged
+    )"""
+
+
+def session_rows(ev: DataFrame) -> DataFrame:
+    """(user_id, ts, session_id): the Spark twin of ``_SESSION_CTE``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > GAP_SECONDS * 1_000_000), 1).otherwise(0),
     )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_id", F.sum("new_session").over(run).cast("long")
+    ).select("user_id", "ts", "session_id")
+
+
+@register(
+    "event_sessions",
+    oracle=f"""
+    WITH {_SESSION_CTE}
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events
@@ -56,22 +78,7 @@ GAP_SECONDS = 1800
 )
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Compare in microseconds on BOTH engines: unix_timestamp() truncates to
-    # whole seconds while DuckDB epoch() keeps fractions, so a gap within ~1s
-    # of the threshold could classify differently (events.ts is µs-precise).
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap_us.isNull() | (gap_us > GAP_SECONDS * 1_000_000), 1).otherwise(0),
-    )
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = flagged.withColumn(
-        "session_id", F.sum("new_session").over(run).cast("long")
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
+    return session_rows(ev).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
@@ -138,29 +145,11 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "peak_concurrent_sessions",
     oracle=f"""
-    WITH ordered AS (
-        SELECT user_id, ts, event_id,
-               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN gap_us IS NULL OR gap_us > {GAP_SECONDS} * 1000000
-                    THEN 1 ELSE 0 END AS new_session
-        FROM ordered
-    ),
-    sess AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS sid
-        FROM flagged
-    ),
+    WITH {_SESSION_CTE},
     intervals AS (
-        SELECT user_id, sid, MIN(ts) AS s,
+        SELECT user_id, session_id, MIN(ts) AS s,
                MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS e
-        FROM sess GROUP BY 1, 2
+        FROM sessions GROUP BY 1, 2
     ),
     days AS (
         SELECT s, e,
@@ -213,15 +202,7 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrariness.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap_us.isNull() | (gap_us > GAP_SECONDS * 1_000_000), 1).otherwise(0),
-    )
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = flagged.withColumn("sid", F.sum("new_session").over(run))
-    intervals = sess.groupBy("user_id", "sid").agg(
+    intervals = session_rows(ev).groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"),
         (F.max("ts") + F.expr(f"INTERVAL {GAP_SECONDS} SECONDS")).alias("e"),
     )

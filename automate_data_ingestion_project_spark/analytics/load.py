@@ -73,11 +73,29 @@ def scratch_dir(name: str) -> str:
                 pid = int(d[3:])
             except ValueError:
                 continue
-            if pid != os.getpid() and not os.path.isdir(f"/proc/{pid}"):
+            if pid != os.getpid() and not _pid_alive(pid):
                 shutil.rmtree(os.path.join(SCRATCH_ROOT, d), ignore_errors=True)
     except OSError:
         pass
     return mine
+
+
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe. ``kill(pid, 0)`` sends no signal but
+    performs the existence/permission check everywhere POSIX —
+    checking ``/proc/<pid>`` would report every process dead on
+    non-Linux hosts and reap LIVE processes' scratch (reintroducing
+    the concurrent-checkpoint-wipe bug the PID scoping fixed).
+    EPERM means the pid exists but belongs to another user: alive."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknown — never reap on doubt
 
 
 def cache_dir(name: str) -> str:

@@ -151,6 +151,9 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..multimodal import THUMB_SAMPLES as _THUMB
+
+
 @register(
     "multimodal_resize",
     oracle=f"""
@@ -162,8 +165,8 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE length(text) = octet_length(encode(text)) AND length(text) > 0
     )
     SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
-           {", ".join(f"CAST(ascii(text[(({j} * n) // 8) + 1]) AS INTEGER)"
-                      f" AS s{j}" for j in range(8))}
+           {", ".join(f"CAST(ascii(text[(({j} * n) // {_THUMB}) + 1]) AS INTEGER)"
+                      f" AS s{j}" for j in range(_THUMB))}
     FROM base
     """,
     survey_ref="multimodal: resize/downsample via Arrow mapInPandas (north star)",

@@ -13,13 +13,19 @@ Two registered variants:
   ``approx_count_distinct(rsd=0.01)`` keeps the profile a true single
   pass: partial sketches merge associatively, the shuffle carries one
   fixed-size sketch per column, and no row multiplication happens.
-  Sketches are engine-specific, so the driver records the (weaker)
-  rows-only check for it — by design.
+  Raw sketch values are engine-specific, so the REGISTERED form under
+  this name (:func:`table_profile_approx_checked`) re-expresses the
+  claim as per-column ``distinct_ok`` tolerance booleans the DuckDB
+  oracle CAN hash-match — the driver runs a full value-hash check, not
+  a rows-only one.
 - :func:`table_profile` — the exact form, kept as the ORACLE query
   (hash-matched against DuckDB). Exact multi-column COUNT(DISTINCT)
   goes through Spark's Expand rewrite — a |columns|× row
   multiplication before the shuffle, which at 100 TB IS the job; fine
   at fixture scale, wrong as the default.
+
+The same tolerance-boolean contract covers the quantile sketch
+(:func:`quantile_sketch_calibration` — approx_percentile vs exact).
 """
 
 from __future__ import annotations

@@ -208,35 +208,42 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset Java's engine and DuckDB's RE2 interpret identically
     (character classes + literals; no lookaround, no backreferences) —
     the portability boundary a cross-engine scrubber must respect.
-    The 56-bit hash is the repo's standard cross-engine text id
-    (``conv(substr(md5))`` == ``CAST(concat('0x',...))``).
+    The Spark side passes patterns through the COLUMN API, never an
+    ``F.expr`` SQL string: the SQL parser applies string-literal escape
+    processing that would silently turn the pattern's ``\\.`` into a
+    match-anything ``.`` (verified: the expr form matched
+    ``user@exampleXcom``; DuckDB's literal did not — two different
+    regexes hiding behind one source string). The 56-bit hash is the
+    repo's standard cross-engine text id (``conv(substr(md5))`` ==
+    ``CAST(concat('0x',...))``).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.select(
         "doc_id",
-        F.expr(
-            "concat(text,"
-            " CASE WHEN doc_id % 3 = 0"
-            "      THEN concat(' contact user', doc_id, '@example.com')"
-            "      ELSE '' END,"
-            " CASE WHEN doc_id % 2 = 0"
-            "      THEN concat(' phone 555-', doc_id)"
-            "      ELSE '' END)"
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" phone 555-"), F.col("doc_id")),
+            ).otherwise(""),
         ).alias("t2"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t2"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
     )
     return planted.select(
         "doc_id",
-        F.expr(f"size(regexp_extract_all(t2, '{_EMAIL_RE}', 0))").alias(
-            "n_emails"
-        ),
-        F.expr(f"size(regexp_extract_all(t2, '{_PHONE_RE}', 0))").alias(
-            "n_phones"
-        ),
-        F.expr(
-            f"conv(substr(md5(regexp_replace(regexp_replace(t2,"
-            f" '{_EMAIL_RE}', '<EMAIL>'), '{_PHONE_RE}', '<PHONE>')), 1, 14),"
-            " 16, 10)"
-        )
+        F.size(F.regexp_extract_all("t2", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t2", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.conv(F.substring(F.md5(redacted), 1, 14), 16, 10)
         .cast("long")
         .alias("redacted_hash"),
     )

@@ -226,21 +226,24 @@ def main() -> int:
         # host-speed drift from real plan regressions
         "canary_sec": canary,
     }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
+    # Round-over-round regression check: diff against the newest prior
+    # BENCH_r{N}.json (same sf). The prior RECORD identifies the run;
+    # its printed query map may be trimmed (see _fit_line) — when the
+    # on-disk BENCH_FULL.json provably belongs to that same run
+    # (matching total + sf), its COMPLETE map is used instead, so the
+    # fast queries elided from the printed line still get regression
+    # coverage. Read BEFORE the overwrite below.
+    prior_file, prior, prior_canary = _latest_prior_bench(repo_dir, sf)
+    prior = _upgrade_to_full_map(full_path, prior, sf) or prior
     # Full per-query map to a repo file: the driver keeps only the LAST
     # 2000 chars of stdout, and at 60+ queries the full JSON line
     # outgrew that window (BENCH_r05.json recorded parsed=None — the
     # per-query data was lost). The printed line is therefore trimmed
     # below to always fit; the complete map lives here.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
+    with open(full_path, "w") as fh:
         json.dump(out, fh)
-    # Round-over-round regression check: diff against the newest prior
-    # BENCH_r{N}.json (same sf) and flag any query >1.2× slower.
-    prior_file, prior, prior_canary = _latest_prior_bench(
-        os.path.dirname(os.path.abspath(__file__)), sf
-    )
     if prior:
         ratios = {
             n: round(t / prior[n], 3)
@@ -286,10 +289,21 @@ def main() -> int:
 
 def _fit_line(out: dict, timings: dict, limit: int = 1900) -> str:
     """Trim the PRINTED record to the driver's 2000-char stdout window:
-    keep the slowest queries (the informative ones) until the compact
-    JSON line fits ``limit``, recording how many queries were elided
-    and where the full map lives."""
+    cap vs_prior.regressions at the 10 worst (a broad regression sweep
+    would otherwise overflow on its own — and a line truncated inside
+    vs_prior also breaks the tail-recovery split marker), then keep the
+    slowest queries until the compact JSON line fits ``limit``,
+    recording how many queries were elided and where the full map
+    lives."""
     printed = dict(out)
+    vp = printed.get("vs_prior")
+    if vp and len(vp.get("regressions", {})) > 10:
+        worst = sorted(vp["regressions"].items(), key=lambda kv: -kv[1])[:10]
+        printed["vs_prior"] = dict(
+            vp,
+            regressions=dict(sorted(worst)),
+            n_regressions=len(vp["regressions"]),
+        )
     printed["n_queries"] = len(timings)
     printed["full_map"] = "BENCH_FULL.json"
     by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -300,6 +314,26 @@ def _fit_line(out: dict, timings: dict, limit: int = 1900) -> str:
         if len(line) <= limit or keep <= 5:
             return line
         keep -= 5
+
+
+def _upgrade_to_full_map(full_path: str, prior: dict | None, sf: float):
+    """Return BENCH_FULL.json's complete query map iff it belongs to
+    the same run as ``prior`` (every query present in the prior record
+    carries the identical timing — the printed subset is always a
+    subset of the full map of its own run). None otherwise."""
+    if not prior:
+        return None
+    try:
+        with open(full_path) as fh:
+            full = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    qs = full.get("queries")
+    if not qs or full.get("sf") != sf or len(qs) < len(prior):
+        return None
+    if all(abs(qs.get(n, -1) - t) < 1e-9 for n, t in prior.items()):
+        return qs
+    return None
 
 
 def _latest_prior_bench(repo_dir: str, sf: float):

@@ -65,3 +65,51 @@ def test_prior_reader_prefers_parsed_record(tmp_path):
     (tmp_path / "BENCH_r04.json").write_text(json.dumps(rec4))
     f, qs, canary = _latest_prior_bench(str(tmp_path), 0.1)
     assert f == "BENCH_r04.json" and qs == {"q": 2.0} and canary == 0.3
+
+
+def test_fit_line_caps_large_regressions_block():
+    from bench import _fit_line
+
+    timings = _fake(90)
+    out = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "canary_sec": 0.2,
+        "vs_prior": {
+            "file": "BENCH_r05.json",
+            "total_ratio": 2.0,
+            "regressions": {k: round(1.3 + i * 0.01, 3)
+                            for i, k in enumerate(timings)},
+            "canary_ratio": 1.0,
+        },
+    }
+    line = _fit_line(out, timings)
+    assert len(line) <= 1900, len(line)
+    d = json.loads(line)
+    assert len(d["vs_prior"]["regressions"]) == 10
+    assert d["vs_prior"]["n_regressions"] == 90
+    # the kept entries are the WORST ratios
+    assert min(d["vs_prior"]["regressions"].values()) >= 1.3 + 0.80
+
+
+def test_upgrade_to_full_map_matches_same_run_only(tmp_path):
+    from bench import _upgrade_to_full_map
+
+    full = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 3.0},
+        "sf": 0.1,
+        "value": 6.0,
+    }
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps(full))
+    # prior printed subset of the same run -> upgraded to the full map
+    assert _upgrade_to_full_map(str(p), {"b": 2.0, "c": 3.0}, 0.1) == full[
+        "queries"
+    ]
+    # a DIFFERENT run's timings -> no upgrade
+    assert _upgrade_to_full_map(str(p), {"b": 2.5, "c": 3.0}, 0.1) is None
+    # wrong sf -> no upgrade
+    assert _upgrade_to_full_map(str(p), {"b": 2.0}, 0.01) is None
