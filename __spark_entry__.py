@@ -93,6 +93,8 @@ _CHECK_FIRST = [
     "multimodal_resize",  # new: downsample through the Arrow decode seam
     "stream_stream_join",  # new: watermarked stream-stream interval join
     "peak_concurrent_sessions",  # new: per-day interval sweep-line
+    "discount_revenue_delta",  # new: Q6 shape (fully-pushed scan)
+    "part_supplier_variety",  # new: Q16 shape (distinct-agg + anti-join)
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

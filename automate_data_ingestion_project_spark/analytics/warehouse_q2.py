@@ -395,3 +395,92 @@ def lapsed_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+@register(
+    "discount_revenue_delta",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {dsum_expr('l.l_extendedprice * l.l_discount')} AS forgone_revenue
+    FROM lineitem l
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+      AND l.l_discount BETWEEN 0.05 AND 0.07
+      AND l.l_quantity < 24
+    """,
+    survey_ref="fully-pushed filter + single global sum (Q6 shape)",
+)
+def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by eliminating a discount band —
+    the TPC-H Q6 what-if: no join, no group; its entire point is that
+    EVERY predicate (date range, discount band, quantity cap) must
+    reach the parquet scan, leaving a scan→filter→one-row partial sum
+    plan. At 100 TB with date-partitioned lineitem this prunes to one
+    year's partitions and reads three columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "forgone_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+    )
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="distinct-agg behind NOT IN decorrelated to an anti-join (Q16 shape)",
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT (non-excluded) suppliers stock each (brand,
+    type, size) — the TPC-H Q16 shape: a COUNT(DISTINCT) per group fed
+    through a NOT IN exclusion list.
+
+    Spark-first form: NOT IN is expressed as an explicit LEFT ANTI join
+    against the exclusion keys, NOT a null-aware NOT IN subquery — the
+    semantics are identical here because the exclusion key is a
+    non-null PK, and the null-aware form would force Catalyst into a
+    NULL-checking BroadcastNestedLoop-style plan for a guarantee the
+    schema already provides (the classic NOT IN trap). The exclusion
+    set is a filtered scan of supplier — SF-scaled, so NO broadcast
+    hint; AQE sees the post-filter size. The distinct-agg shuffles on
+    the (brand, type, size, suppkey) expanded key, then collapses —
+    Spark's standard two-phase distinct, partial-aggregated map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(excl, li["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

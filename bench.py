@@ -142,6 +142,8 @@ def main() -> int:
             "multimodal_resize",
             "stream_stream_join",
             "peak_concurrent_sessions",
+            "discount_revenue_delta",
+            "part_supplier_variety",
         )
         if n in QUERIES
     ]

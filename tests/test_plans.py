@@ -481,6 +481,7 @@ _SF_SCALED_JOIN_QUERIES = [
     "nation_market_share",
     "returned_item_losses",
     "lapsed_customer_balance",
+    "part_supplier_variety",
 ]
 _SF_SCALED_KEYS = ("c_custkey#", "p_partkey#", "s_suppkey#")
 
@@ -535,6 +536,18 @@ def test_agg_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     for name in ("shipping_priority_topk", "returned_item_losses"):
         plan = _physical(qs[name](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q6_predicates_all_reach_the_scan(spark, sf_dir):
+    """Q6 shape: every predicate (date range, discount band, quantity
+    cap) must appear in the lineitem scan's PushedFilters — the query's
+    entire point; a predicate evaluated post-scan means the scan reads
+    rows it provably doesn't need."""
+    df = entrymod.queries()["discount_revenue_delta"](spark, sf_dir)
+    plan = _formatted(df)
+    pushed = " ".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
 
 
 def test_lapsed_customers_is_anti_join_with_pruned_probe(spark, sf_dir):
