@@ -95,6 +95,7 @@ _CHECK_FIRST = [
     "peak_concurrent_sessions",  # new: per-day interval sweep-line
     "discount_revenue_delta",  # new: Q6 shape (fully-pushed scan)
     "part_supplier_variety",  # new: Q16 shape (distinct-agg + anti-join)
+    "orders_trailing_30d_revenue",  # new: value-based RANGE interval frame
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

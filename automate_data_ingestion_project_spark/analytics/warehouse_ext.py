@@ -154,6 +154,62 @@ def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_trailing_30d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT day, n_orders, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(27,6))) OVER (
+               ORDER BY CAST(day AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_30d
+    FROM daily
+    """,
+    survey_ref="window frames: VALUE-based RANGE interval frame (engine extension)",
+)
+def orders_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-DAY revenue per active day — the VALUE-based RANGE
+    frame (``RANGE BETWEEN INTERVAL 29 DAYS PRECEDING``), the window
+    feature the ROWS form cannot express: the frame's width is defined
+    in event time, so days missing from the data shrink the row-count
+    of the frame instead of silently stretching its time span (a
+    ROWS-30 frame over sparse days would cover months).
+
+    Scale shape: same as :func:`orders_rolling_revenue` — the window
+    runs over the POST-AGGREGATION daily relation, calendar-bounded at
+    any corpus size; the frame sum accumulates in DECIMAL so RANGE
+    re-evaluation order cannot flap the hash. Expressed in Spark SQL
+    because interval RANGE bounds have no DataFrame-API equivalent
+    (``rangeBetween`` takes longs) — the declarative form is identical
+    in both engines by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_ord_trailing")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                       AS revenue
+            FROM _ord_trailing GROUP BY 1
+        )
+        SELECT day, n_orders, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(27,6))) OVER (
+                   ORDER BY CAST(day AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_30d
+        FROM daily
+        """
+    )
+
+
+@register(
     "orders_monthly_gapfill",
     oracle=f"""
     WITH bounds AS (

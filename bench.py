@@ -144,6 +144,7 @@ def main() -> int:
             "peak_concurrent_sessions",
             "discount_revenue_delta",
             "part_supplier_variety",
+            "orders_trailing_30d_revenue",
         )
         if n in QUERIES
     ]
