@@ -740,3 +740,61 @@ def median_order_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "null_safe_join_semantics",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                    ELSE CAST(o_orderkey % 100 AS BIGINT) END AS k
+        FROM orders WHERE o_orderkey < 500
+    ),
+    b AS (
+        SELECT CASE WHEN o_orderkey % 40 = 0 THEN NULL
+                    ELSE CAST(o_orderkey % 100 AS BIGINT) END AS k
+        FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    )
+    SELECT
+        (SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS n_eq_matches,
+        (SELECT COUNT(*) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+            AS n_null_safe_matches,
+        (SELECT COUNT(*) FROM a WHERE k IS NULL) AS n_left_nulls,
+        (SELECT COUNT(*) FROM b WHERE k IS NULL) AS n_right_nulls
+    """,
+    survey_ref="null-safe equality join (<=> / IS NOT DISTINCT FROM; engine extension)",
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `=` vs `<=>` join-semantics contract, measured: planted-NULL
+    keys joined both ways, proving plain equality DROPS null pairs
+    (SQL three-valued logic) while the null-safe operator matches them
+    (n_null_safe = n_eq + left_nulls x right_nulls). This is the trap
+    behind silently-shrinking joins on nullable keys — an engine must
+    ship BOTH semantics and a user must be able to verify which one a
+    pipeline uses.
+
+    Scale note: a null-safe equi-join still hash-partitions on the key
+    (NULL hashes to one value), so heavy null populations make the
+    null bucket THE skew key — production either pre-filters nulls or
+    salts them; here the planted populations are tiny by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    key = F.when(F.col("o_orderkey") % 50 == 0, None).otherwise(
+        (F.col("o_orderkey") % 100).cast("bigint")
+    )
+    key_b = F.when(F.col("o_orderkey") % 40 == 0, None).otherwise(
+        (F.col("o_orderkey") % 100).cast("bigint")
+    )
+    a = orders.filter(F.col("o_orderkey") < 500).select(key.alias("k"))
+    b = orders.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+    ).select(key_b.alias("k"))
+    n_eq = a.join(b, a["k"] == b["k"]).count()
+    n_ns = a.join(b, a["k"].eqNullSafe(b["k"])).count()
+    n_an = a.filter(F.col("k").isNull()).count()
+    n_bn = b.filter(F.col("k").isNull()).count()
+    return spark.createDataFrame(
+        [(n_eq, n_ns, n_an, n_bn)],
+        "n_eq_matches long, n_null_safe_matches long, "
+        "n_left_nulls long, n_right_nulls long",
+    )

@@ -145,6 +145,7 @@ def main() -> int:
             "discount_revenue_delta",
             "part_supplier_variety",
             "orders_trailing_30d_revenue",
+            "null_safe_join_semantics",
         )
         if n in QUERIES
     ]
