@@ -97,6 +97,7 @@ _CHECK_FIRST = [
     "part_supplier_variety",  # new: Q16 shape (distinct-agg + anti-join)
     "orders_trailing_30d_revenue",  # new: value-based RANGE interval frame
     "null_safe_join_semantics",  # new: <=> vs = with planted NULL keys
+    "stream_late_data_drop",  # new: watermark eviction proven by replay
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

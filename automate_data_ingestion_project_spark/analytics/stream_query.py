@@ -288,3 +288,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         checkpoint_dir=os.path.join(root, "ckpt"),
     )
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    WITH m AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 61 MINUTE AS wm
+        FROM events
+    ),
+    agg AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events
+    FROM agg, m
+    WHERE window_start + INTERVAL 1 HOUR <= m.wm
+    """,
+    survey_ref="streaming extension (watermark late-data DROP, finalized-window append)",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark actually DROPPING late data, proven by replay: the
+    source delivers the full events table, then a LATER micro-batch
+    delivers one PLANTED event 10 days older than everything — far
+    behind the 61-minute watermark, whose window state was already
+    evicted. Append-mode windowed counts must therefore equal the
+    batch aggregation (a) WITHOUT the late event and (b) restricted to
+    windows FINALIZED by the final watermark (window_end <= max_ts −
+    61 min) — both mirrored exactly by the oracle. The other streaming
+    queries run watermarks longer than the fixture's span, so nothing
+    ever drops; this one pins the eviction path, which is what bounds
+    state at 100 TB/day (the delay is the lateness SLA; anything
+    later is, by contract, discarded).
+
+    The 61-minute delay (not 60) keeps the watermark off exact window
+    boundaries, so the <=/< emission edge cannot be fixture-sensitive.
+    """
+    from pyspark.sql import functions as F
+
+    src = os.path.join(scratch_dir("stream_late_data_drop"), "events")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    late = (
+        spark.createDataFrame([("click", 1)], "event_type string, user_id long")
+        .crossJoin(ev.agg((F.min("ts") - F.expr("INTERVAL 10 DAYS")).alias("ts")))
+        .select("ts", "event_type", "user_id")
+    )
+    # written second => a LATER micro-batch (one file per trigger below):
+    # the watermark has already advanced past this event's window
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        stream_events(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "61 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"sld_{uuid.uuid4().hex[:8]}"
+    root = scratch_dir("stream_late_data_drop_ckpt")
+    return run_available_now(
+        stream,
+        name,
+        output_mode="append",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )

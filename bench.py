@@ -146,6 +146,7 @@ def main() -> int:
             "part_supplier_variety",
             "orders_trailing_30d_revenue",
             "null_safe_join_semantics",
+            "stream_late_data_drop",
         )
         if n in QUERIES
     ]
