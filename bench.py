@@ -188,15 +188,47 @@ def main() -> int:
     # measured 76 s → 105 s totals purely from host/noisy-neighbor
     # variance, which otherwise reads as a uniform fake regression in
     # vs_prior. Compare canary_sec across BENCH_r{N}.json before
-    # believing a broad slowdown.
-    canary = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(0, 400_000_000, 1, 32).selectExpr(
-            "sum(id * 2 + 1) AS s"
-        ).collect()
-        canary = min(canary, time.perf_counter() - t0)
-    canary = round(canary, 4)
+    # believing a broad slowdown. Measured at the START and again at
+    # the END of the sweep: one same-code run measured start-canary
+    # 0.16 s but total 205 s vs 118 s (host degraded MID-run) — a
+    # single start canary is blind to time-varying load, so the
+    # regression filter normalizes by the WORSE of the two ratios.
+    def _run_canary() -> float:
+        c = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 400_000_000, 1, 32).selectExpr(
+                "sum(id * 2 + 1) AS s"
+            ).collect()
+            c = min(c, time.perf_counter() - t0)
+        return round(c, 4)
+
+    # IO canary: a fixed parquet write+read. Three same-code runs
+    # measured totals 118.7 / 205.3 / 158.8 s while the CPU canary
+    # stayed flat — the drift was DISK contention (the inflated
+    # queries were all state-store/parquet-heavy), which a pure-CPU
+    # canary cannot see. Reported per run; the regression filter uses
+    # the worst of the CPU/IO ratios, biasing toward suppression —
+    # correct here, since same-code runs produce disjoint flag sets
+    # under host IO noise.
+    def _run_io_canary() -> float:
+        from automate_data_ingestion_project_spark.analytics.load import (
+            scratch_dir,
+        )
+
+        path = os.path.join(scratch_dir("bench_io_canary"), "t")
+        c = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000, 1, 8).selectExpr(
+                "id", "id * 2 AS a", "CAST(id AS STRING) AS s"
+            ).write.mode("overwrite").parquet(f"{path}{i}")
+            spark.read.parquet(f"{path}{i}").count()
+            c = min(c, time.perf_counter() - t0)
+        return round(c, 4)
+
+    canary = _run_canary()
+    io_canary = _run_io_canary()
 
     timings: dict[str, float] = {}
     for name in bench_names:
@@ -217,6 +249,8 @@ def main() -> int:
             release_caches()
         timings[name] = round(best, 4)
 
+    canary_end = _run_canary()
+    io_canary_end = _run_io_canary()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -230,6 +264,12 @@ def main() -> int:
         # fixed-size pure-CPU job: compare across rounds to separate
         # host-speed drift from real plan regressions
         "canary_sec": canary,
+        "canary_end_sec": canary_end,
+        # fixed parquet write+read: the DISK-speed twin of the CPU
+        # canary (host IO contention inflates state-store/parquet
+        # queries while the CPU canary stays flat)
+        "io_canary_sec": io_canary,
+        "io_canary_end_sec": io_canary_end,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(repo_dir, "BENCH_FULL.json")
@@ -258,11 +298,31 @@ def main() -> int:
         # Host-speed normalization: divide per-query ratios by the
         # canary ratio, so a uniformly slower/faster host (measured
         # 76 s → 105 s same-code on this VM) doesn't read as a uniform
-        # regression. Only the canary-NORMALIZED ratio is flagged.
+        # regression. Only the canary-NORMALIZED ratio is flagged, and
+        # the normalizer is the WORSE of the start/end canaries so a
+        # host that degrades mid-sweep doesn't fake a regression wave.
         canary_ratio = (
             round(canary / prior_canary, 3) if prior_canary else None
         )
-        speed = canary_ratio if canary_ratio else 1.0
+        canary_end_ratio = (
+            round(canary_end / prior_canary, 3) if prior_canary else None
+        )
+        # prior records carry the IO canary from r6 on; without one the
+        # current IO canaries still print for the NEXT round's ratio
+        prior_io = _prior_io_canary(repo_dir, prior_file)
+        io_ratios = (
+            [
+                round(io_canary / prior_io, 3),
+                round(io_canary_end / prior_io, 3),
+            ]
+            if prior_io
+            else []
+        )
+        speed = (
+            max([canary_ratio, canary_end_ratio, *io_ratios])
+            if canary_ratio
+            else 1.0
+        )
         # Flag a query only if, after host normalization, it is >1.25×
         # slower AND the absolute delta exceeds 0.5 s — sub-second
         # queries sit inside local[32] scheduler jitter and produced a
@@ -287,9 +347,31 @@ def main() -> int:
         }
         if canary_ratio:
             out["vs_prior"]["canary_ratio"] = canary_ratio
+            out["vs_prior"]["canary_end_ratio"] = canary_end_ratio
+        if io_ratios:
+            out["vs_prior"]["io_canary_ratio"] = max(io_ratios)
 
     print(_fit_line(out, timings))
     return 0
+
+
+def _prior_io_canary(repo_dir: str, prior_file: str | None):
+    """io_canary_sec of the prior record, via its BENCH_r{N}.json
+    (parsed or tail) — None for pre-r6 records that predate it."""
+    if not prior_file:
+        return None
+    try:
+        with open(os.path.join(repo_dir, prior_file)) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    parsed = data.get("parsed") or data
+    if isinstance(parsed, dict) and parsed.get("io_canary_sec"):
+        vals = [parsed["io_canary_sec"], parsed.get("io_canary_end_sec")]
+        return max(v for v in vals if v)
+    tail = (data.get("tail") or "").split('"vs_prior"')[0]
+    mm = re.findall(r'"io_canary(?:_end)?_sec":\s*([0-9.]+)', tail)
+    return max(map(float, mm)) if mm else None
 
 
 def _fit_line(out: dict, timings: dict, limit: int = 1900) -> str:
