@@ -41,6 +41,7 @@ import automate_data_ingestion_project_spark.analytics.pq_train  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.semdedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
@@ -98,6 +99,18 @@ _CHECK_FIRST = [
     "orders_trailing_30d_revenue",  # new: value-based RANGE interval frame
     "null_safe_join_semantics",  # new: <=> vs = with planted NULL keys
     "stream_late_data_drop",  # new: watermark eviction proven by replay
+    # (1c) new in round 6's second session
+    "semantic_dedup_clusters",  # new: SemDeDup cluster-scoped cosine dedup
+    "heavy_hitters_sketch",  # new: approx_top_k frequent-items contract
+    "stream_upsert_foreachbatch",  # new: foreachBatch -> keyed upsert sink
+    "orc_roundtrip_supplier",  # new: ORC connector round-trip
+    "xml_roundtrip_part",  # new: XML connector round-trip (Spark-4 built-in)
+    # replay harness rewired this session (cached sources, 8-part state;
+    # stream_stream_join / stream_late_data_drop already listed above)
+    "stream_dedup_events",
+    "stream_windowed_counts",
+    "stream_session_counts",
+    "stream_stateful_totals",
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

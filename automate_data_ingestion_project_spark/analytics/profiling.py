@@ -128,6 +128,80 @@ def table_profile_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters_sketch",
+    oracle="""
+    WITH stream AS (
+        SELECT user_id FROM events
+        UNION ALL
+        SELECT 1000000 + (event_id % 3) AS user_id
+        FROM events WHERE event_id % 2 = 0
+    ),
+    c AS (SELECT user_id, COUNT(*) AS exact_n FROM stream GROUP BY 1)
+    SELECT user_id, exact_n,
+           TRUE AS in_sketch_topk, TRUE AS est_within_tol
+    FROM c ORDER BY exact_n DESC, user_id LIMIT 3
+    """,
+    survey_ref="data-quality profiling: approx heavy hitters (frequent-items sketch contract)",
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy-hitter detection (``approx_top_k``, the
+    DataSketches frequent-items sketch) under the same hash-checkable
+    calibration contract as :func:`table_profile_approx`: plant
+    deterministic skew (three synthetic hot keys, each ~20× the hottest
+    organic key), then assert the sketch (a) surfaces exactly the true
+    top-3 and (b) estimates their counts within a generous N/8 bound —
+    the oracle returns the exact top-3 with the expected all-TRUE
+    columns.
+
+    Why a sketch at all: exact top-k needs a full (key → count)
+    aggregate — fine here, impossible at 100 TB key cardinality. The
+    frequent-items sketch is fixed-size (``maxItemsTracked=64`` — far
+    below the organic key count, so it genuinely compresses), merges
+    associatively across partitions, and guarantees no false negatives
+    for keys above the error bound. Estimate values depend on partial-
+    merge order, so they are NOT hash-matched directly; the planted
+    20× skew keeps both booleans deterministic under any merge order
+    (sketch error ≲ N·3.5/64 ≪ the planted-vs-organic gap).
+
+    The exact aggregate computed alongside is the calibration's ground
+    truth, not the scale path; its global top-3 window runs on the
+    already-aggregated key counts."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    heavy = ev.filter(F.col("event_id") % 2 == 0).select(
+        (F.lit(1000000) + F.col("event_id") % 3).alias("user_id")
+    )
+    from ..operators.caching import tracked_persist
+    from pyspark.sql import Window
+
+    # feeds the sketch aggregate AND the exact ground-truth aggregate
+    stream = tracked_persist(ev.select("user_id").unionByName(heavy))
+    sk = stream.agg(
+        F.expr("approx_top_k(user_id, 3, 64)").alias("tk"),
+        F.count("*").alias("n_total"),
+    )
+    exact = stream.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+    top3 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .drop("rn")
+    )
+    j = top3.join(F.broadcast(sk))
+    items = F.transform("tk", lambda x: x["item"])
+    est = F.element_at(
+        F.filter("tk", lambda x: x["item"] == F.col("user_id")), 1
+    )["count"]
+    return j.select(
+        "user_id",
+        "exact_n",
+        F.array_contains(items, F.col("user_id")).alias("in_sketch_topk"),
+        (F.abs(est - F.col("exact_n")) <= F.col("n_total") / F.lit(8)).alias(
+            "est_within_tol"
+        ),
+    )
+
+
 _QUANTILES = (0.25, 0.5, 0.75)
 _APPROX_ACC = 10000  # rank error <= n/accuracy
 

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table, register_views
-from ..io.sources import read_csv, read_json
+from ..io.sources import read_csv, read_json, read_orc, read_xml
 from .load import scratch_dir
 from .registry import register
 
@@ -63,3 +63,31 @@ def json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(scratch_dir("json_roundtrip"), "nation_json")
     nation.write.mode("overwrite").json(path)
     return read_json(spark, path, schema=nation.schema)
+
+
+@register(
+    "orc_roundtrip_supplier",
+    oracle="SELECT * FROM supplier",
+    survey_ref="S6 (orc connector; write+read round-trip vs original)",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(scratch_dir("orc_roundtrip"), "supplier_orc")
+    supplier.write.mode("overwrite").orc(path)
+    return read_orc(spark, path)
+
+
+@register(
+    "xml_roundtrip_part",
+    oracle="SELECT * FROM part",
+    survey_ref="S6 (xml connector, Spark-4 built-in; round-trip vs original)",
+)
+def xml_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    path = os.path.join(scratch_dir("xml_roundtrip"), "part_xml")
+    part.write.mode("overwrite").format("xml").option("rowTag", "part").save(
+        path
+    )
+    # explicit schema: XML carries no types, so the read declares them —
+    # doubles round-trip exactly (Java shortest-round-trip formatting)
+    return read_xml(spark, path, row_tag="part", schema=part.schema)

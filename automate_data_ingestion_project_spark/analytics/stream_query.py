@@ -335,6 +335,88 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+           'corrected' AS event_type, user_id
+    FROM events WHERE event_id % 5 = 0
+    """,
+    survey_ref="streaming extension (foreachBatch -> keyed upsert sink, last-writer-wins)",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style ingestion into a KEYED TABLE: readStream →
+    ``foreachBatch`` → the engine's transactional upsert sink
+    (:func:`..io.sink.upsert_parquet`), proven by replay with planted
+    CORRECTIONS — a later micro-batch re-delivers every 5th event with
+    changed values, and the final table must hold last-writer-wins per
+    key (the oracle states it exactly).
+
+    Why this is its own operator: the other streaming queries end in a
+    memory/append sink; real pipelines land in a keyed table, and
+    ``foreachBatch`` is Spark's bridge from exactly-once micro-batches
+    to MERGE semantics — the checkpoint guarantees each batch is
+    applied at least once, and the upsert's key-idempotency turns that
+    into effectively-once (a replayed batch rewrites the same rows).
+    At 100 TB the sink is a partitioned/Delta table so each batch's
+    merge touches only the partitions it hits (the
+    ``incremental_daily_rollup`` path); the loop shape is identical.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io.sink import upsert_parquet
+    from ..streaming import KEYED_EVENT_SCHEMA
+
+    def _build(tmp: str) -> None:
+        src = os.path.join(tmp, "events")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "user_id"
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        # corrections arrive LAST (later mtime => later micro-batch):
+        # same keys, mutated payload — the upsert must replace, and the
+        # replacement must win over the base rows from earlier batches
+        corr = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            F.lit("corrected").alias("event_type"),
+            "user_id",
+        )
+        corr.repartition(1).write.mode("append").parquet(src)
+
+    src = _cached_source(spark, sf_dir, "upsert_corrections", _build)
+    root = scratch_dir("stream_upsert_fb")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(spark, batch_df, target, keys=["event_id"])
+
+    stream = stream_events(
+        spark, src, schema=KEYED_EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    # same scoped sizing rationale as run_available_now: the per-batch
+    # upsert's anti-join runs once per micro-batch, and a default-200
+    # session pays 200-task shuffles on kilobyte batches
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
+    return spark.read.parquet(target)
+
+
+@register(
     "stream_late_data_drop",
     oracle="""
     WITH m AS (

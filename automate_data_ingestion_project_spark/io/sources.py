@@ -114,6 +114,30 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — the other columnar interchange format warehouses
+    actually hold (Hive/Trino estates).  Same pushdown/pruning story as
+    parquet: filters and projections reach the ORC reader, and the
+    schema travels with the files (no explicit schema needed)."""
+    return spark.read.options(**{k: str(v) for k, v in options.items()}).orc(
+        path
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema=None, **options
+) -> DataFrame:
+    """XML scan (built into Spark 4 — the former spark-xml package).
+    ``row_tag`` names the repeating element that maps to a row; pass an
+    explicit schema for production (inference costs an extra pass)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(
+        **{k: str(v) for k, v in options.items()}
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, **options
 ) -> DataFrame:

@@ -147,6 +147,9 @@ def main() -> int:
             "orders_trailing_30d_revenue",
             "null_safe_join_semantics",
             "stream_late_data_drop",
+            "semantic_dedup_clusters",
+            "heavy_hitters_sketch",
+            "stream_upsert_foreachbatch",
         )
         if n in QUERIES
     ]

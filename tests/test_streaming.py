@@ -181,3 +181,24 @@ def test_kafka_source_gated_on_classpath(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             stream_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_run_available_now_restores_shuffle_partitions(spark, events_dir):
+    """The scoped state-store sizing must not leak: the session's
+    shuffle-partition setting is restored after the replay (including
+    its effect on subsequent BATCH queries)."""
+    from automate_data_ingestion_project_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    got = run_available_now(
+        windowed_event_counts(stream_events(spark, events_dir)),
+        "restore_conf_probe",
+        shuffle_partitions=3,
+    )
+    assert got.count() > 0
+    assert spark.conf.get(key) == prior
