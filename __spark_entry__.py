@@ -41,6 +41,7 @@ import automate_data_ingestion_project_spark.analytics.pq_train  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.graph  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.semdedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
@@ -103,6 +104,7 @@ _CHECK_FIRST = [
     "semantic_dedup_clusters",  # new: SemDeDup cluster-scoped cosine dedup
     "heavy_hitters_sketch",  # new: approx_top_k frequent-items contract
     "stream_upsert_foreachbatch",  # new: foreachBatch -> keyed upsert sink
+    "pagerank_step",  # new: integer-exact PageRank iteration (dup graph)
     "orc_roundtrip_supplier",  # new: ORC connector round-trip
     "xml_roundtrip_part",  # new: XML connector round-trip (Spark-4 built-in)
     # replay harness rewired this session (cached sources, 8-part state;

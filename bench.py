@@ -150,6 +150,7 @@ def main() -> int:
             "semantic_dedup_clusters",
             "heavy_hitters_sketch",
             "stream_upsert_foreachbatch",
+            "pagerank_step",
         )
         if n in QUERIES
     ]
