@@ -266,21 +266,57 @@ def quantile_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    from ..textops.dedup import spread_for_compute
+
+    # Two layout decisions, both measured at sf0.1:
+    #
+    # - spread_for_compute: single-file fixture tables scan as ONE
+    #   partition, serializing the whole aggregate on one core (3.3 s →
+    #   0.5 s from this alone; no-op at scale, where inputs arrive with
+    #   ≥cores splits).
+    #
+    # - counts and min/max run as SEPARATE aggregates joined at the end
+    #   (1-row ⋈ 1-row), NOT one fused aggregate. min/max on STRING
+    #   columns make the aggregation buffer variable-width, which
+    #   forces the WHOLE fused aggregate onto the sort-based fallback —
+    #   for the exact form that means sorting the |cols|×-Expanded
+    #   relation on a string-first compound key (measured 4-8× the
+    #   query), and for the approx form it puts the ~10k-long HLL
+    #   buffers through SortBasedAggregationIterator, observed to OOM a
+    #   1 GiB driver at 32-way concurrency. Split, every buffer in the
+    #   counts pass is fixed-width → HashAggregate (no sort, stable
+    #   memory), and the min/max pass is a keyless single pass (its
+    #   sort-based form needs no actual sort). The table is scanned
+    #   twice, but a second columnar scan is far cheaper than sorting
+    #   the expanded relation — and at 100 TB the distinct pass, not
+    #   the scan, is the job.
+    base = load_table(spark, sf_dir, "orders")
+    orders = spread_for_compute(base)
     distinct = (
         F.countDistinct
         if exact
         else (lambda c: F.approx_count_distinct(c, rsd=0.01))
     )
-    aggs = []
+    # The approx COUNTS pass additionally caps its parallelism at 8:
+    # six rsd=0.01 HLL sketches serialize ~10k buffer attributes EACH
+    # into the task binary (~3 MiB, logged as "Broadcasting large task
+    # binary"), the join runs its two input stages CONCURRENTLY, and
+    # 32+32 simultaneous task deserializations of that closure OOM a
+    # 1 GiB local driver (observed; stacks in ObjectInputStream). Eight
+    # tasks saturate the sketch update long before memory matters; on a
+    # real cluster the executor count spreads the same closures out.
+    counts_input = orders if exact else base.repartition(8)
+    counts, extremes = [], []
     for c in _COLS:
-        aggs += [
+        counts += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
             distinct(c).alias(f"{c}__n_distinct"),
+        ]
+        extremes += [
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = orders.agg(*aggs)
+    wide = counts_input.agg(*counts).join(orders.agg(*extremes))
     stack = ", ".join(
         f"'{c}', {c}__n_nulls, {c}__n_distinct, {c}__min, {c}__max"
         for c in _COLS
