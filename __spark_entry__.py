@@ -28,6 +28,7 @@ import automate_data_ingestion_project_spark.analytics.curation  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.dv3f  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.events_ext  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.fuzzy  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.gates  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.grouped_pandas  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ingest_replay  # noqa: F401
@@ -44,6 +45,7 @@ import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.graph  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.semdedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.sketches  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.splits  # noqa: F401
@@ -107,6 +109,13 @@ _CHECK_FIRST = [
     "pagerank_step",  # new: integer-exact PageRank iteration (dup graph)
     "orc_roundtrip_supplier",  # new: ORC connector round-trip
     "xml_roundtrip_part",  # new: XML connector round-trip (Spark-4 built-in)
+    # (1d) new/changed in round 6's third session
+    "top_supplier_revenue",  # new: Q15 shape (argmax vs global scalar MAX)
+    "events_variant_props",  # new: Spark-4 VARIANT semi-structured path
+    "fuzzy_name_pairs",  # new: q-gram-blocked fuzzy join + exact short stratum
+    "bitmap_exact_distinct",  # new: two-level bitmap exact-distinct, no Expand
+    "hll_sketch_rollup",  # new: mergeable daily HLL sketches -> rollup contract
+    "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)
     "stream_dedup_events",

@@ -484,3 +484,65 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH sr AS (
+        SELECT l.l_suppkey AS suppkey, {dsum_expr(REV)} AS total_revenue
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier, sr.total_revenue
+    FROM supplier s
+    JOIN sr ON s.s_suppkey = sr.suppkey
+    WHERE sr.total_revenue = (SELECT MAX(total_revenue) FROM sr)
+    ORDER BY suppkey
+    """,
+    survey_ref="argmax vs global scalar MAX subquery (Q15 shape)",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue — the TPC-H Q15
+    shape: an aggregate view compared against its own global MAX,
+    ties kept (the spec's CREATE VIEW + scalar subquery).
+
+    Spark-first form: the per-supplier revenue relation is persisted
+    once; the global max is a 1-row aggregate OF THAT RELATION
+    crossJoin-broadcast back onto it — the lineitem scan and the
+    supplier-key shuffle run once, not twice (a naive scalar subquery
+    re-executes the revenue aggregation for the threshold). Equality
+    against the max is exact because both sides accumulate the SAME
+    DECIMAL sums (:func:`..functions.dsum`) — a double accumulation
+    here could drop the true argmax on a low-bit flap.
+
+    Scale shape: the quarter predicate reaches the lineitem scan
+    (PushedFilters); the aggregate shuffles on l_suppkey only. The
+    supplier join carries NO hint — supplier is SF-scaled (10k x SF),
+    so AQE broadcasts at fixture scale and repartitions beyond the
+    threshold. Ties ORDER BY suppkey for a stable relation.
+    """
+    from ..operators.caching import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sr = tracked_persist(
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum(_rev()).alias("total_revenue"))
+    )
+    best = sr.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        sr.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(supp, F.col("suppkey") == supp["s_suppkey"])
+        .select("suppkey", F.col("s_name").alias("supplier"), "total_revenue")
+        .orderBy("suppkey")
+    )

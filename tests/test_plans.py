@@ -564,3 +564,42 @@ def test_lapsed_customers_is_anti_join_with_pruned_probe(spark, sf_dir):
         if "PushedFilters" in ln and "o_orderdate" in ln
     ]
     assert any("GreaterThanOrEqual" in ln for ln in pushed), pushed
+
+
+def test_bitmap_distinct_has_no_expand_and_no_raw_value_shuffle(spark, sf_dir):
+    """The bitmap exact-distinct must avoid the two costs of
+    COUNT(DISTINCT a), COUNT(DISTINCT b) in one aggregate: the Expand
+    row-multiplication and a shuffle of raw distinct values. Partial
+    bitmap aggregation must happen map-side (HashAggregate below the
+    exchange)."""
+    df = entrymod.queries()["bitmap_exact_distinct"](spark, sf_dir)
+    plan = _physical(df)
+    assert "Expand" not in plan
+    # two-level: partial (map-side) bitmap construction below the
+    # exchange — the shuffle carries ≤4 KiB bitmaps, not raw values
+    assert "partial_bitmap_construct_agg" in plan
+
+
+def test_fuzzy_blocked_join_is_equi_join_on_gram(spark, sf_dir):
+    """The blocked stratum must join on the bigram KEY (hash-partitioned
+    equi-join) — the only nested-loop allowed is the alphabet-bounded
+    short-stratum broadcast cross."""
+    df = entrymod.queries()["fuzzy_name_pairs"](spark, sf_dir)
+    plan = _physical(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        # AQE may broadcast the tiny fixture gram table; the join must
+        # still be keyed (BroadcastHashJoin), never a full nested loop
+        # over the blocked stratum
+        "BroadcastHashJoin" in plan
+    )
+    # exactly one nested-loop source: the short-stratum cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_variant_parse_is_single_pass(spark, sf_dir):
+    """VARIANT path: one parse_json, typed probes after — no repeated
+    per-path JSON re-parse (the get_json_object-per-column shape)."""
+    df = entrymod.queries()["events_variant_props"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("parse_json") <= 1
+    assert "get_json_object" not in plan
