@@ -48,6 +48,7 @@ import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sketches  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.skew_queries  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sources_surface  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.spans  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.splits  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.stream_query  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.temporal  # noqa: F401
@@ -115,6 +116,8 @@ _CHECK_FIRST = [
     "fuzzy_name_pairs",  # new: q-gram-blocked fuzzy join + exact short stratum
     "bitmap_exact_distinct",  # new: two-level bitmap exact-distinct, no Expand
     "hll_sketch_rollup",  # new: mergeable daily HLL sketches -> rollup contract
+    "duplicate_text_spans",  # new: exact-substring dedup, cross-doc spans
+    "span_dedup_mask",  # new: per-doc duplicated-text ratio gate
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)
