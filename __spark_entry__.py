@@ -41,6 +41,7 @@ import automate_data_ingestion_project_spark.analytics.pq  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.pq_train  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.recursive  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.graph  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.semdedup  # noqa: F401
@@ -118,6 +119,7 @@ _CHECK_FIRST = [
     "hll_sketch_rollup",  # new: mergeable daily HLL sketches -> rollup contract
     "duplicate_text_spans",  # new: exact-substring dedup, cross-doc spans
     "span_dedup_mask",  # new: per-doc duplicated-text ratio gate
+    "neardup_blast_radius",  # new: WITH RECURSIVE bounded BFS (Spark 4)
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)
