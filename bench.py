@@ -151,6 +151,15 @@ def main() -> int:
             "heavy_hitters_sketch",
             "stream_upsert_foreachbatch",
             "pagerank_step",
+            # round 6, third session
+            "top_supplier_revenue",
+            "events_variant_props",
+            "fuzzy_name_pairs",
+            "bitmap_exact_distinct",
+            "hll_sketch_rollup",
+            "duplicate_text_spans",
+            "span_dedup_mask",
+            "neardup_blast_radius",
         )
         if n in QUERIES
     ]
