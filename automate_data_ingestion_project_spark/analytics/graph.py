@@ -99,3 +99,67 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH pair_ev AS ({{pair_sql}}),
+    e AS (
+        SELECT doc_id_a AS a, doc_id_b AS b FROM pair_ev GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM (SELECT e1.a, e1.b, e2.b AS c
+              FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+        JOIN e e3 ON e3.a = w.a AND e3.b = w.c
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
+
+@register(
+    "neardup_triangles",
+    oracle=_TRIANGLE_ORACLE.format(pair_sql=_minhash_oracle_sql()),
+    survey_ref="join-based graph analytics: per-node triangle counts (engine ext)",
+)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the near-dup graph — the
+    clustering-coefficient numerator, a density signal that separates
+    tight duplicate CLIQUES (template spam: keep one) from sparse
+    similarity CHAINS (legitimate gradual revisions: keep several).
+
+    The distributed-triangle discipline: orient every edge (the pair
+    artifact already stores a < b, so each undirected edge exists
+    once), build wedges a→b→c by joining oriented edges on the middle
+    node, then close each wedge with ONE membership probe on (a, c).
+    Each triangle is found exactly once. Two equi-join shuffles, both
+    on node keys; wedge volume is Σ deg²(middle) — at 100 TB the
+    orientation is by (degree, id) rather than raw id so the highest-
+    degree node never sits in the middle, the standard bound; the id
+    orientation here keeps the oracle's arithmetic identical.
+    Integer counts — hash-exact in both engines.
+    """
+    pairs = (
+        minhash_pairs_evidence(spark, sf_dir)
+        .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .distinct()
+    )
+    wedges = pairs.alias("e1").join(
+        pairs.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    tri = wedges.join(
+        pairs.alias("e3"),
+        (F.col("e3.a") == F.col("a")) & (F.col("e3.b") == F.col("c")),
+    ).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

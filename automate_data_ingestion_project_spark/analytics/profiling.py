@@ -9,10 +9,14 @@ form driver-side-free via the stack expression.
 
 Two registered variants:
 
-- :func:`table_profile_approx` — the SCALE DEFAULT. HyperLogLog++
-  ``approx_count_distinct(rsd=0.01)`` keeps the profile a true single
-  pass: partial sketches merge associatively, the shuffle carries one
-  fixed-size sketch per column, and no row multiplication happens.
+- :func:`table_profile_approx` — the SCALE DEFAULT. DataSketches HLL
+  (``hll_sketch_agg``, lgK=14 → rse ≈ 0.81%) keeps the profile a true
+  single pass: partial sketches merge associatively, the shuffle
+  carries ONE compact binary sketch per column, and no row
+  multiplication happens. (HLL++ ``approx_count_distinct(rsd=0.01)``
+  is semantically identical but exposes ~2.7k buffer attributes per
+  sketch to the planner — measured 7× slower and an OOM risk; see
+  :func:`_profile`.)
   Raw sketch values are engine-specific, so the REGISTERED form under
   this name (:func:`table_profile_approx_checked`) re-expresses the
   claim as per-column ``distinct_ok`` tolerance booleans the DuckDB
@@ -67,10 +71,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-default profile: identical output shape to
-    :func:`table_profile`, with ``approx_count_distinct(rsd=0.01)``
-    replacing the Expand-rewrite exact distinct (see module docstring).
-    ``tests/test_plans.py`` asserts the plan contains NO Expand node
-    and the estimates land within the documented rsd of exact."""
+    :func:`table_profile`, with a DataSketches HLL estimate (lgK=14,
+    rse ≈ 0.81%) replacing the Expand-rewrite exact distinct (see
+    module docstring). ``tests/test_plans.py`` asserts the plan
+    contains NO Expand node and the estimates land within the
+    documented error of exact."""
     return _profile(spark, sf_dir, exact=False)
 
 
@@ -105,11 +110,11 @@ def table_profile_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The two profiles run as SEPARATE aggregates joined on column_name,
     not one fused aggregate: fusing 6 exact distincts (the Expand
-    rewrite) with 6 rsd=0.01 HLL sketches (~10k registers each)
-    multiplies partial-aggregation buffer memory across Expand groups ×
-    shuffle partitions — measured OOM on a 1 GiB driver at sf0.01. Each
-    pass alone is the already-proven shape; the join is 6 rows ⋈ 6
-    rows."""
+    rewrite) with 6 HLL sketches multiplies partial-aggregation buffer
+    memory across Expand groups × shuffle partitions — measured OOM on
+    a 1 GiB driver at sf0.01 with the HLL++ buffers. Each pass alone is
+    the already-proven shape; the join is 6 rows ⋈ 6 rows. Tolerance
+    uses 1% as the error bound (lgK=14 rse ≈ 0.81% < 1%)."""
     rsd = 0.01
     exact = _profile(spark, sf_dir, exact=True)
     approx = _profile(spark, sf_dir, exact=False).select(
@@ -281,31 +286,37 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     #   forces the WHOLE fused aggregate onto the sort-based fallback —
     #   for the exact form that means sorting the |cols|×-Expanded
     #   relation on a string-first compound key (measured 4-8× the
-    #   query), and for the approx form it puts the ~10k-long HLL
-    #   buffers through SortBasedAggregationIterator, observed to OOM a
-    #   1 GiB driver at 32-way concurrency. Split, every buffer in the
-    #   counts pass is fixed-width → HashAggregate (no sort, stable
-    #   memory), and the min/max pass is a keyless single pass (its
-    #   sort-based form needs no actual sort). The table is scanned
-    #   twice, but a second columnar scan is far cheaper than sorting
-    #   the expanded relation — and at 100 TB the distinct pass, not
-    #   the scan, is the job.
+    #   query). Split, the exact counts pass stays fixed-width →
+    #   HashAggregate, and the min/max pass is a keyless single pass.
+    #   The table is scanned twice, but a second columnar scan is far
+    #   cheaper than sorting the expanded relation — at 100 TB the
+    #   distinct pass, not the scan, is the job.
+    #
+    # - the approx distinct is DataSketches HLL (hll_sketch_agg,
+    #   lgK=14 → rse ≈ 0.81%), NOT HyperLogLog++
+    #   approx_count_distinct(rsd=0.01). Functionally equivalent; the
+    #   difference is the AGGREGATION BUFFER REPRESENTATION. HLL++ at
+    #   rsd=0.01 exposes its ~2.7k-word register array as individual
+    #   buffer ATTRIBUTES — every plan transform copies 16k
+    #   AttributeReferences for 6 columns, the task binary balloons to
+    #   ~3 MiB ("Broadcasting large task binary"), 32 concurrent task
+    #   deserializations OOM'd a 1 GiB heap, and the measured query
+    #   was 6.5 s at sf0.1. The DataSketches buffer is ONE binary
+    #   attribute per column: same split shape measured 0.87 s, no
+    #   closure blow-up, estimates within 1.1% of exact on every
+    #   fixture column. Inputs cast to string first (the sketch hashes
+    #   int/long/string/binary only; the cast is injective for every
+    #   profiled type, so distinct counts are preserved).
     base = load_table(spark, sf_dir, "orders")
     orders = spread_for_compute(base)
-    distinct = (
-        F.countDistinct
-        if exact
-        else (lambda c: F.approx_count_distinct(c, rsd=0.01))
-    )
-    # The approx COUNTS pass additionally caps its parallelism at 8:
-    # six rsd=0.01 HLL sketches serialize ~10k buffer attributes EACH
-    # into the task binary (~3 MiB, logged as "Broadcasting large task
-    # binary"), the join runs its two input stages CONCURRENTLY, and
-    # 32+32 simultaneous task deserializations of that closure OOM a
-    # 1 GiB local driver (observed; stacks in ObjectInputStream). Eight
-    # tasks saturate the sketch update long before memory matters; on a
-    # real cluster the executor count spreads the same closures out.
-    counts_input = orders if exact else base.repartition(8)
+    if exact:
+        distinct = F.countDistinct
+    else:
+        def distinct(c):
+            return F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"), F.lit(14))
+            )
+
     counts, extremes = [], []
     for c in _COLS:
         counts += [
@@ -316,7 +327,7 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = counts_input.agg(*counts).join(orders.agg(*extremes))
+    wide = orders.agg(*counts).join(orders.agg(*extremes))
     stack = ", ".join(
         f"'{c}', {c}__n_nulls, {c}__n_distinct, {c}__min, {c}__max"
         for c in _COLS
