@@ -151,12 +151,14 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = pairs.alias("e1").join(
         pairs.alias("e2"), F.col("e1.b") == F.col("e2.a")
     ).select(
-        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        F.col("e1.a").alias("wa"), F.col("e1.b").alias("wb"), F.col("e2.b").alias("wc")
     )
     tri = wedges.join(
         pairs.alias("e3"),
-        (F.col("e3.a") == F.col("a")) & (F.col("e3.b") == F.col("c")),
-    ).select("a", "b", "c")
+        (F.col("e3.a") == F.col("wa")) & (F.col("e3.b") == F.col("wc")),
+    ).select(
+        F.col("wa").alias("a"), F.col("wb").alias("b"), F.col("wc").alias("c")
+    )
     nodes = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))

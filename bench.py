@@ -160,6 +160,7 @@ def main() -> int:
             "duplicate_text_spans",
             "span_dedup_mask",
             "neardup_blast_radius",
+            "neardup_triangles",
         )
         if n in QUERIES
     ]
