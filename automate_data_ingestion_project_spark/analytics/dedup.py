@@ -853,8 +853,24 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = corpus_neardup_index(spark, sf_dir)
     root = scratch_dir("neardup_ingest_replay")
-    shutil.copytree(src.bands_path, os.path.join(root, BANDS_SUBDIR))
-    shutil.copytree(src.rows_path, os.path.join(root, ROWS_SUBDIR))
+    # Hardlink, don't copy: published artifact part-files are immutable
+    # (build_once only ever atomic-renames whole generations, and the
+    # replay's appends create NEW part files in the clone dir), so the
+    # clone shares blocks safely — measured ~2 s of byte copying saved
+    # at sf0.1, and the same trick is how table-format snapshots make
+    # "clone then mutate" free at 100 TB (metadata-only copy).
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:  # cross-device scratch root → degrade to a copy
+            shutil.copy2(s, d)
+
+    shutil.copytree(
+        src.bands_path, os.path.join(root, BANDS_SUBDIR), copy_function=_link_or_copy
+    )
+    shutil.copytree(
+        src.rows_path, os.path.join(root, ROWS_SUBDIR), copy_function=_link_or_copy
+    )
     # the copy happened outside Spark's write path, so the session's
     # FileStatusCache still holds the PREVIOUS run's listing for this
     # scratch path — refresh or the re-run reads deleted file names
