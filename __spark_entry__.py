@@ -66,13 +66,15 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # set (it checks the first 50 in this ordering; the count below rotates
 # round to round). Order the registry so the weakest driver evidence
 # comes first: (1) queries whose CODE or ORACLE changed this round —
-# the six de-hinted SF-scaled-broadcast queries and the new
-# table_profile_approx sketch contract, plus queries NEW this round;
-# (2) the 22 queries whose most recent green row is ROUND 3 (oldest
+# the six de-hinted SF-scaled-broadcast queries, the profile
+# aggregate-split + DataSketches swap — plus queries NEW this round;
+# (2) the queries whose most recent green row is ROUND 3 (oldest
 # evidence on file; fixture drift under unchanged code is proven —
 # the r3→r4 timestamp-dtype incident); (3) the r4-vintage rows in
-# driver order, filling remaining slots. Fresh r5 rows rotate back in
-# next round.
+# driver order. NOTE (round 6): section (1) alone is ~46 entries, so
+# only the first few r3 rows fit this round's 50 — round 7 should put
+# the REMAINING r3/r4 rows first (there should be few or no new
+# queries to front-load by then).
 _CHECK_FIRST = [
     # (1a) code changed in round 6: forced broadcasts on SF-scaled
     # customer/part/supplier removed (AQE now chooses) — hashes must

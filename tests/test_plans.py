@@ -603,3 +603,13 @@ def test_variant_parse_is_single_pass(spark, sf_dir):
     plan = _physical(df)
     assert plan.count("parse_json") <= 1
     assert "get_json_object" not in plan
+
+
+def test_triangle_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """Wedge construction and closure must both be key-equi-joins
+    (hash/sort-merge/broadcast-hash) — a nested loop would be the n²
+    all-triples scan the oriented-join rewrite exists to avoid."""
+    df = entrymod.queries()["neardup_triangles"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
