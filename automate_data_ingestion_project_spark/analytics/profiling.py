@@ -308,6 +308,15 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     #   int/long/string/binary only; the cast is injective for every
     #   profiled type, so distinct counts are preserved).
     base = load_table(spark, sf_dir, "orders")
+    return _profile_df(base, exact)
+
+
+def _profile_df(base: DataFrame, exact: bool) -> DataFrame:
+    """The profile aggregate over an arbitrary relation carrying
+    ``_COLS`` — shared by the snapshot profile queries and the
+    snapshot-vs-snapshot drift monitor."""
+    from ..textops.dedup import spread_for_compute
+
     orders = spread_for_compute(base)
     if exact:
         distinct = F.countDistinct
@@ -336,5 +345,107 @@ def _profile(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
         F.expr(
             f"stack({len(_COLS)}, {stack}) AS "
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def _profile_cols_sql(rel: str) -> str:
+    """Per-column exact profile of `rel` as a UNION ALL — the DuckDB
+    twin of :func:`_profile_df` (exact form)."""
+    return " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM {rel}"""
+        for c in _COLS
+    )
+
+
+@register(
+    "profile_drift",
+    oracle=f"""
+    WITH mut AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'Z' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice, o_orderdate,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END
+                   AS o_orderpriority
+        FROM orders
+    ),
+    pb AS ({_profile_cols_sql("orders")}),
+    pn AS ({_profile_cols_sql("mut")}),
+    nr AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT pb.column_name,
+           pb.n_nulls AS n_nulls_base, pn.n_nulls AS n_nulls_new,
+           pb.n_distinct AS n_distinct_base, pn.n_distinct AS n_distinct_new,
+           ((pn.n_nulls - pb.n_nulls) * 200 > nr.n_rows) AS null_drift,
+           (abs(pn.n_distinct - pb.n_distinct) * 10 > pb.n_distinct)
+               AS distinct_drift,
+           (pb.min_value IS DISTINCT FROM pn.min_value
+            OR pb.max_value IS DISTINCT FROM pn.max_value) AS range_drift
+    FROM pb JOIN pn USING (column_name) CROSS JOIN nr
+    """,
+    survey_ref="data-quality profiling: snapshot-vs-snapshot drift monitor (engine ext)",
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics drift between two table snapshots — the monitoring
+    query a nightly pipeline runs before promoting a new load: profile
+    both sides, join per column, flag null-rate / distinct-count /
+    range changes. The candidate snapshot here plants two real drift
+    modes (a 10% null injection into o_orderpriority; a new
+    o_orderstatus value on half the rows) so every flag fires
+    deterministically somewhere and stays FALSE everywhere else.
+
+    All three drift predicates compare INTEGERS or strings —
+    ``(Δnulls)·200 > n_rows`` is "null rate rose by >0.5%" without a
+    float boundary to flap cross-engine. Cost: two profile passes
+    (each the proven split-aggregate shape) + a 6-row join; the row
+    count rides along as a broadcast 1-row aggregate, and at 100 TB
+    the baseline side's profile comes from the PREVIOUS run's stored
+    result rather than a rescan (the join shape is unchanged)."""
+    base = load_table(spark, sf_dir, "orders")
+    mutated = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    pb = _profile_df(base, exact=True)
+    pn = _profile_df(mutated, exact=True).select(
+        F.col("column_name"),
+        F.col("n_nulls").alias("nn"),
+        F.col("n_distinct").alias("nd"),
+        F.col("min_value").alias("mn"),
+        F.col("max_value").alias("mx"),
+    )
+    n_rows = base.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        pb.join(pn, "column_name")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "column_name",
+            F.col("n_nulls").alias("n_nulls_base"),
+            F.col("nn").alias("n_nulls_new"),
+            F.col("n_distinct").alias("n_distinct_base"),
+            F.col("nd").alias("n_distinct_new"),
+            ((F.col("nn") - F.col("n_nulls")) * 200 > F.col("n_rows")).alias(
+                "null_drift"
+            ),
+            (
+                F.abs(F.col("nd") - F.col("n_distinct")) * 10
+                > F.col("n_distinct")
+            ).alias("distinct_drift"),
+            (
+                ~F.col("min_value").eqNullSafe(F.col("mn"))
+                | ~F.col("max_value").eqNullSafe(F.col("mx"))
+            ).alias("range_drift"),
         )
     )

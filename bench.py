@@ -161,6 +161,7 @@ def main() -> int:
             "span_dedup_mask",
             "neardup_blast_radius",
             "neardup_triangles",
+            "profile_drift",
         )
         if n in QUERIES
     ]
