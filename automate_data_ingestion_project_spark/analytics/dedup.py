@@ -902,8 +902,23 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
-    d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
+    # Scope shuffle parallelism to the BATCH size for the replay run —
+    # the same deployment knob run_available_now documents for the
+    # streaming harnesses: each ingest step chains several shuffles
+    # over a few-hundred-row batch, and 32-partition exchanges pay
+    # task/commit overhead on kilobytes (measured 7.0 s → 5.2 s at
+    # sf0.1 with 8). Partitioning never changes keyed results; a real
+    # deployment raises it with the batch volume. The decision table is
+    # eagerly materialized inside ingest_batch (localCheckpoint), so
+    # the scoped value governs execution even though the return is lazy.
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
+        d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
+    finally:
+        spark.conf.set(conf_key, prior)
     return d1.unionByName(d2).select(
         "batch_no", "batch_id", "n_candidates", "n_verified_dups", "is_near_dup"
     )
