@@ -124,6 +124,7 @@ _CHECK_FIRST = [
     "neardup_blast_radius",  # new: WITH RECURSIVE bounded BFS (Spark 4)
     "neardup_triangles",  # new: oriented wedge-join triangle counts
     "profile_drift",  # new: snapshot-vs-snapshot stats drift monitor
+    "event_sessions_udtf",  # new: Python UDTF over TABLE PARTITION BY
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)

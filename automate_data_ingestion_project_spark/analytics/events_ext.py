@@ -290,3 +290,86 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "event_sessions_udtf",
+    oracle=f"""
+    WITH {_SESSION_CTE}
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    survey_ref="custom table-in/table-out operator: Python UDTF over TABLE PARTITION BY (engine ext)",
+)
+def event_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`event_sessions` computed by a Python UDTF over
+    ``TABLE(events) PARTITION BY user_id ORDER BY ts, event_id`` — the
+    Spark-4 custom table-function surface, hash-checked against the
+    SAME oracle as the native window form.
+
+    Why this exists next to the window implementation: the window form
+    is the scale default (codegen'd, two passes over one shuffle), but
+    it can only express rules that fit lag/running-sum algebra. The
+    UDTF is the escape hatch for per-group ORDERED logic that doesn't —
+    dynamic gap thresholds, per-session early-exit, multi-state
+    machines — while keeping Spark's distribution: the engine shuffles
+    on the PARTITION BY key, feeds each group in ORDER BY order to a
+    fresh UDTF instance (per-partition state isolation is the
+    contract), and ``terminate()`` flushes the open session at group
+    end. Sessions aggregate INSIDE the iterator, so the operator emits
+    |sessions| rows, never |events|.
+
+    Determinism: the 30-minute boundary compares exact ``timedelta``
+    microseconds (no float), and (ts, event_id) total order matches
+    ``_SESSION_CTE``. Python-side per-row iteration is the cost — at
+    100 TB enable Arrow-batched UDTF exchange
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) or prefer the
+    window form when the rule allows."""
+    import datetime
+
+    from pyspark.sql.functions import udtf
+
+    gap = datetime.timedelta(seconds=GAP_SECONDS)
+
+    @udtf(returnType=(
+        "user_id bigint, session_id bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    ))
+    class Sessionize:
+        def __init__(self):
+            self.user = None
+            self.sid = 0
+            self.start = None
+            self.end = None
+            self.n = 0
+
+        def _flush(self):
+            return (self.user, self.sid, self.start, self.end, self.n)
+
+        def eval(self, row):
+            if self.n and row.ts - self.end > gap:
+                yield self._flush()
+                self.n = 0
+            if not self.n:
+                self.sid += 1
+                self.start = row.ts
+            self.user, self.end, self.n = row.user_id, row.ts, self.n + 1
+
+        def terminate(self):
+            if self.n:
+                yield self._flush()
+
+    spark.udtf.register("sessionize_events", Sessionize)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    view = "events_for_udtf_sessions"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT * FROM sessionize_events(
+            TABLE({view}) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )

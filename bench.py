@@ -162,6 +162,7 @@ def main() -> int:
             "neardup_blast_radius",
             "neardup_triangles",
             "profile_drift",
+            "event_sessions_udtf",
         )
         if n in QUERIES
     ]
