@@ -125,6 +125,7 @@ _CHECK_FIRST = [
     "neardup_triangles",  # new: oriented wedge-join triangle counts
     "profile_drift",  # new: snapshot-vs-snapshot stats drift monitor
     "event_sessions_udtf",  # new: Python UDTF over TABLE PARTITION BY
+    "normalize_dv3f_pandas_api",  # new: reference chain via pyspark.pandas
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)

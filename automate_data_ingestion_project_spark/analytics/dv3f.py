@@ -145,3 +145,57 @@ def normalize_dv3f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full transform over the raw_dv3f_api fixture."""
     wide = spark.sql(WIDE_FIXTURE_SQL)
     return normalize_wide(wide, ID_VARS, METRICS, UID_COLS)
+
+
+@register(
+    "normalize_dv3f_pandas_api",
+    oracle=_oracle_sql(),
+    survey_ref="R1,R2,A1,F1,F2,F3 via the pandas-on-Spark API (migration-path twin)",
+)
+def normalize_dv3f_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform written AS the reference wrote it —
+    pandas ``melt`` / ``str.rsplit(expand=True)`` / ``pivot_table`` /
+    ``apply(hashlib)`` — executed distributed through
+    ``pyspark.pandas``, and hash-checked against the SAME oracle as
+    the native form (:func:`normalize_dv3f`).
+
+    Why this twin exists: the reference IS a pandas program
+    (``extract_load.py:119-201``), and the pandas-on-Spark API is the
+    migration path for its users — this query proves the chain runs
+    nearly verbatim and produces byte-identical output (verified
+    against the native implementation too). Production still prefers
+    the native form: the ``apply`` hash is an Arrow-batched Python UDF
+    where the native ``sha2`` is codegen'd, ``pivot_table`` launches a
+    values-discovery pass the explicit-list native pivot skips, and —
+    measured here — ``ps.melt`` coerces the value column to STRING
+    when id_vars are strings (restored with ``astype('float64')``; the
+    cast is exact on these doubles, but it is a real API seam a
+    migration must know about).
+
+    ``aggfunc='max'`` (not pandas' ``first``) because each
+    (group, metric) cell holds at most ONE value in this payload, so
+    max ≡ first while being order-independent — the oracle's
+    ``MAX(CASE ...)`` states the same choice.
+    """
+    import hashlib
+
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.ops_on_diff_frames", True)
+    pdf = spark.sql(WIDE_FIXTURE_SQL).pandas_api()
+    long = ps.melt(
+        pdf, id_vars=ID_VARS, var_name="cod_full", value_name="valeur"
+    ).astype({"valeur": "float64"})
+    parts = long["cod_full"].str.rsplit("_", n=1, expand=True)
+    long["metric"] = parts[0]
+    long["cod"] = parts[1].str.replace("cod", "")
+    clean = long.dropna(subset=["valeur", "annee", "dep", "libdep", "cod"])
+    pt = clean.pivot_table(
+        index=["annee", "dep", "libdep", "cod"],
+        columns="metric",
+        values="valeur",
+        aggfunc="max",
+    ).reset_index()
+    key = pt["annee"].astype(str) + pt["dep"].astype(str) + pt["cod"].astype(str)
+    pt["uid"] = key.apply(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    return pt[["uid", "annee", "dep", "libdep", "cod", *METRICS]].to_spark()

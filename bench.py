@@ -163,6 +163,7 @@ def main() -> int:
             "neardup_triangles",
             "profile_drift",
             "event_sessions_udtf",
+            "normalize_dv3f_pandas_api",
         )
         if n in QUERIES
     ]
