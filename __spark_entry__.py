@@ -43,6 +43,7 @@ import automate_data_ingestion_project_spark.analytics.profiling  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.quantize  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.recursive  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.sampling  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.scripting  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.graph  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.semdedup  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.similarity  # noqa: F401
@@ -126,6 +127,7 @@ _CHECK_FIRST = [
     "profile_drift",  # new: snapshot-vs-snapshot stats drift monitor
     "event_sessions_udtf",  # new: Python UDTF over TABLE PARTITION BY
     "normalize_dv3f_pandas_api",  # new: reference chain via pyspark.pandas
+    "scripted_quality_gate",  # new: SQL-scripting gate-then-publish
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)

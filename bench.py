@@ -164,6 +164,7 @@ def main() -> int:
             "profile_drift",
             "event_sessions_udtf",
             "normalize_dv3f_pandas_api",
+            "scripted_quality_gate",
         )
         if n in QUERIES
     ]
