@@ -71,3 +71,47 @@ def scripted_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       END IF;
     END
     """)
+
+
+@register(
+    "pipe_syntax_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           r.r_name AS region,
+           {dsum_expr('o.o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name, r.r_name
+    """,
+    survey_ref="SQL pipe syntax: same star join, linear pipeline form (engine ext)",
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``revenue_by_nation`` written in Spark 4's SQL PIPE syntax
+    (``|>``): each stage reads top-to-bottom in execution order —
+    scan → filter → joins → aggregate — instead of the inside-out
+    SELECT nesting. Same Catalyst plan, same oracle semantics; the
+    point is the SURFACE: generated pipelines (and humans debugging
+    them) can append stages without restructuring the statement.
+
+    Plan parity is the claim worth checking and it holds by
+    construction — pipe operators desugar before optimization, so
+    filter pushdown, the dim broadcasts, and the partial aggregate are
+    identical to the nested form's.
+    """
+    for name in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"pipe_{name}")
+    return spark.sql(f"""
+      FROM pipe_orders AS o
+      |> WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |> JOIN pipe_customer AS c ON o.o_custkey = c.c_custkey
+      |> JOIN pipe_nation AS n ON c.c_nationkey = n.n_nationkey
+      |> JOIN pipe_region AS r ON n.n_regionkey = r.r_regionkey
+      |> AGGREGATE {dsum_expr('o.o_totalprice')} AS revenue,
+                   COUNT(*) AS n_orders
+         GROUP BY n.n_name AS nation, r.r_name AS region
+      |> SELECT nation, region, revenue, n_orders
+    """)
