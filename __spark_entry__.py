@@ -129,6 +129,7 @@ _CHECK_FIRST = [
     "normalize_dv3f_pandas_api",  # new: reference chain via pyspark.pandas
     "scripted_quality_gate",  # new: SQL-scripting gate-then-publish
     "pipe_syntax_revenue",  # new: SQL pipe-syntax star join
+    "ann_truncated_recall_eval",  # new: prefix-dim recall tradeoff
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)

@@ -185,3 +185,95 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_candidates"),
         )
     )
+
+
+_TRUNC_DIM = 16  # prefix kept by the truncated (matryoshka-style) index
+
+
+def _truncated_recall_oracle() -> str:
+    d = "duckdb"
+    trunc = f"""
+    WITH base AS (
+        SELECT vec_id, embedding[1:{_TRUNC_DIM}] AS emb,
+               {norm_sql(f"embedding[1:{_TRUNC_DIM}]", d)} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_norm
+          FROM base WHERE vec_id IN ({_QID_LIST})),
+    c AS (SELECT vec_id, emb AS c_emb, nrm AS c_norm FROM base),
+    scored AS (
+        SELECT query_id, vec_id,
+               {dot_sql("q_emb", "c_emb", d)} / (q_norm * c_norm) AS score
+        FROM q CROSS JOIN c WHERE query_id != vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id FROM ranked WHERE rnk <= {TOP_K}
+    """
+    return f"""
+    WITH ex AS (SELECT query_id, vec_id FROM ({_exact_oracle()}) x),
+    tr AS ({trunc}),
+    hit AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ex JOIN tr ON ex.query_id = tr.query_id AND ex.vec_id = tr.vec_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k,
+           CAST({_TRUNC_DIM} AS INTEGER) AS kept_dims
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit h USING (query_id)
+    """
+
+
+@register(
+    "ann_truncated_recall_eval",
+    oracle=_truncated_recall_oracle(),
+    survey_ref="similarity search: dimension-truncation recall tradeoff (engine ext)",
+)
+def ann_truncated_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of a PREFIX-truncated embedding search (first 16 of 64
+    dims) against the full-dimension ground truth — the
+    matryoshka-style cost lever: a 4× narrower index whose quality
+    loss is MEASURED per query, same calibration discipline as
+    ``ann_recall_eval``/``ann_pq_recall_eval``.
+
+    Why it matters at 100 TB: embedding storage and dot-product cost
+    scale linearly in dims, and prefix truncation needs NO retraining
+    or re-encoding — but only a recall measurement says whether 16
+    dims suffice for THIS corpus. The truncated scorer reuses the
+    exact-top-k operator on a sliced column (strict left-fold doubles,
+    so the oracle hash-matches bit-for-bit); at scale the truncated
+    side would be served by the IVF/PQ index over the prefix."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truncated = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+    )
+    exact = exact_topk(emb, QUERY_IDS, k=TOP_K).select("query_id", "vec_id")
+    trunc = exact_topk(truncated, QUERY_IDS, k=TOP_K).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        trunc.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_at_k"
+            ),
+            F.lit(_TRUNC_DIM).cast("int").alias("kept_dims"),
+        )
+    )

@@ -165,6 +165,8 @@ def main() -> int:
             "event_sessions_udtf",
             "normalize_dv3f_pandas_api",
             "scripted_quality_gate",
+            "pipe_syntax_revenue",
+            "ann_truncated_recall_eval",
         )
         if n in QUERIES
     ]
