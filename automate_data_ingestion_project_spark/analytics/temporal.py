@@ -157,3 +157,107 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+_INTERP_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@register(
+    "events_value_interpolate",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   {_INTERP_WIN}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER ({_INTERP_WIN}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+               FIRST_VALUE(v IGNORE NULLS) OVER (
+                   {_INTERP_WIN}
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER ({_INTERP_WIN}
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+        FROM p
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * ((us - pts) / (nts - pts))
+                ELSE COALESCE(pv, nv) END AS value_filled,
+           (v IS NULL) AS was_interpolated
+    FROM w
+    """,
+    survey_ref="time series: linear interpolation of missing values (engine ext)",
+)
+def events_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation over an event series: every 5th reading
+    is PLANTED null, then filled by time-weighted linear interpolation
+    between the nearest non-null neighbors per user (forward/backward
+    fill at series edges) — the sensor-gap repair step feature
+    pipelines run before windowed aggregation.
+
+    Spark shape: two window passes over ONE hash shuffle on user_id
+    (the same exchange serves both frame directions); carried values
+    use ``last/first(..., ignorenulls=True)`` over asymmetric row
+    frames, so no self-join and no per-gap explode. Cross-engine float
+    parity: the fill is ``pv + (nv − pv) · ((us − pts)/(nts − pts))``
+    on microsecond integers with ONE double division — identical
+    operand tree in DuckDB, bit-identical fills.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    p = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v_ts = F.when(F.col("v").isNotNull(), F.col("us"))
+    w = p.select(
+        "*",
+        F.last("v", ignorenulls=True).over(prev).alias("pv"),
+        F.last(v_ts, ignorenulls=True).over(prev).alias("pts"),
+        F.first("v", ignorenulls=True).over(nxt).alias("nv"),
+        F.first(v_ts, ignorenulls=True).over(nxt).alias("nts"),
+    )
+    frac = (F.col("us") - F.col("pts")) / (F.col("nts") - F.col("pts"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("was_interpolated"),
+    )

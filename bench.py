@@ -167,6 +167,7 @@ def main() -> int:
             "scripted_quality_gate",
             "pipe_syntax_revenue",
             "ann_truncated_recall_eval",
+            "events_value_interpolate",
         )
         if n in QUERIES
     ]
