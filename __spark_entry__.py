@@ -131,6 +131,8 @@ _CHECK_FIRST = [
     "pipe_syntax_revenue",  # new: SQL pipe-syntax star join
     "ann_truncated_recall_eval",  # new: prefix-dim recall tradeoff
     "events_value_interpolate",  # new: time-weighted linear gap fill
+    "snapshot_diff",  # new: row-level CDC diff by key
+    "value_outliers_mad",  # new: robust MAD outlier gate
     "table_profile",  # changed: split counts/extremes aggregates
     # replay harness rewired this session (cached sources, 8-part state;
     # stream_stream_join / stream_late_data_drop already listed above)

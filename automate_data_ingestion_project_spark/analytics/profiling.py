@@ -449,3 +449,173 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("range_drift"),
         )
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH mut AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 11 <> 3
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 13 = 1
+    ),
+    base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN m.o_orderkey IS NULL THEN 'removed'
+                WHEN b.o_totalprice IS DISTINCT FROM m.o_totalprice
+                  OR b.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+                    THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN b.o_totalprice IS DISTINCT FROM m.o_totalprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changes
+    FROM base b FULL OUTER JOIN mut m USING (o_orderkey)
+    GROUP BY 1
+    """,
+    survey_ref="snapshot reconciliation: row-level CDC diff by key (engine ext)",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots — the reconciliation
+    report behind every CDC backfill sign-off: per change kind
+    (added / removed / changed / unchanged), how many rows, plus a
+    per-column change counter. The candidate snapshot plants all three
+    mutation modes deterministically (price bump on keys %7, deletes
+    on keys %11, inserts cloned above the key space on keys %13).
+
+    Scale shape: ONE full-outer hash join on the primary key — the
+    diff never leaves the join's key partitioning, and the classifier
+    is a codegen'd CASE over null-safe comparisons
+    (``IS DISTINCT FROM`` ≡ ``eqNullSafe``), so column drift in either
+    direction counts once. The rollup is a bounded-key aggregate
+    (4 kinds). At 100 TB both sides are key-bucketed tables and the
+    join is exchange-free.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    mut = (
+        base.filter(F.col("o_orderkey") % 11 != 3)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1000.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 13 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    b = base.alias("b")
+    m = mut.alias("m")
+    joined = b.join(m, F.col("b.o_orderkey") == F.col("m.o_orderkey"), "full_outer")
+    price_changed = ~F.col("b.o_totalprice").eqNullSafe(F.col("m.o_totalprice"))
+    status_changed = ~F.col("b.o_orderstatus").eqNullSafe(F.col("m.o_orderstatus"))
+    kind = (
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("m.o_orderkey").isNull(), F.lit("removed"))
+        .when(price_changed | status_changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            kind.alias("change_kind"),
+            price_changed.cast("int").alias("pc"),
+        )
+        .groupBy("change_kind")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("pc").cast("long").alias("n_price_changes"),
+        )
+    )
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_values,
+           ANY_VALUE(d.med) AS median_value,
+           ANY_VALUE(m.mad) AS mad_value,
+           CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    survey_ref="data quality: robust MAD outlier gate per group (engine ext)",
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type: median / MAD (median
+    absolute deviation) with the standard 3·1.4826·MAD fence — the
+    data-quality gate that, unlike the z-score form
+    (``lang_length_zscores``), does not let the outliers themselves
+    inflate the threshold (mean/stddev break down at ≥1/4
+    contamination; median/MAD tolerate it).
+
+    Cross-engine parity: Spark exact ``percentile(x, 0.5)`` ==
+    DuckDB ``quantile_cont`` bit-for-bit (same lower+(upper−lower)·frac
+    interpolation — the repo's proven grouped-median bridge), and the
+    fence multiplication keeps one operand order on both sides.
+
+    Scale shape: two grouped exact medians (each one shuffle on
+    event_type; at 100 TB swap ``percentile_approx`` with a documented
+    error bound — same plan) and two small join-backs of ≤|groups|
+    rows, broadcast by AQE.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fence = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad_value"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > fence, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -168,6 +168,8 @@ def main() -> int:
             "pipe_syntax_revenue",
             "ann_truncated_recall_eval",
             "events_value_interpolate",
+            "snapshot_diff",
+            "value_outliers_mad",
         )
         if n in QUERIES
     ]
