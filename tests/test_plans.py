@@ -613,3 +613,24 @@ def test_triangle_join_is_keyed_not_nested_loop(spark, sf_dir):
     plan = _physical(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interpolation_shares_one_window_exchange(spark, sf_dir):
+    """Both frame directions (carry-back and carry-forward) must reuse
+    ONE hash exchange on user_id — same partitioning + ordering lets
+    Catalyst fuse all four carries into a SINGLE Window node over a
+    single shuffle."""
+    df = entrymod.queries()["events_value_interpolate"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_snapshot_diff_is_single_key_join(spark, sf_dir):
+    """The CDC diff must be ONE key join (full outer) + a bounded-key
+    rollup — no nested loop, no second pass over either snapshot."""
+    df = entrymod.queries()["snapshot_diff"](spark, sf_dir)
+    plan = _physical(df)
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
