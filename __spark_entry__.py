@@ -64,78 +64,24 @@ import automate_data_ingestion_project_spark.analytics.warehouse_q2  # noqa: F40
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver caps each round at 50 checked queries of the registered
-# set (it checks the first 50 in this ordering; the count below rotates
+# set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first: (1) queries whose CODE or ORACLE changed this round —
-# the six de-hinted SF-scaled-broadcast queries, the profile
-# aggregate-split + DataSketches swap — plus queries NEW this round;
-# (2) the queries whose most recent green row is ROUND 3 (oldest
-# evidence on file; fixture drift under unchanged code is proven —
-# the r3→r4 timestamp-dtype incident); (3) the r4-vintage rows in
-# driver order. NOTE (round 6): section (1) alone is ~46 entries, so
-# only the first few r3 rows fit this round's 50 — round 7 should put
-# the REMAINING r3/r4 rows first (there should be few or no new
-# queries to front-load by then).
+# comes first. Round-7 ordering (the surface is complete — evidence
+# freshness IS the deliverable): (1) the five queries whose CODE
+# changed in round 6 but fell outside that round's 50-query window,
+# so their official CORRECTNESS rows predate the change; (2) all 22
+# queries whose most recent green row is ROUND 3 (oldest evidence on
+# file; fixture drift under unchanged code is proven — the r3→r4
+# timestamp-dtype incident); (3) the 36 round-4-vintage rows in
+# driver order — the first ~23 fit this round's window, round 8
+# front-loads the remainder plus the oldest r5 rows.
 _CHECK_FIRST = [
-    # (1a) code changed in round 6: forced broadcasts on SF-scaled
-    # customer/part/supplier removed (AQE now chooses) — hashes must
-    # not change
-    "promo_revenue_share",
-    "median_order_by_nation",
-    "small_qty_revenue_by_brand",
-    "important_revenue_nations",
-    "disjunctive_promo_revenue",
-    "local_supplier_revenue",
-    # (1b) new/changed contract in round 6
-    "table_profile_approx",  # hash-checkable sketch-tolerance contract
-    "pq_train_distortion",  # new: k-means codebook training curve
-    "ann_pq_trained_recall_eval",  # new: trained-vs-sampled recall
-    "neardup_ingest_replay",  # new: two-batch ingest loop, cross-batch
-    "shipping_priority_topk",  # new: Q3 shape
-    "volume_shipping_pairs",  # new: Q7 shape
-    "nation_market_share",  # new: Q8 shape
-    "returned_item_losses",  # new: Q10 shape
-    "lapsed_customer_balance",  # new: Q22 shape
-    "sales_grouping_sets",  # new: explicit GROUPING SETS + GROUPING_ID
-    "quantile_sketch_calibration",  # new: approx-percentile contract
-    "pii_redaction",  # new: planted-PII scrub, cross-engine regex
-    "multimodal_resize",  # new: downsample through the Arrow decode seam
-    "stream_stream_join",  # new: watermarked stream-stream interval join
-    "peak_concurrent_sessions",  # new: per-day interval sweep-line
-    "discount_revenue_delta",  # new: Q6 shape (fully-pushed scan)
-    "part_supplier_variety",  # new: Q16 shape (distinct-agg + anti-join)
-    "orders_trailing_30d_revenue",  # new: value-based RANGE interval frame
-    "null_safe_join_semantics",  # new: <=> vs = with planted NULL keys
-    "stream_late_data_drop",  # new: watermark eviction proven by replay
-    # (1c) new in round 6's second session
-    "semantic_dedup_clusters",  # new: SemDeDup cluster-scoped cosine dedup
-    "heavy_hitters_sketch",  # new: approx_top_k frequent-items contract
-    "stream_upsert_foreachbatch",  # new: foreachBatch -> keyed upsert sink
-    "pagerank_step",  # new: integer-exact PageRank iteration (dup graph)
-    "orc_roundtrip_supplier",  # new: ORC connector round-trip
-    "xml_roundtrip_part",  # new: XML connector round-trip (Spark-4 built-in)
-    # (1d) new/changed in round 6's third session
-    "top_supplier_revenue",  # new: Q15 shape (argmax vs global scalar MAX)
-    "events_variant_props",  # new: Spark-4 VARIANT semi-structured path
-    "fuzzy_name_pairs",  # new: q-gram-blocked fuzzy join + exact short stratum
-    "bitmap_exact_distinct",  # new: two-level bitmap exact-distinct, no Expand
-    "hll_sketch_rollup",  # new: mergeable daily HLL sketches -> rollup contract
-    "duplicate_text_spans",  # new: exact-substring dedup, cross-doc spans
-    "span_dedup_mask",  # new: per-doc duplicated-text ratio gate
-    "neardup_blast_radius",  # new: WITH RECURSIVE bounded BFS (Spark 4)
-    "neardup_triangles",  # new: oriented wedge-join triangle counts
-    "profile_drift",  # new: snapshot-vs-snapshot stats drift monitor
-    "event_sessions_udtf",  # new: Python UDTF over TABLE PARTITION BY
-    "normalize_dv3f_pandas_api",  # new: reference chain via pyspark.pandas
-    "scripted_quality_gate",  # new: SQL-scripting gate-then-publish
-    "pipe_syntax_revenue",  # new: SQL pipe-syntax star join
-    "ann_truncated_recall_eval",  # new: prefix-dim recall tradeoff
-    "events_value_interpolate",  # new: time-weighted linear gap fill
-    "snapshot_diff",  # new: row-level CDC diff by key
-    "value_outliers_mad",  # new: robust MAD outlier gate
-    "table_profile",  # changed: split counts/extremes aggregates
-    # replay harness rewired this session (cached sources, 8-part state;
-    # stream_stream_join / stream_late_data_drop already listed above)
+    # (1) code changed in round 6, not driver-checked since:
+    # table_profile's counts/extremes aggregate split; the four
+    # streaming replays' rewired harness (cached sources, batch-scoped
+    # 8-partition state store). Green in local drive_driver + pytest;
+    # this ordering gets them an official post-change row.
+    "table_profile",
     "stream_dedup_events",
     "stream_windowed_counts",
     "stream_session_counts",
@@ -163,7 +109,8 @@ _CHECK_FIRST = [
     "nation_only_keys_except",
     "repeat_customers_intersect",
     "sales_rollup",
-    # (3) r4 vintage — fill remaining slots in driver order
+    # (3) r4 vintage — driver order; first ~23 fill this round's
+    # window, the tail rolls to round 8
     "asof_purchase_last_click",
     "range_join_signup_errors",
     "events_hypertable_rollup",
@@ -194,9 +141,6 @@ _CHECK_FIRST = [
     "nation_revenue_pareto",
     "referential_integrity",
     "events_weekly_heatmap",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
     "rest_ingest_dv3f",
     "rest_datasource_scan",
     "dbf_commune",
@@ -207,9 +151,16 @@ _CHECK_FIRST = [
 
 
 def _ordered_specs():
-    first = [QUERIES[n] for n in _CHECK_FIRST if n in QUERIES]
-    rest = [s for n, s in QUERIES.items() if n not in _CHECK_FIRST]
-    return first + rest
+    """Registry in driver-check order: _CHECK_FIRST (deduped, first
+    occurrence wins) then the remaining specs in registration order."""
+    seen: set[str] = set()
+    ordered = []
+    for n in _CHECK_FIRST:
+        if n in QUERIES and n not in seen:
+            seen.add(n)
+            ordered.append(QUERIES[n])
+    ordered.extend(s for n, s in QUERIES.items() if n not in seen)
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:

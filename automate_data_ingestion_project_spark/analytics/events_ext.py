@@ -273,6 +273,14 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     its JSON path functions — same values, different encoding, which is
     the point: VARIANT is an execution-strategy choice, not a
     semantics change.
+
+    Bucket semantics: ``(k / 25).cast('bigint')`` truncates toward
+    zero, and so does the oracle's DuckDB integer ``//`` (measured:
+    ``-3 // 25 = 0``) — the engines agree for ALL signs of ``k``, not
+    just the fixture's 0-99 range. Do not "fix" this to ``F.floor``;
+    that would diverge from the oracle on negative payloads. Pinned by
+    ``tests/test_sql_surfaces.py::
+    test_variant_bucket_truncation_matches_duckdb_for_all_signs``.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
     v = ev.select("event_type", F.parse_json("props").alias("v"))

@@ -113,14 +113,17 @@ def table_profile_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite) with 6 HLL sketches multiplies partial-aggregation buffer
     memory across Expand groups × shuffle partitions — measured OOM on
     a 1 GiB driver at sf0.01 with the HLL++ buffers. Each pass alone is
-    the already-proven shape; the join is 6 rows ⋈ 6 rows. Tolerance
-    uses 1% as the error bound (lgK=14 rse ≈ 0.81% < 1%)."""
-    rsd = 0.01
+    the already-proven shape; the join is 6 rows ⋈ 6 rows. Tolerance is
+    ``max(3, 5·rse·exact)`` with rse = 0.01 — a deliberately loose 5%
+    band (≈6 standard errors of the lgK=14 sketch, whose rse ≈ 0.81%),
+    plus an absolute floor of 3 so tiny dimension tables (|distinct| ≤
+    a few hundred) don't flap on sketch quantization."""
+    rse = 0.01
     exact = _profile(spark, sf_dir, exact=True)
     approx = _profile(spark, sf_dir, exact=False).select(
         "column_name", F.col("n_distinct").alias("n_approx")
     )
-    tol = F.greatest(F.lit(3.0), F.lit(5 * rsd) * F.col("n_distinct"))
+    tol = F.greatest(F.lit(3.0), F.lit(5 * rse) * F.col("n_distinct"))
     return exact.join(approx, "column_name").select(
         "column_name",
         "n_nulls",

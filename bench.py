@@ -483,8 +483,12 @@ def _latest_prior_bench(repo_dir: str, sf: float):
                         "value",
                         "artifact_build_sec",
                         "canary_sec",
+                        "canary_end_sec",
+                        "io_canary_sec",
+                        "io_canary_end_sec",
                         "total_ratio",
                         "canary_ratio",
+                        "io_canary_ratio",
                         "n_queries",
                     )
                 }
