@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Composed-pipeline scale demo: ingest → near-dup filter → curate →
+pack as ONE run at an sf1-equivalent corpus (REP× the sf0.1 fixture).
+
+Per-query plans are already pinned by tests/test_plans.py; what this
+script evidences is that the COMPOSED system — the chain a real
+training-data build runs — holds when the corpus is 10× the bench
+scale, and how the wall-time splits across stages. The recorded run
+lives in SCALE.md ("Composed-pipeline scale demo").
+
+Usage::
+
+    python scripts/scale_demo.py [REP] [SF_DIR]
+
+    REP     replication factor (default 10 → 50k docs from sf0.1's 5k,
+            the sf1-equivalent corpus; supported up to 18 — the cipher
+            cycle below has 17 distinct non-identity rotations)
+    SF_DIR  fixture dir (default /root/testdata/sf0.1)
+
+Stages (each timed separately; one JSON line at the end):
+
+1. ``scale_up`` — replicate ``documents`` REP× with deterministic,
+   codegen'd perturbations and land the corpus as partitioned parquet
+   (the "ingest" stage). One scan, rows multiply in-flight via
+   ``explode(sequence(...))`` — the scale shape, not a per-replica
+   re-read. Replica texts are made genuinely distinct via a
+   per-replica letter-substitution cipher (``F.translate`` over an
+   18-letter high-frequency cycle — nearly every word, hence every
+   shingle, changes, so replicas are NOT near-dups of each other and
+   dup density stays realistic instead of quadratic in REP), except
+   for planted ground truth: ~10% of each replica keeps the original
+   text verbatim (exact dups) and ~5% prepends a replica token to it
+   (near-dups that survive exact dedup but fall to MinHash).
+2. ``neardup_filter`` — the full MinHash chain over the scaled corpus
+   (shingle_rows → signatures → banded candidates → exact-Jaccard
+   verify → connected components), then drop every non-canonical
+   member (node ≠ component_id ⇒ not the min-id/original copy) and
+   land the filtered corpus. Same primitives as the
+   ``dedup_minhash_pairs`` / ``dedup_components`` registered queries
+   (``textops/dedup.py``, ``textops/components.py``): candidates come
+   from the banded equi-join (Σ|bucket|², never n²), verification
+   touches candidates only, and the drop-set join is left to AQE (its
+   size is corpus-dependent — the no-forced-broadcast policy).
+3. ``curate_pack`` — the registered ``corpus_curation_pipeline`` query
+   (exact dedup → 5-gram decontamination → mixture sampling →
+   sequence packing composed in one Catalyst lineage,
+   ``analytics/curation.py``) pointed at the filtered corpus.
+
+Everything stays in the engine's own operators — the demo adds no new
+query surface, it composes the existing one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REP_OFFSET = 10_000_000  # doc_id stride per replica; multiple of EVAL_MOD
+# 18 distinct high-frequency letters; rotations 1..17 are distinct
+# non-identity substitution ciphers, one per replica
+CIPHER = "etaoinshrdlucmfwyp"
+
+
+def main(argv: list[str]) -> int:
+    rep = int(argv[1]) if len(argv) > 1 else 10
+    sf_dir = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
+    if not 2 <= rep <= len(CIPHER):
+        print(f"REP must be in [2, {len(CIPHER)}]", file=sys.stderr)
+        return 2
+
+    import __spark_entry__ as entrymod  # populates the query registry
+    from automate_data_ingestion_project_spark.analytics import QUERIES
+    from automate_data_ingestion_project_spark.analytics.load import scratch_dir
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.session import get_spark
+    from automate_data_ingestion_project_spark.textops.components import (
+        connected_components,
+    )
+    from automate_data_ingestion_project_spark.textops.dedup import (
+        candidate_pairs,
+        lsh_band_keys,
+        minhash_signatures_rows,
+        shingle_rows,
+        verified_near_duplicates_rows,
+    )
+
+    assert "corpus_curation_pipeline" in entrymod.queries()
+    spark = get_spark(app_name="scale-demo", shuffle_partitions=32)
+    root = scratch_dir("scale_demo")
+    raw_dir = os.path.join(root, "corpus")
+    curated_dir = os.path.join(root, "curated")
+    timings: dict[str, float] = {}
+    stats: dict[str, int] = {}
+
+    # ---- stage 1: scale-up ingest -------------------------------------
+    t0 = time.monotonic()
+    docs = load_table(spark, sf_dir, "documents")
+    stats["rows_in"] = docs.count()
+    r = F.col("rep")
+    # deterministic per-(doc, replica) bucket selects planted dup classes
+    bucket = F.crc32(F.concat_ws("|", F.col("doc_id"), r)) % 100
+    # per-replica cipher: rotate the cycle by rep % 17 + 1 (never the
+    # identity for rep>0); SQL translate accepts a per-row `to` string
+    ciphered = F.expr(
+        f"translate(text, '{CIPHER}', concat("
+        f"substring('{CIPHER}', rep % {len(CIPHER) - 1} + 2, {len(CIPHER)}), "
+        f"substring('{CIPHER}', 1, rep % {len(CIPHER) - 1} + 1)))"
+    )
+    scaled = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .select(
+            (F.col("doc_id") + r * REP_OFFSET).alias("doc_id"),
+            F.when(r == 0, F.col("text"))
+            .when(bucket < 10, F.col("text"))  # planted exact dup
+            .when(  # planted near-dup: one novel token prepended
+                bucket < 15,
+                F.concat(
+                    F.lit("xq"), r.cast("string"), F.lit(" "), F.col("text")
+                ),
+            )
+            .otherwise(ciphered)
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("int"))
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(raw_dir, "documents.parquet")
+    )
+    timings["scale_up_sec"] = round(time.monotonic() - t0, 2)
+
+    # ---- stage 2: near-dup filter ------------------------------------
+    t0 = time.monotonic()
+    corpus = load_table(spark, raw_dir, "documents")
+    stats["rows_scaled"] = corpus.count()
+    rows = shingle_rows(corpus.select("doc_id", "text"))
+    sigs = minhash_signatures_rows(rows)
+    pairs = candidate_pairs(lsh_band_keys(sigs))
+    verified = verified_near_duplicates_rows(rows, pairs).select(
+        "doc_id_a", "doc_id_b"
+    )
+    comp = connected_components(verified)
+    # canonical member = component_id (min doc_id = the original copy
+    # under the replica-offset id scheme); drop everything else
+    drop = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    curated = corpus.join(drop, "doc_id", "left_anti")
+    curated.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(curated_dir, "documents.parquet")
+    )
+    timings["neardup_filter_sec"] = round(time.monotonic() - t0, 2)
+
+    # ---- stage 3: curate + pack (registered composed query) ----------
+    t0 = time.monotonic()
+    stats["rows_curated"] = load_table(spark, curated_dir, "documents").count()
+    stats["rows_dropped"] = stats["rows_scaled"] - stats["rows_curated"]
+    result = QUERIES["corpus_curation_pipeline"].fn(spark, curated_dir).collect()
+    timings["curate_pack_sec"] = round(time.monotonic() - t0, 2)
+    stats["result_sources"] = len(result)
+    stats["packed_docs"] = sum(row["n_docs"] for row in result)
+    stats["packed_sequences"] = sum(row["n_sequences"] for row in result)
+    stats["total_tokens"] = sum(row["total_tokens"] for row in result)
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_demo_total_sec",
+                "value": total,
+                "unit": "sec",
+                "rep": rep,
+                "sf_dir": sf_dir,
+                "stages": timings,
+                **stats,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
