@@ -319,11 +319,18 @@ def main() -> int:
             if n in prior and prior[n] > 0
         }
         # Host-speed normalization: divide per-query ratios by the
-        # canary ratio, so a uniformly slower/faster host (measured
-        # 76 s → 105 s same-code on this VM) doesn't read as a uniform
+        # canary ratio, so a uniformly slower host (measured 76 s →
+        # 105 s same-code on this VM) doesn't read as a uniform
         # regression. Only the canary-NORMALIZED ratio is flagged, and
         # the normalizer is the WORSE of the start/end canaries so a
         # host that degrades mid-sweep doesn't fake a regression wave.
+        # The PRIOR side contributes its BEST (quiet-host) canary and
+        # the normalizer clamps at 1.0: the filter corrects for
+        # CURRENT-run slowness only. Normalizing below 1 would demand
+        # every query speed up as much as the pure-CPU canary did —
+        # measured r6→r7: prior start canary 0.58 s (loaded host) vs
+        # 0.17 s now produced speed=0.394 and 55 phantom flags on a
+        # total_ratio-0.991 run.
         canary_ratio = (
             round(canary / prior_canary, 3) if prior_canary else None
         )
@@ -342,7 +349,7 @@ def main() -> int:
             else []
         )
         speed = (
-            max([canary_ratio, canary_end_ratio, *io_ratios])
+            max([1.0, canary_ratio, canary_end_ratio, *io_ratios])
             if canary_ratio
             else 1.0
         )
@@ -389,12 +396,16 @@ def _prior_io_canary(repo_dir: str, prior_file: str | None):
     except (OSError, ValueError):
         return None
     parsed = data.get("parsed") or data
+    # BEST (min) of the prior record's start/end io canaries — the
+    # quiet-host measurement. A prior sweep whose start was io-loaded
+    # (r6: 1.70 s start vs 0.45 s end) must not shrink the normalizer
+    # and convert the load that cleared into current-round flags.
     if isinstance(parsed, dict) and parsed.get("io_canary_sec"):
         vals = [parsed["io_canary_sec"], parsed.get("io_canary_end_sec")]
-        return max(v for v in vals if v)
+        return min(v for v in vals if v)
     tail = (data.get("tail") or "").split('"vs_prior"')[0]
     mm = re.findall(r'"io_canary(?:_end)?_sec":\s*([0-9.]+)', tail)
-    return max(map(float, mm)) if mm else None
+    return min(map(float, mm)) if mm else None
 
 
 def _fit_line(out: dict, timings: dict, limit: int = 1900) -> str:
@@ -466,7 +477,17 @@ def _latest_prior_bench(repo_dir: str, sf: float):
             qs, canary, rec_sf = None, None, None
             if isinstance(parsed, dict) and parsed.get("queries"):
                 qs = parsed["queries"]
-                canary = parsed.get("canary_sec")
+                # best (quiet-host) of the prior start/end canaries —
+                # see _prior_io_canary for why min, not start/max
+                cvals = [
+                    v
+                    for v in (
+                        parsed.get("canary_sec"),
+                        parsed.get("canary_end_sec"),
+                    )
+                    if v
+                ]
+                canary = min(cvals) if cvals else None
                 rec_sf = parsed.get("sf")
             else:
                 tail = data.get("tail") or ""
@@ -492,8 +513,10 @@ def _latest_prior_bench(repo_dir: str, sf: float):
                         "n_queries",
                     )
                 }
-                mm = re.search(r'"canary_sec":\s*([0-9.]+)', tail)
-                canary = float(mm.group(1)) if mm else None
+                mm = re.findall(
+                    r'"canary(?:_end)?_sec":\s*([0-9.]+)', tail
+                )
+                canary = min(map(float, mm)) if mm else None
                 mm = re.search(r'"sf":\s*([0-9.]+)', tail)
                 rec_sf = float(mm.group(1)) if mm else data.get("sf")
             if qs and rec_sf == sf:
