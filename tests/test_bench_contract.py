@@ -113,3 +113,38 @@ def test_upgrade_to_full_map_matches_same_run_only(tmp_path):
     assert _upgrade_to_full_map(str(p), {"b": 2.5, "c": 3.0}, 0.1) is None
     # wrong sf -> no upgrade
     assert _upgrade_to_full_map(str(p), {"b": 2.0}, 0.01) is None
+
+
+def test_prior_reader_takes_quiet_min_canary_and_excludes_new_keys(tmp_path):
+    # r6+ records carry four canary fields; none may parse as a query
+    # timing, and the prior canary must be the QUIET (min) of start/end
+    # so a loaded prior sweep can't shrink the normalizer (the r6->r7
+    # 55-phantom-flag incident)
+    full = {
+        "queries": {"alpha_query": 1.5},
+        "sf": 0.1,
+        "canary_sec": 0.58,
+        "canary_end_sec": 0.15,
+        "io_canary_sec": 1.70,
+        "io_canary_end_sec": 0.45,
+    }
+    # parsed branch
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"rc": 0, "parsed": full})
+    )
+    f, qs, canary = _latest_prior_bench(str(tmp_path), 0.1)
+    assert f == "BENCH_r06.json" and qs == {"alpha_query": 1.5}
+    assert canary == 0.15
+    # truncated-tail branch of a NEWER record wins and behaves the same
+    line = json.dumps(full)
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"rc": 0, "sf": 0.1, "tail": line[5:], "parsed": None})
+    )
+    f, qs, canary = _latest_prior_bench(str(tmp_path), 0.1)
+    assert f == "BENCH_r07.json"
+    assert qs == {"alpha_query": 1.5}, qs  # no canary key leaked in
+    assert canary == 0.15
+    from bench import _prior_io_canary
+
+    assert _prior_io_canary(str(tmp_path), "BENCH_r06.json") == 0.45
+    assert _prior_io_canary(str(tmp_path), "BENCH_r07.json") == 0.45
