@@ -319,3 +319,99 @@ def test_argmin_joinback_preserves_ties(spark):
     )
     got = {(r.partkey, r.suppkey): r.unit_price for r in cheapest_by_unit_price(li).collect()}
     assert got == {(1, 10): 2.0, (1, 11): 2.0, (2, 21): 3.0}
+
+
+@st.composite
+def edge_lists(draw):
+    node = st.integers(min_value=0, max_value=12)
+    return draw(st.lists(st.tuples(node, node), min_size=0, max_size=20))
+
+
+@_SETTINGS
+@given(edges=edge_lists())
+def test_connected_components_matches_union_find_on_any_graph(spark, edges):
+    """The iterative min-label propagation must produce exactly the
+    partition a reference union-find computes, for ANY small graph
+    (self-loops and duplicate edges included), with component_id = the
+    minimum node id of its component."""
+    from automate_data_ingestion_project_spark.textops.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for n in parent:
+        expected.setdefault(find(n), set()).add(n)
+    expected_parts = {frozenset(v) for v in expected.values()}
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "doc_id_a long, doc_id_b long"
+    ).dropna()
+    got_rows = connected_components(df).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.component_id, set()).add(r.node)
+    assert {frozenset(v) for v in got.values()} == expected_parts
+    for cid, members in got.items():
+        assert cid == min(members)
+
+
+@st.composite
+def tiny_corpora(draw):
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=3, max_size=6).map(" ".join)
+    docs = draw(st.lists(doc, min_size=2, max_size=6))
+    dup_of = draw(st.integers(0, len(docs) - 1))
+    return docs + [docs[dup_of]]  # always at least one exact-dup pair
+
+
+@_SETTINGS
+@given(texts=tiny_corpora())
+def test_minhash_chain_always_catches_exact_shingle_duplicates(spark, texts):
+    """The scale-demo / dedup guarantee: two docs with EQUAL shingle
+    sets share every band key, so banded LSH candidate generation finds
+    them deterministically (no probabilistic miss is possible) and
+    exact verification reports jaccard 1.0. Also: every reported pair's
+    jaccard equals the Python-computed exact Jaccard of the shingle
+    sets — the verify stage is exact, LSH only affects which candidate
+    pairs exist."""
+    from automate_data_ingestion_project_spark.textops.dedup import (
+        candidate_pairs,
+        lsh_band_keys,
+        minhash_signatures_rows,
+        shingle_rows,
+        verified_near_duplicates_rows,
+    )
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = shingle_rows(docs)
+    pairs = candidate_pairs(lsh_band_keys(minhash_signatures_rows(rows)))
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in verified_near_duplicates_rows(rows, pairs).collect()
+    }
+    for (a, b), j in got.items():
+        assert a < b
+        inter = len(sh(texts[a]) & sh(texts[b]))
+        union = len(sh(texts[a]) | sh(texts[b]))
+        assert j == inter / union >= 0.5
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if sh(texts[a]) == sh(texts[b]):
+                assert got.get((a, b)) == 1.0
