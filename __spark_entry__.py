@@ -86,6 +86,11 @@ _CHECK_FIRST = [
     "stream_windowed_counts",
     "stream_session_counts",
     "stream_stateful_totals",
+    # (1b) code changed in round 7: interpolation core factored into
+    # operators/timeseries.py (hash-identical — verified vs oracle at
+    # sf0.01 pre-commit); front-loaded so its official row is
+    # post-change
+    "events_value_interpolate",
     # (2) oldest evidence: last green in round 3
     "normalize_dv3f",
     "dbt_first_model",

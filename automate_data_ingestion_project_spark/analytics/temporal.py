@@ -204,15 +204,16 @@ def events_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill at series edges) — the sensor-gap repair step feature
     pipelines run before windowed aggregation.
 
-    Spark shape: two window passes over ONE hash shuffle on user_id
-    (the same exchange serves both frame directions); carried values
-    use ``last/first(..., ignorenulls=True)`` over asymmetric row
-    frames, so no self-join and no per-gap explode. Cross-engine float
-    parity: the fill is ``pv + (nv − pv) · ((us − pts)/(nts − pts))``
-    on microsecond integers with ONE double division — identical
-    operand tree in DuckDB, bit-identical fills.
+    Spark shape (inside :func:`operators.timeseries.
+    interpolate_time_weighted`, the reusable form — property-tested
+    against a Python reference on arbitrary gappy series): all four
+    carried values evaluate in ONE Window node over ONE hash shuffle
+    on user_id, so no self-join and no per-gap explode. Cross-engine
+    float parity: the fill is ``pv + (nv − pv) · ((us − pts)/
+    (nts − pts))`` on microsecond integers with ONE double division —
+    identical operand tree in DuckDB, bit-identical fills.
     """
-    from pyspark.sql import Window
+    from ..operators.timeseries import interpolate_time_weighted
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -221,43 +222,13 @@ def events_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.unix_micros("ts").alias("us"),
         F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
         .otherwise(F.col("value"))
         .alias("v"),
     )
-    order = [F.col("ts").asc(), F.col("event_id").asc()]
-    prev = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out = interpolate_time_weighted(
+        p, ["user_id"], ts_col="ts", value_col="v", order_cols=("event_id",)
     )
-    nxt = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    v_ts = F.when(F.col("v").isNotNull(), F.col("us"))
-    w = p.select(
-        "*",
-        F.last("v", ignorenulls=True).over(prev).alias("pv"),
-        F.last(v_ts, ignorenulls=True).over(prev).alias("pts"),
-        F.first("v", ignorenulls=True).over(nxt).alias("nv"),
-        F.first(v_ts, ignorenulls=True).over(nxt).alias("nts"),
-    )
-    frac = (F.col("us") - F.col("pts")) / (F.col("nts") - F.col("pts"))
-    filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
-        )
-        .otherwise(F.coalesce("pv", "nv"))
-    )
-    return w.select(
-        "event_id",
-        "user_id",
-        "ts",
-        filled.alias("value_filled"),
-        F.col("v").isNull().alias("was_interpolated"),
+    return out.select(
+        "event_id", "user_id", "ts", "value_filled", "was_interpolated"
     )

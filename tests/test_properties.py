@@ -415,3 +415,74 @@ def test_minhash_chain_always_catches_exact_shingle_duplicates(spark, texts):
         for b in range(a + 1, len(texts)):
             if sh(texts[a]) == sh(texts[b]):
                 assert got.get((a, b)) == 1.0
+
+
+@st.composite
+def gappy_series(draw):
+    # (user, us, value-or-None) with unique (user, us): equal-timestamp
+    # neighbors would make the interpolation fraction 0/0 — the fixture
+    # guarantees strictly increasing per-user timestamps, so the
+    # operator contract assumes it too
+    n = draw(st.integers(1, 12))
+    rows, used = [], set()
+    for i in range(n):
+        user = draw(st.integers(0, 2))
+        us = draw(st.integers(0, 50).map(lambda x: x * 1_000_000))
+        if (user, us) in used:
+            continue
+        used.add((user, us))
+        v = draw(st.one_of(st.none(), st.integers(-50, 50).map(float)))
+        rows.append((i, user, us, v))
+    return rows
+
+
+@_SETTINGS
+@given(rows=gappy_series())
+def test_interpolation_matches_python_reference_on_any_series(spark, rows):
+    """interpolate_time_weighted vs a straight-line Python model over
+    arbitrary gappy series: interior nulls fill time-weighted between
+    nearest non-null neighbors, edges carry, all-null series stay
+    null. Same IEEE operand tree on both sides — equality is exact,
+    not approximate."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.operators.timeseries import (
+        interpolate_time_weighted,
+    )
+
+    def reference():
+        exp = {}
+        by_user: dict[int, list] = {}
+        for rid, user, us, v in rows:
+            by_user.setdefault(user, []).append((us, rid, v))
+        for series in by_user.values():
+            series.sort()
+            for i, (us, rid, v) in enumerate(series):
+                if v is not None:
+                    exp[rid] = (v, False)
+                    continue
+                prv = next(
+                    ((u, x) for u, _, x in reversed(series[:i]) if x is not None),
+                    None,
+                )
+                nxt = next(
+                    ((u, x) for u, _, x in series[i + 1 :] if x is not None),
+                    None,
+                )
+                if prv and nxt:
+                    (pts, pv), (nts, nv) = prv, nxt
+                    exp[rid] = (pv + (nv - pv) * ((us - pts) / (nts - pts)), True)
+                elif prv or nxt:
+                    exp[rid] = ((prv or nxt)[1], True)
+                else:
+                    exp[rid] = (None, True)
+        return exp
+
+    df = spark.createDataFrame(
+        rows, "rid long, user long, us long, v double"
+    ).select("rid", "user", F.timestamp_micros("us").alias("ts"), "v")
+    got = {
+        r.rid: (r.value_filled, r.was_interpolated)
+        for r in interpolate_time_weighted(df, ["user"], "ts", "v").collect()
+    }
+    assert got == reference()
