@@ -45,8 +45,24 @@ def interpolate_time_weighted(
     ``key_cols`` group ordered by ``(ts_col, *order_cols)``; a missing
     neighbor on one side degrades to carry from the other side; a
     series with no non-null value at all fills NULL. ``order_cols``
-    breaks timestamp ties so the result is replay-stable.
+    breaks timestamp ties so the *ordering* is replay-stable — but the
+    interpolation weight is purely time-based, so when the bracketing
+    non-null neighbors share one timestamp (a tied-gap, only possible
+    when timestamps are not strictly increasing per key) there is no
+    time axis to weight along and the fill degrades to carry from the
+    previous neighbor instead of dividing by zero.
+
+    Reserved names: the operator appends ``value_filled`` and
+    ``was_interpolated`` and internally uses ``_us/_pv/_pts/_nv/_nts``;
+    raises ``ValueError`` if ``df`` already has any of them.
     """
+    reserved = {"_us", "_pv", "_pts", "_nv", "_nts",
+                "value_filled", "was_interpolated"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(clash)}"
+        )
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
     prev = (
         Window.partitionBy(*key_cols)
@@ -73,7 +89,12 @@ def interpolate_time_weighted(
     filled = (
         F.when(v.isNotNull(), v)
         .when(
-            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv").isNotNull()
+            & F.col("_nv").isNotNull()
+            # tied-gap guard: bracketing neighbors at one timestamp
+            # have no time axis to weight along — carry instead of a
+            # NULL from the 0/0 division (ANSI off)
+            & (F.col("_nts") != F.col("_pts")),
             F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
         )
         .otherwise(F.coalesce("_pv", "_nv"))

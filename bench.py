@@ -331,6 +331,14 @@ def main() -> int:
         # measured r6→r7: prior start canary 0.58 s (loaded host) vs
         # 0.17 s now produced speed=0.394 and 55 phantom flags on a
         # total_ratio-0.991 run.
+        # The asymmetry trades false positives for false NEGATIVES: a
+        # fluke-fast prior canary (or a real host speed-up) inflates
+        # `speed` and deflates every current ratio, so a genuine
+        # regression on a faster host can be fully masked. To keep
+        # masked regressions visible in the record, `speed` and the
+        # UN-normalized flag count are always emitted below, and a
+        # high normalizer (>1.5) is the signal to re-run quiet and
+        # read raw_regression_count before trusting `regressions: {}`.
         canary_ratio = (
             round(canary / prior_canary, 3) if prior_canary else None
         )
@@ -363,6 +371,15 @@ def main() -> int:
             for n, r in sorted(ratios.items())
             if r / speed > 1.25 and timings[n] - speed * prior[n] > 0.5
         }
+        # Same rule WITHOUT the host normalizer — the visibility net
+        # for the false-negative direction documented above. Raw
+        # per-query ratios are reconstructable from BENCH_FULL.json of
+        # both rounds; the count here is the cheap tripwire.
+        raw_regressions = {
+            n: r
+            for n, r in sorted(ratios.items())
+            if r > 1.25 and timings[n] - prior[n] > 0.5
+        }
         # both sides of the ratio cover the SAME query set — otherwise a
         # newly added query inflates the numerator and fakes a regression
         out["vs_prior"] = {
@@ -374,6 +391,8 @@ def main() -> int:
                 3,
             ),
             "regressions": regressions,
+            "speed": round(speed, 3),
+            "raw_regression_count": len(raw_regressions),
         }
         if canary_ratio:
             out["vs_prior"]["canary_ratio"] = canary_ratio

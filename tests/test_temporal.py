@@ -114,3 +114,47 @@ def test_bucketed_range_join_matches_naive_join(spark, sf_dir):
         ).collect()
     )
     assert bucketed == naive and len(bucketed) > 0
+
+
+def test_interpolation_tied_gap_carries_instead_of_null(spark):
+    """When a NULL row's bracketing non-null neighbors share one
+    timestamp (only possible with non-strictly-increasing series),
+    there is no time axis to weight along: the fill must carry the
+    previous value, not return NULL from the 0/0 division (ANSI off).
+    order_cols makes the tie ordering — and hence which neighbor is
+    'previous' — deterministic."""
+    from automate_data_ingestion_project_spark.operators.timeseries import (
+        interpolate_time_weighted,
+    )
+
+    t = _ts("2024-01-01 10:00:00")
+    df = spark.createDataFrame(
+        [
+            (1, 1, t, 2.0),
+            (1, 2, t, None),  # gap bracketed by two rows AT t
+            (1, 3, t, 8.0),
+        ],
+        "k long, seq long, ts timestamp, v double",
+    )
+    out = {
+        r.seq: (r.value_filled, r.was_interpolated)
+        for r in interpolate_time_weighted(
+            df, ["k"], "ts", "v", order_cols=["seq"]
+        ).collect()
+    }
+    assert out == {1: (2.0, False), 2: (2.0, True), 3: (8.0, False)}
+
+
+def test_interpolation_rejects_reserved_column_names(spark):
+    import pytest
+
+    from automate_data_ingestion_project_spark.operators.timeseries import (
+        interpolate_time_weighted,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0, 0.0)],
+        "k long, ts timestamp, v double, value_filled double",
+    )
+    with pytest.raises(ValueError, match="value_filled"):
+        interpolate_time_weighted(df, ["k"], "ts", "v")
