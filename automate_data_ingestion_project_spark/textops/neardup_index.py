@@ -9,12 +9,19 @@ accepted (novel) documents' bands/shingles so the next batch sees them.
 This module is that loop:
 
 - :meth:`NearDupIndex.build` — bootstrap the index from a corpus (one
-  shingling + signature pass, written as parquet; production writes
-  bucketed-by-``band_key`` tables so the probe join is exchange-free);
+  shingling + signature pass). Default layout is parquet; with
+  ``bucket_bands=n`` the band table is written BUCKETED by
+  ``band_key`` (a managed table via ``io.sink.write_bucketed_table``),
+  so when a batch is too large to broadcast the probe join reads the
+  corpus bands exchange-free — only the batch side shuffles, and the
+  100 TB index is never repartitioned (pinned by ``tests/test_plans.py
+  ::test_bucketed_neardup_probe_never_reshuffles_index``);
 - :meth:`NearDupIndex.filter_batch` — batch-vs-corpus decision table.
-  The batch's band keys broadcast; the corpus band table is probed in
-  place and never reshuffled; verification touches candidates only.
-  ``2·|∩| ≥ |∪|`` is the integer-exact form of Jaccard ≥ 0.5;
+  By default the batch's band keys broadcast and the corpus band table
+  is probed in place; ``broadcast_batch=False`` is the big-batch path
+  that relies on the bucketed layout above. Verification touches
+  candidates only. ``2·|∩| ≥ |∪|`` is the integer-exact form of
+  Jaccard ≥ 0.5;
 - :meth:`NearDupIndex.ingest_batch` — filter, then append the accepted
   docs' bands/shingles (idempotently: ids already indexed are skipped,
   so a replayed batch cannot double-append).
@@ -27,11 +34,13 @@ deployment replaces it with PK enforcement / MERGE in the table format.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io.sink import write_bucketed_table
 from ..operators.caching import tracked_persist
 from .dedup import (
     lsh_band_keys,
@@ -44,14 +53,29 @@ BANDS_SUBDIR = "bands"
 ROWS_SUBDIR = "shingles"
 
 
-class NearDupIndex:
-    """Handle on a materialized (bands, shingles) index directory."""
+def _bands_table_name(root: str) -> str:
+    """Catalog name for a root's bucketed band table — content-derived
+    from the (already unique, usually PID-scoped) root path so two
+    concurrent engine processes never collide on one catalog entry."""
+    return "neardup_bands_" + hashlib.md5(root.encode()).hexdigest()[:12]
 
-    def __init__(self, spark: SparkSession, root: str):
+
+class NearDupIndex:
+    """Handle on a materialized (bands, shingles) index directory.
+
+    ``bucket_bands``: bucket count of the band table when it was built
+    with the bucketed layout (None = plain parquet under ``root``).
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, bucket_bands: int | None = None
+    ):
         self.spark = spark
         self.root = root
+        self.bucket_bands = bucket_bands
         self.bands_path = os.path.join(root, BANDS_SUBDIR)
         self.rows_path = os.path.join(root, ROWS_SUBDIR)
+        self.bands_table = _bands_table_name(root) if bucket_bands else None
 
     # -- construction ------------------------------------------------------
 
@@ -70,14 +94,37 @@ class NearDupIndex:
 
     @classmethod
     def build(
-        cls, spark: SparkSession, docs: DataFrame, root: str
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        root: str,
+        bucket_bands: int | None = None,
     ) -> "NearDupIndex":
-        cls.write_corpus(docs, root)
-        return cls(spark, root)
+        """Bootstrap from a corpus. ``bucket_bands=n`` writes the band
+        table bucketed by ``band_key`` (sorted within buckets), the
+        layout that makes a non-broadcast probe join exchange-free on
+        the index side — the corpus is hashed into buckets ONCE at
+        build time and never reshuffled by any later probe."""
+        if bucket_bands is None:
+            cls.write_corpus(docs, root)
+            return cls(spark, root)
+        rows = tracked_persist(shingle_rows(docs))
+        bands = lsh_band_keys(minhash_signatures_rows(rows))
+        rows.write.mode("overwrite").parquet(os.path.join(root, ROWS_SUBDIR))
+        write_bucketed_table(
+            bands,
+            _bands_table_name(root),
+            "band_key",
+            bucket_bands,
+            sort_col="band_key",
+        )
+        return cls(spark, root, bucket_bands=bucket_bands)
 
     # -- reads (re-read per call so appends are visible) -------------------
 
     def bands(self) -> DataFrame:
+        if self.bands_table:
+            return self.spark.table(self.bands_table)
         return self.spark.read.parquet(self.bands_path)
 
     def rows(self) -> DataFrame:
@@ -90,21 +137,32 @@ class NearDupIndex:
         bands = tracked_persist(lsh_band_keys(minhash_signatures_rows(rows)))
         return rows, bands
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def filter_batch(
+        self, batch: DataFrame, broadcast_batch: bool = True
+    ) -> DataFrame:
         """Decision table (batch_id, n_candidates, n_verified_dups,
-        is_near_dup) for a (doc_id, text) batch vs the current index."""
+        is_near_dup) for a (doc_id, text) batch vs the current index.
+
+        ``broadcast_batch=False`` is the big-batch path: no broadcast
+        hint, so the probe becomes a shuffle join — against a
+        ``bucket_bands`` index the corpus side reads its buckets in
+        place (zero Exchange) and only the batch shuffles."""
         rows, bands = self._batch_derivations(batch)
-        return self._decisions(batch, rows, bands)
+        return self._decisions(batch, rows, bands, broadcast_batch)
 
     def _decisions(
-        self, batch: DataFrame, batch_rows: DataFrame, batch_bands: DataFrame
+        self,
+        batch: DataFrame,
+        batch_rows: DataFrame,
+        batch_bands: DataFrame,
+        broadcast_batch: bool = True,
     ) -> DataFrame:
+        probe = batch_bands.withColumnRenamed("doc_id", "batch_id")
+        if broadcast_batch:
+            probe = F.broadcast(probe)
         cand = (
             self.bands()
-            .join(
-                F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
-                "band_key",
-            )
+            .join(probe, "band_key")
             .select("batch_id", F.col("doc_id").alias("corpus_id"))
             .distinct()
         )
@@ -158,5 +216,19 @@ class NearDupIndex:
         new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
         new_bands = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
         new_rows.write.mode("append").parquet(self.rows_path)
-        new_bands.write.mode("append").parquet(self.bands_path)
+        if self.bands_table:
+            # append preserves the bucket spec (Spark validates it
+            # against the existing table) — new rows hash into the same
+            # band_key buckets, so probes stay exchange-free after any
+            # number of ingests
+            write_bucketed_table(
+                new_bands,
+                self.bands_table,
+                "band_key",
+                self.bucket_bands,
+                sort_col="band_key",
+                mode="append",
+            )
+        else:
+            new_bands.write.mode("append").parquet(self.bands_path)
         return decisions

@@ -188,3 +188,58 @@ def test_ingest_loop_batch2_sees_batch1_appends(spark, tmp_path):
     n_before = index.bands().count()
     index.ingest_batch(b1).collect()
     assert index.bands().count() == n_before
+
+
+def test_bucketed_ingest_loop_appends_preserve_bucket_layout(spark, tmp_path):
+    """The bucketed index variant must run the SAME ingestion loop:
+    cross-batch detection through a saveAsTable append (Spark validates
+    the bucket spec, so appended bands land in the same band_key
+    buckets) and the replay id-guard, with the catalog table — not the
+    parquet dir — serving every read."""
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(
+        spark, corpus, str(tmp_path / "idx"), bucket_bands=4
+    )
+    try:
+        novel = "completely different words about distributed query engines"
+        b1 = spark.createDataFrame(
+            [
+                (10, "xq the quick brown fox jumps over the lazy dog today"),
+                (11, novel),
+            ],
+            "doc_id long, text string",
+        )
+        d1 = {
+            r.batch_id: r.is_near_dup for r in index.ingest_batch(b1).collect()
+        }
+        assert d1 == {10: True, 11: False}
+        b2 = spark.createDataFrame(
+            [(20, "zz " + novel)], "doc_id long, text string"
+        )
+        # the big-batch (non-broadcast) probe path over the appended table
+        d2 = {
+            r.batch_id: r.is_near_dup
+            for r in index.filter_batch(b2, broadcast_batch=False).collect()
+        }
+        assert d2 == {20: True}
+        n_before = index.bands().count()
+        index.ingest_batch(b1).collect()
+        assert index.bands().count() == n_before
+        # every read is catalog-backed; bucket spec survived the appends
+        desc = spark.sql(
+            f"DESCRIBE TABLE EXTENDED {index.bands_table}"
+        ).collect()
+        desc_text = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+        assert "band_key" in desc_text and "Num Buckets 4" in desc_text
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index.bands_table}")

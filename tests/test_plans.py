@@ -634,3 +634,132 @@ def test_snapshot_diff_is_single_key_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_neardup_probe_never_reshuffles_index(spark, sf_dir):
+    """The NearDupIndex module claims production writes the band table
+    bucketed by band_key so a too-big-to-broadcast batch probe never
+    reshuffles the corpus index — pin it: build a bucketed index, probe
+    with the broadcast hint OFF and broadcast planning disabled, and
+    the candidate plan must be a shuffle join whose index side reads
+    its buckets in place. Exactly TWO hash exchanges remain (the batch
+    side entering the join + the pair distinct); a plain-parquet index
+    pays a THIRD to reshuffle the corpus on every probe.
+
+    Also re-checks the decision table itself: layout must never change
+    results."""
+    import shutil
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+        _bands_table_name,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    root = scratch_dir("neardup_bucketed_plan")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tbl = _bands_table_name(root)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    index = NearDupIndex.build(spark, docs, root, bucket_bands=8)
+    plain = NearDupIndex.build(spark, docs, os.path.join(root, "plain"))
+
+    # a relation persisted by an earlier test would freeze its join
+    # strategy inside the InMemoryRelation and fake the comparison
+    spark.catalog.clearCache()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # truncate the batch-derivation lineage (its minhash groupBys
+        # shuffle too) so the exchange count isolates the PROBE join
+        rows, bands = index._batch_derivations(batch)
+        bands = bands.localCheckpoint(eager=True)
+        cand = (
+            index.bands()
+            .join(bands.withColumnRenamed("doc_id", "batch_id"), "band_key")
+            .select("batch_id", F.col("doc_id").alias("corpus_id"))
+            .distinct()
+        )
+        plan = _physical(cand)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+
+        rows_p, bands_p = plain._batch_derivations(batch)
+        bands_p = bands_p.localCheckpoint(eager=True)
+        cand_p = (
+            plain.bands()
+            .join(bands_p.withColumnRenamed("doc_id", "batch_id"), "band_key")
+            .select("batch_id", F.col("doc_id").alias("corpus_id"))
+            .distinct()
+        )
+        assert _physical(cand_p).count("Exchange hashpartitioning") == 3
+
+        got = sorted(
+            tuple(r)
+            for r in index.filter_batch(batch, broadcast_batch=False).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = sorted(tuple(r) for r in plain.filter_batch(batch).collect())
+    assert got == want and len(want) > 0
+    spark.sql(f"DROP TABLE {tbl}")
+
+
+def test_ann_ivf_topk_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The registered IVF searches now READ the cell-partitioned
+    vector artifact: the candidate scan must carry a literal
+    PartitionFilters entry on `cell` restricted to the probed cells —
+    parquet-scan-level pruning, so a 100 TB search reads only the
+    probed inverted lists, never the corpus."""
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        QUERY_IDS,
+        ivf_cell_table,
+    )
+
+    for qname in ("ann_ivf_topk", "ann_ivf_multiprobe"):
+        df = entrymod.queries()[qname](spark, sf_dir)
+        plan = _formatted(df)
+        part_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "cell" in ln and " IN (" in ln
+        ]
+        assert part_lines, f"{qname}: no literal cell pruning in plan"
+    # and the pruning is real: the IN-list the single-probe search
+    # plans is exactly the queries' home cells — a strict subset of the
+    # table's cells (each query vector 0..4 is its own nearest
+    # centroid, so the probed set can never cover all N_CELLS=8)
+    import re
+
+    from automate_data_ingestion_project_spark.analytics.ivf import N_CELLS
+
+    path = ivf_cell_table(spark, sf_dir)
+    full = spark.read.parquet(path)
+    probed_cells = sorted(
+        r[0]
+        for r in full.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert 0 < len(probed_cells) < N_CELLS
+    plan = _formatted(entrymod.queries()["ann_ivf_topk"](spark, sf_dir))
+    pf_line = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and " IN (" in ln
+    ][0]
+    in_list = sorted(
+        int(x) for x in re.search(r" IN \(([0-9,]+)\)", pf_line).group(1).split(",")
+    )
+    assert in_list == probed_cells
