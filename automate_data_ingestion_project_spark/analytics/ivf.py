@@ -8,17 +8,24 @@ FAISS-style IVF-flat layout expressed relationally:
 
 - assignment = centroid join + ``row_number`` over (dot desc) — a
   broadcast join against an 8-row codebook, one narrow pass;
-- the cell id becomes the partition/cluster key: at 100 TB the vector
-  table is WRITTEN partitioned by ``cell`` so a query's probe prunes
-  to one partition at the parquet scan (see
-  tests/test_plans.py::test_partition_pruning_on_partitioned_write for
-  the pruning proof pattern);
+- the cell id becomes the partition key: the assigned-vector table is
+  WRITTEN partitioned by ``cell`` (:func:`ivf_cell_table` — a
+  fingerprint-keyed build-once artifact, like the near-dup corpus
+  index) and the registered searches READ that layout, filtering the
+  candidate scan to the probed cells so pruning happens at the parquet
+  scan (``PartitionFilters``, pinned by tests/test_plans.py::
+  test_ann_ivf_topk_scan_prunes_to_probed_cells). Probe-cell discovery
+  is a driver-side collect of ≤ |queries|·n_probe cell ids — bounded
+  by the query batch, never by the vector count, exactly FAISS's
+  two-phase coarse-quantize-then-scan search;
 - search = equi-join query-cells ⇄ candidate-cells, cosine, top-k.
 
 Everything is deterministic double arithmetic → full DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -50,6 +57,42 @@ def assign_cells(
         .filter(F.col("_r") <= n_probe)
         .select("vec_id", "embedding", "nrm", "cell")
     )
+
+
+def ivf_cell_table(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the cell-PARTITIONED assigned-vector table for a
+    fixture — built once per fixture fingerprint (deterministic
+    nearest-centroid assignment over the deterministic codebook), then
+    served from the artifact cache. Every IVF search reads this layout;
+    a probe's candidate scan prunes to its cells' directories."""
+    import re
+
+    from ..io.artifacts import build_once, fixture_fingerprint
+    from .load import cache_dir
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    fp = fixture_fingerprint(sf_dir, "embeddings")
+
+    def _build(tmp: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+        )
+        centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+        )
+        assign_cells(emb, centroids).write.partitionBy("cell").parquet(
+            os.path.join(tmp, "vectors")
+        )
+
+    root = build_once(cache_dir(f"ivf_vectors/{key}"), fp, _build)
+    return os.path.join(root, "vectors")
+
+
+def _probed_cells(q: DataFrame) -> list[int]:
+    """Driver-side probe-cell discovery: the distinct cells of the
+    query rows — ≤ |queries|·n_probe ints, bounded by the query batch
+    (not the corpus), the one collect an IVF search legitimately does."""
+    return sorted(r[0] for r in q.select("cell").distinct().collect())
 
 
 @register(
@@ -103,20 +146,19 @@ def assign_cells(
     survey_ref="similarity search: IVF coarse-quantizer top-k (scale path)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
-    )
-    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    assigned = tracked_persist(assign_cells(emb, centroids))
+    """IVF-flat search over the cell-partitioned vector table: the
+    query rows come from a vec_id row-group-pruned read, their cells
+    are collected driver-side (≤5 ints), and the CANDIDATE scan filters
+    on those literal cells — partition pruning at the parquet scan, so
+    at 100 TB the search reads only the probed inverted lists."""
+    assigned = spark.read.parquet(ivf_cell_table(spark, sf_dir))
     q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
         "cell",
     )
-    c = assigned.select(
+    c = assigned.filter(F.col("cell").isin(_probed_cells(q))).select(
         "vec_id",
         F.col("embedding").alias("c_emb2"),
         F.col("nrm").alias("c_norm"),
@@ -207,7 +249,6 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assigned = tracked_persist(assign_cells(emb, centroids))
     probes = assign_cells(
         emb.filter(F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=N_PROBE
     ).select(
@@ -216,7 +257,12 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_norm"),
         "cell",
     )
-    c = assigned.select(
+    probes = tracked_persist(probes)
+    # candidates come from the cell-partitioned layout, pruned to the
+    # union of the queries' probed cells (2 per query) — 100 TB cost is
+    # nprobe partition-pruned scans, not a corpus pass
+    assigned = spark.read.parquet(ivf_cell_table(spark, sf_dir))
+    c = assigned.filter(F.col("cell").isin(_probed_cells(probes))).select(
         "vec_id",
         F.col("embedding").alias("c_emb2"),
         F.col("nrm").alias("c_norm"),

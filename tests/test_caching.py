@@ -33,7 +33,9 @@ CACHE_USERS = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "incremental_neardup_filter",
-    "ann_ivf_topk",
+    # ann_ivf_topk stopped persisting in r8 — it reads the
+    # cell-partitioned artifact; multiprobe still persists its probes
+    "ann_ivf_multiprobe",
     "centroid_purity",
     "decontaminate_overlap",
     "corpus_curation_pipeline",
