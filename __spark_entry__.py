@@ -76,68 +76,22 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # driver order — the first ~23 fit this round's window, round 8
 # front-loads the remainder plus the oldest r5 rows.
 _CHECK_FIRST = [
-    # (1) code changed in round 6, not driver-checked since:
-    # table_profile's counts/extremes aggregate split; the four
-    # streaming replays' rewired harness (cached sources, batch-scoped
-    # 8-partition state store). Green in local drive_driver + pytest;
-    # this ordering gets them an official post-change row.
-    "table_profile",
-    "stream_dedup_events",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
-    # (1b) code changed in round 7: interpolation core factored into
-    # operators/timeseries.py (hash-identical — verified vs oracle at
-    # sf0.01 pre-commit); front-loaded so its official row is
-    # post-change
+    # (1) code changed in round 8, front-loaded so their official rows
+    # are post-change (all re-verified vs oracle at sf0.01 pre-commit):
+    # events_value_interpolate — tied-gap carry guard in
+    #   operators/timeseries.py (no-op on strictly-increasing fixtures);
+    # incremental_neardup_filter / neardup_ingest_replay — NearDupIndex
+    #   grew the bucketed band-table layout (probe/_decisions signature
+    #   change; parquet default path behavior unchanged);
+    # ann_ivf_topk / ann_ivf_multiprobe — candidate scans now read the
+    #   cell-PARTITIONED vector artifact pruned to the probed cells.
     "events_value_interpolate",
-    # (2) oldest evidence: last green in round 3
-    "normalize_dv3f",
-    "dbt_first_model",
-    "dbt_second_model",
-    "top10_orders",
-    "top_brands_by_quantity",
-    "quality_report",
-    "dedup_exact",
-    "price_quantiles",
-    "revenue_by_nation",
-    "top3_orders_per_priority",
-    "doc_fingerprints",
-    "doc_chunks",
-    "decontaminate_overlap",
-    "doc_repetition",
-    "corpus_sample_mix",
-    "pack_sequences",
-    "label_centroids",
-    "centroid_purity",
-    "corpus_curation_pipeline",
-    "nation_only_keys_except",
-    "repeat_customers_intersect",
-    "sales_rollup",
-    # (3) r4 vintage — driver order; first ~23 fill this round's
-    # window, the tail rolls to round 8
-    "asof_purchase_last_click",
-    "range_join_signup_errors",
-    "events_hypertable_rollup",
-    "lang_confusion",
-    "text_stats",
-    "top_terms_per_doc",
-    "vocab_encode",
-    "events_by_type",
-    "scd2_history",
-    "event_funnel",
-    "cohort_retention",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "event_sessions",
-    "events_json_props",
-    "lang_length_zscores",
-    "dataset_split",
-    "bigram_counts",
-    "commune_enrichment",
-    "quality_gates",
-    "stratified_sample_exact",
+    "incremental_neardup_filter",
+    "neardup_ingest_replay",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    # (2) oldest evidence: the 13 remaining r4-vintage rows (the r7
+    # window covered the other 22; ann_ivf_topk above was the 14th)
     "customer_value_quartiles",
     "orders_rolling_revenue",
     "orders_monthly_gapfill",
@@ -149,9 +103,51 @@ _CHECK_FIRST = [
     "rest_ingest_dv3f",
     "rest_datasource_scan",
     "dbf_commune",
-    "ann_ivf_topk",
     "model_layer_build",
     "embedding_quantize",
+    # (3) r5 vintage — first 32 fill this round's 50-query window, the
+    # 7-row tail below the marker rolls to round 9
+    "orders_by_month",
+    "categories",
+    "orders_by_category",
+    "not_null_filter",
+    "smoke_select_star",
+    "nations_in_region1",
+    "dedup_minhash_pairs",
+    "dedup_components",
+    "dedup_canonical_keep",
+    "minhash_estimate_error",
+    "upsert_idempotent",
+    "incremental_daily_rollup",
+    "pipeline_etl_replay",
+    "multimodal_manifest",
+    "multimodal_features",
+    "multimodal_chunks",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "ann_recall_eval",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_recall_eval",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "source_registry_sql",
+    "csv_roundtrip_region",
+    "json_roundtrip_nation",
+    "leakage_safe_split",
+    "pricing_summary",
+    "orders_per_year",
+    "customer_order_histogram",
+    "parts_bought_together",
+    # ---- round-8 window boundary (positions 1-50 above) ----
+    # r5 tail — next round's front-load starts here
+    "sales_cube",
+    "events_value_histogram",
+    "cumulative_new_customers",
+    "order_priority_exists",
+    "big_ticket_orders",
+    "cheapest_supplier_per_part",
+    "customer_interarrival",
 ]
 
 

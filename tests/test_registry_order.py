@@ -2,29 +2,29 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-7 window composition — the round's deliverable — must hold:
-the five changed-in-r6 queries lead, and every round-3-vintage row
-sits inside the driver's 50-query window."""
+the round-8 window composition — the round's deliverable — must hold:
+the five changed-in-r8 queries lead, and every row whose latest green
+check is round 4 sits inside the driver's 50-query window (closing out
+the r4 vintage; the oldest surviving evidence after this round is r5)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R6_CHANGED = [
-    "table_profile",
-    "stream_dedup_events",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
+R8_CHANGED = [
+    "events_value_interpolate",
+    "incremental_neardup_filter",
+    "neardup_ingest_replay",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
 ]
 
-R3_VINTAGE = {
-    "normalize_dv3f", "dbt_first_model", "dbt_second_model", "top10_orders",
-    "top_brands_by_quantity", "quality_report", "dedup_exact",
-    "price_quantiles", "revenue_by_nation", "top3_orders_per_priority",
-    "doc_fingerprints", "doc_chunks", "decontaminate_overlap",
-    "doc_repetition", "corpus_sample_mix", "pack_sequences",
-    "label_centroids", "centroid_purity", "corpus_curation_pipeline",
-    "nation_only_keys_except", "repeat_customers_intersect", "sales_rollup",
+R4_VINTAGE = {
+    "customer_value_quartiles", "orders_rolling_revenue",
+    "orders_monthly_gapfill", "nation_revenue_share", "kmeans_step",
+    "nation_revenue_pareto", "referential_integrity",
+    "events_weekly_heatmap", "rest_ingest_dv3f", "rest_datasource_scan",
+    "dbf_commune", "ann_ivf_topk", "model_layer_build",
+    "embedding_quantize",
 }
 
 
@@ -39,10 +39,10 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round7_window_composition():
+def test_round8_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:5] == R6_CHANGED
-    assert R3_VINTAGE <= set(first50)
+    assert first50[:5] == R8_CHANGED
+    assert R4_VINTAGE <= set(first50)
 
 
 def test_oracles_cover_every_query():
