@@ -194,6 +194,9 @@ def main() -> int:
         corpus_neardup_index,
         minhash_pairs_evidence,
     )
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        ivf_cell_table,
+    )
     from automate_data_ingestion_project_spark.analytics.pq_train import (
         _train as pq_train_artifact,
     )
@@ -202,6 +205,7 @@ def main() -> int:
     corpus_neardup_index(spark, sf_dir)
     minhash_pairs_evidence(spark, sf_dir)
     pq_train_artifact(spark, sf_dir)
+    ivf_cell_table(spark, sf_dir)
     release_caches()
     artifact_build = round(time.perf_counter() - t0, 4)
 
