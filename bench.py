@@ -365,25 +365,12 @@ def main() -> int:
             if canary_ratio
             else 1.0
         )
-        # Flag a query only if, after host normalization, it is >1.25×
-        # slower AND the absolute delta exceeds 0.5 s — sub-second
-        # queries sit inside local[32] scheduler jitter and produced a
-        # dozen false flags per round before this floor (r3-r5 verdicts
-        # adjudicated every one of them as noise).
-        regressions = {
-            n: round(r / speed, 3)
-            for n, r in sorted(ratios.items())
-            if r / speed > 1.25 and timings[n] - speed * prior[n] > 0.5
-        }
+        regressions = _flag_regressions(timings, prior, ratios, speed)
         # Same rule WITHOUT the host normalizer — the visibility net
         # for the false-negative direction documented above. Raw
         # per-query ratios are reconstructable from BENCH_FULL.json of
         # both rounds; the count here is the cheap tripwire.
-        raw_regressions = {
-            n: r
-            for n, r in sorted(ratios.items())
-            if r > 1.25 and timings[n] - prior[n] > 0.5
-        }
+        raw_regressions = _flag_regressions(timings, prior, ratios, 1.0)
         # both sides of the ratio cover the SAME query set — otherwise a
         # newly added query inflates the numerator and fakes a regression
         out["vs_prior"] = {
@@ -406,6 +393,22 @@ def main() -> int:
 
     print(_fit_line(out, timings))
     return 0
+
+
+def _flag_regressions(
+    timings: dict, prior: dict, ratios: dict, speed: float
+) -> dict:
+    """Queries slower than the prior record after dividing by the host
+    normalizer ``speed`` (1.0 = un-normalized): flag only if the
+    normalized ratio exceeds 1.25× AND the normalized absolute delta
+    exceeds 0.5 s — sub-second queries sit inside local[32] scheduler
+    jitter and produced a dozen false flags per round before the floor
+    (r3-r5 verdicts adjudicated every one of them as noise)."""
+    return {
+        n: round(r / speed, 3)
+        for n, r in sorted(ratios.items())
+        if r / speed > 1.25 and timings[n] - speed * prior[n] > 0.5
+    }
 
 
 def _prior_io_canary(repo_dir: str, prior_file: str | None):

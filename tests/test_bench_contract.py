@@ -148,3 +148,35 @@ def test_prior_reader_takes_quiet_min_canary_and_excludes_new_keys(tmp_path):
 
     assert _prior_io_canary(str(tmp_path), "BENCH_r06.json") == 0.45
     assert _prior_io_canary(str(tmp_path), "BENCH_r07.json") == 0.45
+
+
+def test_flag_regressions_normalized_and_raw_directions():
+    """The canary normalizer's two failure directions, pinned: a loaded
+    current host (speed>1) must suppress uniform-slowdown flags while a
+    genuine regression still trips; the un-normalized call (speed=1.0,
+    what raw_regression_count records) must keep the masked view
+    visible when the host got FASTER (speed clamps at 1.0 so a real
+    regression divided by a big normalizer can vanish from
+    `regressions` — the documented false-negative trade)."""
+    import bench
+
+    prior = {"uniform": 4.0, "real_regression": 2.0, "tiny": 0.1}
+    # host 2x slower: 'uniform' scaled exactly 2x, 'real_regression'
+    # 4x (2x beyond host), 'tiny' 4x but under the 0.5s floor
+    timings = {"uniform": 8.0, "real_regression": 8.0, "tiny": 0.4}
+    ratios = {n: timings[n] / prior[n] for n in prior}
+
+    normalized = bench._flag_regressions(timings, prior, ratios, 2.0)
+    assert normalized == {"real_regression": 2.0}
+
+    raw = bench._flag_regressions(timings, prior, ratios, 1.0)
+    assert set(raw) == {"uniform", "real_regression"}  # tiny: floor
+
+    # masking direction: host got 2x faster but the normalizer is
+    # clamped to >= 1.0 upstream; a query that regressed 1.4x in real
+    # terms shows up at speed=1.0 and would vanish at speed=1.5
+    prior2 = {"q": 4.0}
+    timings2 = {"q": 5.6}
+    r2 = {"q": 1.4}
+    assert bench._flag_regressions(timings2, prior2, r2, 1.0) == {"q": 1.4}
+    assert bench._flag_regressions(timings2, prior2, r2, 1.5) == {}
