@@ -13,8 +13,14 @@ Usage::
     python scripts/scale_demo.py [REP] [SF_DIR]
 
     REP     replication factor (default 10 → 50k docs from sf0.1's 5k,
-            the sf1-equivalent corpus; supported up to 18 — the cipher
-            cycle below has 17 distinct non-identity rotations)
+            the sf1-equivalent corpus; supported up to 100 → 500k docs.
+            Replicas 0-17 use the cipher cycle below — 17 distinct
+            non-identity rotations, identical to the r7 runs so data
+            points stay comparable; replicas ≥ 18 additionally insert a
+            replica-keyed token after every 3rd word, so two replicas
+            sharing a rotation still share almost no 3-shingles:
+            token-free windows are ~1/3 of either side's shingle set,
+            Jaccard ≈ 1/7 « the 0.5 dup threshold)
     SF_DIR  fixture dir (default /root/testdata/sf0.1)
 
 Stages (each timed separately; one JSON line at the end):
@@ -70,8 +76,8 @@ CIPHER = "etaoinshrdlucmfwyp"
 def main(argv: list[str]) -> int:
     rep = int(argv[1]) if len(argv) > 1 else 10
     sf_dir = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
-    if not 2 <= rep <= len(CIPHER):
-        print(f"REP must be in [2, {len(CIPHER)}]", file=sys.stderr)
+    if not 2 <= rep <= 100:
+        print("REP must be in [2, 100]", file=sys.stderr)
         return 2
 
     # Size the single-JVM heap for the scaled corpus BEFORE the JVM
@@ -124,6 +130,21 @@ def main(argv: list[str]) -> int:
         f"substring('{CIPHER}', rep % {len(CIPHER) - 1} + 2, {len(CIPHER)}), "
         f"substring('{CIPHER}', 1, rep % {len(CIPHER) - 1} + 1)))"
     )
+    # Replicas beyond the 17 distinct rotations (rep ≥ 18) reuse a
+    # rotation, so the cipher alone would make them near-dups of an
+    # earlier replica. Compose a second, replica-keyed perturbation:
+    # insert a 'zq<rep>' token after every 3rd word. Every 3-shingle
+    # window that crosses an insertion point changes, and insertion
+    # points are identical across replicas, so two replicas sharing a
+    # rotation share only the token-free windows (~1/3 of either shingle
+    # set; Jaccard ≈ 1/7 « 0.5). Still one codegen'd expression — the
+    # replacement group ref '$1' survives a per-row Column replacement.
+    inserted = F.regexp_replace(
+        ciphered,
+        r"((\S+\s+){3})",
+        F.concat(F.lit("$1zq"), r.cast("string"), F.lit(" ")),
+    )
+    perturbed = F.when(r < len(CIPHER), ciphered).otherwise(inserted)
     scaled = (
         docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
         .select(
@@ -136,7 +157,7 @@ def main(argv: list[str]) -> int:
                     F.lit("xq"), r.cast("string"), F.lit(" "), F.col("text")
                 ),
             )
-            .otherwise(ciphered)
+            .otherwise(perturbed)
             .alias("text"),
             "lang",
             "source",
