@@ -763,3 +763,86 @@ def test_ann_ivf_topk_scan_prunes_to_probed_cells(spark, sf_dir):
         int(x) for x in re.search(r" IN \(([0-9,]+)\)", pf_line).group(1).split(",")
     )
     assert in_list == probed_cells
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Fact-to-fact joins where one side carries a selective filter are
+    the case broadcast can't cover and salting doesn't address: Spark's
+    runtime row-level Bloom filter (on by default) plants a
+    bloom_filter_agg over the filtered side's join keys and a
+    might_contain probe on the other side's scan, so most non-matching
+    rows die at the scan instead of shuffling — at 100 TB this is the
+    difference between shuffling the full fact table and shuffling the
+    ~matching fraction. Pin that the rule fires on this engine's Spark
+    with the documented size knobs (the defaults gate on a 10 GiB probe
+    scan, far above any fixture: a real deployment hits them naturally,
+    local tests must lower them)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    spark.catalog.clearCache()  # a cached relation would freeze the plan
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("sum_qty"))
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        assert j.count() > 0  # the filtered join still returns rows
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_planted_skew_join(spark, sf_dir):
+    """Salting (operators/skew.py) is the explicit skew answer; AQE's
+    runtime skew-join split is the implicit one the engine also relies
+    on — pin that it actually fires here. A join whose left side puts
+    ~90% of rows on one key must come back from execution with the
+    SortMergeJoin marked skew=true (the skewed partition split into
+    advisory-sized sub-partitions at runtime), and the row count must
+    be unaffected. Thresholds are lowered to fixture scale the same way
+    the bloom test's are — production sizes cross the defaults
+    naturally."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    spark.catalog.clearCache()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        n = 500_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(7).alias("x"),
+        )
+        right = spark.range(n).select(F.col("id").alias("k"), F.rand(9).alias("y"))
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == n  # unique right keys: |join| = |left|
+        plan = _physical(j)
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
