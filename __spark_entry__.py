@@ -84,7 +84,11 @@ _CHECK_FIRST = [
     #   grew the bucketed band-table layout (probe/_decisions signature
     #   change; parquet default path behavior unchanged);
     # ann_ivf_topk / ann_ivf_multiprobe — candidate scans now read the
-    #   cell-PARTITIONED vector artifact pruned to the probed cells.
+    #   cell-PARTITIONED vector artifact pruned to the probed cells;
+    # stream_neardup_ingest_replay — NEW in r8 (the ingestion loop
+    #   driven by Structured Streaming foreachBatch, hash-checked
+    #   against the same oracle as the batch replay).
+    "stream_neardup_ingest_replay",
     "events_value_interpolate",
     "incremental_neardup_filter",
     "neardup_ingest_replay",
@@ -138,9 +142,9 @@ _CHECK_FIRST = [
     "pricing_summary",
     "orders_per_year",
     "customer_order_histogram",
-    "parts_bought_together",
     # ---- round-8 window boundary (positions 1-50 above) ----
     # r5 tail — next round's front-load starts here
+    "parts_bought_together",
     "sales_cube",
     "events_value_histogram",
     "cumulative_new_customers",

@@ -821,44 +821,25 @@ def _ingest_replay_oracle_sql() -> str:
     """
 
 
-@register(
-    "neardup_ingest_replay",
-    oracle=_ingest_replay_oracle_sql(),
-    survey_ref="fuzzy dedup: two-batch ingest loop (probe + append + cross-batch)",
-)
-def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL production ingestion loop, hash-checked: two consecutive
-    batches run through :meth:`..textops.neardup_index.NearDupIndex.
-    ingest_batch` against a fresh index — batch 1's accepted documents
-    are appended, and batch 2 contains near-dups OF THOSE documents, so
-    its decisions prove the cross-batch append actually happened (the
-    r5 gap: the loop existed but was pytest-only).
+def _clone_replay_index(spark: SparkSession, sf_dir: str, name: str):
+    """Writable clone of the fingerprint-keyed corpus index under a
+    fresh ``scratch_dir(name)`` — the replay must start from a known
+    state to be hash-checkable and it MUTATES its index.
 
-    Scale shape: identical to :func:`incremental_neardup_filter` per
-    batch (batch bands broadcast, corpus index probed in place,
-    verification candidates-only) plus the append — idempotent,
-    column-pruned id guard, parquet append as the local stand-in for a
-    transactional table commit. The replay must start from a known
-    state to be hash-checkable, and it MUTATES its index, so it clones
-    the fingerprint-keyed :func:`corpus_neardup_index` artifact (a file
-    copy — the corpus is the same originals-only relation, and artifact
-    content is deterministic, so the clone hash-matches a fresh build
-    without recomputing shingles/signatures; production replays against
-    a table snapshot the same way)."""
+    Hardlink, don't copy: published artifact part-files are immutable
+    (build_once only ever atomic-renames whole generations, and the
+    replay's appends create NEW part files in the clone dir), so the
+    clone shares blocks safely — measured ~2 s of byte copying saved
+    at sf0.1, and the same trick is how table-format snapshots make
+    "clone then mutate" free at 100 TB (metadata-only copy)."""
     import shutil
 
     from ..textops.neardup_index import BANDS_SUBDIR, ROWS_SUBDIR, NearDupIndex
     from .load import scratch_dir
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = corpus_neardup_index(spark, sf_dir)
-    root = scratch_dir("neardup_ingest_replay")
-    # Hardlink, don't copy: published artifact part-files are immutable
-    # (build_once only ever atomic-renames whole generations, and the
-    # replay's appends create NEW part files in the clone dir), so the
-    # clone shares blocks safely — measured ~2 s of byte copying saved
-    # at sf0.1, and the same trick is how table-format snapshots make
-    # "clone then mutate" free at 100 TB (metadata-only copy).
+    root = scratch_dir(name)
+
     def _link_or_copy(s: str, d: str) -> None:
         try:
             os.link(s, d)
@@ -875,7 +856,14 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStatusCache still holds the PREVIOUS run's listing for this
     # scratch path — refresh or the re-run reads deleted file names
     spark.catalog.refreshByPath(root)
-    index = NearDupIndex(spark, root)
+    return NearDupIndex(spark, root)
+
+
+def _replay_batches(docs: DataFrame):
+    """The two deterministic ingest batches of the replay scenario
+    (see _REPLAY_BASE_SQL above for the planted classes), from the
+    (doc_id, text) originals."""
+    docs = docs.select("doc_id", "text")
     rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
     b1 = (
         docs.filter(F.col("doc_id") % 20 == 0)
@@ -902,6 +890,35 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return b1, b2
+
+
+@register(
+    "neardup_ingest_replay",
+    oracle=_ingest_replay_oracle_sql(),
+    survey_ref="fuzzy dedup: two-batch ingest loop (probe + append + cross-batch)",
+)
+def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production ingestion loop, hash-checked: two consecutive
+    batches run through :meth:`..textops.neardup_index.NearDupIndex.
+    ingest_batch` against a fresh index — batch 1's accepted documents
+    are appended, and batch 2 contains near-dups OF THOSE documents, so
+    its decisions prove the cross-batch append actually happened (the
+    r5 gap: the loop existed but was pytest-only).
+
+    Scale shape: identical to :func:`incremental_neardup_filter` per
+    batch (batch bands broadcast, corpus index probed in place,
+    verification candidates-only) plus the append — idempotent,
+    column-pruned id guard, parquet append as the local stand-in for a
+    transactional table commit. The replay must start from a known
+    state to be hash-checkable, and it MUTATES its index, so it clones
+    the fingerprint-keyed :func:`corpus_neardup_index` artifact (a file
+    copy — the corpus is the same originals-only relation, and artifact
+    content is deterministic, so the clone hash-matches a fresh build
+    without recomputing shingles/signatures; production replays against
+    a table snapshot the same way)."""
+    index = _clone_replay_index(spark, sf_dir, "neardup_ingest_replay")
+    b1, b2 = _replay_batches(load_table(spark, sf_dir, "documents"))
     # Scope shuffle parallelism to the BATCH size for the replay run —
     # the same deployment knob run_available_now documents for the
     # streaming harnesses: each ingest step chains several shuffles
@@ -921,4 +938,62 @@ def neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(conf_key, prior)
     return d1.unionByName(d2).select(
         "batch_no", "batch_id", "n_candidates", "n_verified_dups", "is_near_dup"
+    )
+
+
+@register(
+    "stream_neardup_ingest_replay",
+    oracle=_ingest_replay_oracle_sql(),
+    survey_ref="streaming: continuous near-dup ingestion loop (foreachBatch, full oracle)",
+)
+def stream_neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-batch ingestion replay, driven by Structured
+    Streaming instead of direct calls: the batches land as files, the
+    file source drains them one micro-batch each
+    (``maxFilesPerTrigger=1``), and ``foreachBatch`` runs
+    :meth:`..textops.neardup_index.NearDupIndex.ingest_batch` per epoch
+    (:func:`..streaming.neardup.stream_neardup_ingest`) — the
+    continuous form a production corpus runs. It hash-matches the
+    identical DuckDB oracle as :func:`neardup_ingest_replay`, proving
+    the streaming drain is decision-for-decision equivalent to the
+    batch loop (batch 2's dups-of-accepted-batch-1-docs detect ONLY if
+    epoch 1's index append committed before epoch 2's probe).
+
+    ``batch_no`` is derived from the replay's disjoint id ranges rather
+    than the epoch counter so the output is agnostic to empty epochs;
+    the ledger's epoch ids are exercised by ``tests/test_streaming.py``.
+    File order is pinned via mtimes (the file source processes oldest
+    first) — the streaming analogue of the replay's known-state
+    requirement."""
+    from .load import scratch_dir
+    from ..streaming.neardup import stream_neardup_ingest
+
+    index = _clone_replay_index(spark, sf_dir, "stream_neardup_replay/index")
+    b1, b2 = _replay_batches(load_table(spark, sf_dir, "documents"))
+    root = scratch_dir("stream_neardup_replay/run")
+    src = os.path.join(root, "incoming")
+    b1.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "batch2"))
+    t0 = os.stat(os.path.join(src, "batch1")).st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for walk_root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                p = os.path.join(walk_root, f)
+                os.utime(p, (t0 + off, t0 + off))
+    ledger = stream_neardup_ingest(
+        spark,
+        os.path.join(src, "*"),
+        index,
+        os.path.join(root, "decisions"),
+        os.path.join(root, "ckpt"),
+        shuffle_partitions=8,
+    )
+    return ledger.select(
+        F.when(F.col("batch_id") < 400000, 1).otherwise(2).cast("int").alias(
+            "batch_no"
+        ),
+        "batch_id",
+        "n_candidates",
+        "n_verified_dups",
+        "is_near_dup",
     )

@@ -1,5 +1,7 @@
-"""Structured Streaming surface for the events stream."""
+"""Structured Streaming surface: the events stream plus the streaming
+near-dup ingestion loop."""
 
+from .neardup import stream_neardup_ingest
 from .events import (
     KEYED_EVENT_SCHEMA,
     deduped_events,
@@ -23,6 +25,7 @@ __all__ = [
     "sessionized_counts",
     "stream_events",
     "stream_events_kafka",
+    "stream_neardup_ingest",
     "stream_upsert",
     "user_running_totals",
     "windowed_event_counts",

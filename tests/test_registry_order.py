@@ -11,6 +11,7 @@ import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R8_CHANGED = [
+    "stream_neardup_ingest_replay",  # NEW in r8
     "events_value_interpolate",
     "incremental_neardup_filter",
     "neardup_ingest_replay",
@@ -41,7 +42,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round8_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:5] == R8_CHANGED
+    assert first50[:6] == R8_CHANGED
     assert R4_VINTAGE <= set(first50)
 
 

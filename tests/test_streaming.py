@@ -202,3 +202,67 @@ def test_run_available_now_restores_shuffle_partitions(spark, events_dir):
     )
     assert got.count() > 0
     assert spark.conf.get(key) == prior
+
+
+def test_stream_neardup_ingest_cross_batch_detection(spark, tmp_path):
+    """The streaming edition of the NearDupIndex loop: two document
+    files drained as two micro-batches (maxFilesPerTrigger=1) must
+    reproduce the batch loop's decisions — batch 2's doc is a near-dup
+    of a doc ACCEPTED in batch 1's epoch, detectable only if the
+    foreachBatch append really ran between micro-batches. The ledger
+    carries the epoch ids; a replayed file must not double-append
+    (ingest_batch's id guard)."""
+    from automate_data_ingestion_project_spark.streaming.neardup import (
+        stream_neardup_ingest,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+
+    src = tmp_path / "incoming"
+    novel = "completely different words about distributed query engines here"
+    b1 = spark.createDataFrame(
+        [
+            (10, "xq the quick brown fox jumps over the lazy dog today"),
+            (11, novel),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, "zz " + novel)], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    b2.coalesce(1).write.parquet(str(src / "batch2"))
+    # file-source micro-batch order follows modification time: pin it
+    # so batch1's append provably precedes batch2's probe
+    t0 = os.stat(src / "batch1").st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for root, _, files in os.walk(src / sub):
+            for f in files:
+                p = os.path.join(root, f)
+                os.utime(p, (t0 + off, t0 + off))
+
+    ledger = stream_neardup_ingest(
+        spark,
+        f"{src}/*",
+        index,
+        str(tmp_path / "decisions"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = {r.batch_id: (r.is_near_dup, r.epoch_id) for r in ledger.collect()}
+    assert rows[10][0] is True  # near-dup of corpus
+    assert rows[11][0] is False  # novel, accepted + appended
+    assert rows[20][0] is True  # near-dup of batch-1's ACCEPTED doc
+    assert rows[11][1] < rows[20][1]  # distinct, ordered epochs
+    # the accepted doc is in the index; the rejected ones are not
+    assert index.bands().filter("doc_id = 11").count() > 0
+    assert index.bands().filter("doc_id in (10, 20)").count() == 0
