@@ -366,3 +366,95 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def morton_code(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns
+    into one BIGINT — bit i of ``x`` lands at position 2i, of ``y`` at
+    2i+1, so sorting by the code walks the (x, y) plane in the
+    Z-curve. Pure shift/mask expression tree (the classic magic-number
+    bit spreading), fully whole-stage-codegen'd — no UDF.
+
+    Inputs must already be rank/bucket-normalized to [0, 2^bits); the
+    caller owns that mapping (ntile, epoch-day, id ranges...) because
+    only the caller knows the column's distribution."""
+    from pyspark.sql import functions as F
+
+    if bits > 32:
+        raise ValueError("morton_code supports at most 32 bits per axis")
+
+    def spread(col):
+        # 0x0000ffff -> interleave-ready: abcdefgh -> a0b0c0d0e0f0g0h0
+        # (Column `|`/`&` are LOGICAL in PySpark — use the bitwise methods)
+        c = col.cast("long")
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+        return c
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered write: range-cluster by the Morton interleave
+    of TWO columns so every output file covers a narrow range of BOTH —
+    the multi-dimensional file-skipping layout (Delta/Iceberg's
+    OPTIMIZE ZORDER expressed as a plain parquet write).
+
+    1-D range clustering (:func:`write_range_clustered`) makes the
+    second predicate column full-width in every file, so only filters
+    on the first column skip; the Z-curve bounds both, so a 2-D
+    predicate prunes multiplicatively at 100 TB.
+
+    Normalization is linear min-max scaling to ``bits`` bits per axis,
+    with the two (min, max) pairs computed in ONE aggregate and
+    broadcast — the repo's decorrelated-scalar pattern. No global
+    window / global sort anywhere: value-space bounds are exactly what
+    parquet min/max stats prune on, and ``repartitionByRange`` samples
+    the CODE distribution, so files stay balanced even when skew
+    compresses part of the code space. The code column is dropped
+    before the write; layout is the only effect."""
+    from pyspark.sql import functions as F
+
+    scale = (1 << bits) - 1
+    x, y = F.col(col_x).cast("double"), F.col(col_y).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("_xmin"),
+        F.max(x).alias("_xmax"),
+        F.min(y).alias("_ymin"),
+        F.max(y).alias("_ymax"),
+    )
+
+    def norm(c, lo, hi):
+        # constant column degrades to code 0 on that axis, not a 0/0
+        span = F.when(hi != lo, hi - lo).otherwise(F.lit(1.0))
+        return F.round((c - lo) / span * scale).cast("long")
+
+    coded = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zcode",
+        morton_code(
+            norm(x, F.col("_xmin"), F.col("_xmax")),
+            norm(y, F.col("_ymin"), F.col("_ymax")),
+            bits,
+        ),
+    )
+    (
+        coded.repartitionByRange(n_files, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode", "_xmin", "_xmax", "_ymin", "_ymax")
+        .write.mode(mode)
+        .parquet(path)
+    )

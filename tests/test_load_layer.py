@@ -404,3 +404,84 @@ def test_compact_parquet_partitioned_one_file_per_value(spark):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(10_000))
+
+
+def test_morton_code_matches_python_bit_interleave(spark):
+    """morton_code's shift/mask spreading vs the literal Python bit
+    interleave, across the 16-bit corners and a pseudo-random sweep."""
+    from automate_data_ingestion_project_spark.io.sink import morton_code
+
+    def reference(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    pts += [((i * 48271) % 65536, (i * 16807) % 65536) for i in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", morton_code(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == reference(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark):
+    """The Z-order claim, measured as what min/max stats actually do:
+    count the files whose [min,max] box intersects a narrow range
+    predicate on EACH dimension. The 1-D layout prunes only its leading
+    column (the second column is full-width in every file, so a
+    y-predicate reads ALL files); the Z-order layout prunes BOTH. A few
+    z-range files straddle quadrant crossings of the curve and carry
+    wide boxes — the property is aggregate file-count skipping, not a
+    per-file span bound. Rows and values must be unaffected — layout is
+    the only effect."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from automate_data_ingestion_project_spark.io.sink import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 1 << 16
+    grid = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    zpath = os.path.join(scratch_dir("zorder"), "z")
+    rpath = os.path.join(scratch_dir("zorder"), "r")
+    write_zorder_clustered(grid, zpath, "x", "y", n_files=16)
+    write_range_clustered(grid, rpath, ["x"], n_files=16)
+
+    def file_boxes(path, col_idx):
+        boxes = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            boxes.append((min(mins), max(maxs)))
+        return boxes
+
+    def n_hit(boxes, lo, hi):
+        return sum(1 for (mn, mx) in boxes if mx >= lo and mn <= hi)
+
+    zx, zy = file_boxes(zpath, 0), file_boxes(zpath, 1)
+    rx, ry = file_boxes(rpath, 0), file_boxes(rpath, 1)
+    assert len(zx) == len(rx) == 16
+    # width-63 range predicate on each axis (1/4 of the domain; ideal
+    # hit = 4 of 16 files, allow straddlers up to half)
+    assert n_hit(zx, 0, 63) <= 8, zx
+    assert n_hit(zy, 0, 63) <= 8, zy
+    # 1-D layout: x prunes hard, y reads EVERY file — the gap z-order closes
+    assert n_hit(rx, 0, 63) <= 8
+    assert n_hit(ry, 0, 63) == 16
+    # layout only: same rows back
+    assert spark.read.parquet(zpath).agg(F.sum("v")).collect()[0][0] == sum(
+        range(n)
+    )
