@@ -66,15 +66,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-7 ordering (the surface is complete — evidence
-# freshness IS the deliverable): (1) the five queries whose CODE
-# changed in round 6 but fell outside that round's 50-query window,
-# so their official CORRECTNESS rows predate the change; (2) all 22
-# queries whose most recent green row is ROUND 3 (oldest evidence on
-# file; fixture drift under unchanged code is proven — the r3→r4
-# timestamp-dtype incident); (3) the 36 round-4-vintage rows in
-# driver order — the first ~23 fit this round's window, round 8
-# front-loads the remainder plus the oldest r5 rows.
+# comes first. Round-8 ordering: (1) the two queries ADDED this round
+# plus the five whose code changed this round, so their official
+# CORRECTNESS rows are post-change; (2) the 13 rows whose most recent
+# green check is ROUND 4 (after this round no surviving evidence
+# predates round 5 — fixture drift under unchanged code is proven,
+# the r3→r4 timestamp-dtype incident); (3) round-5-vintage rows in
+# driver order up to the window boundary; the tail rolls to round 9.
 _CHECK_FIRST = [
     # (1) code changed in round 8, front-loaded so their official rows
     # are post-change (all re-verified vs oracle at sf0.01 pre-commit):
@@ -88,6 +86,8 @@ _CHECK_FIRST = [
     # stream_neardup_ingest_replay — NEW in r8 (the ingestion loop
     #   driven by Structured Streaming foreachBatch, hash-checked
     #   against the same oracle as the batch replay).
+    # zorder_pruned_scan — NEW in r8 (Z-order-clustered scan, L4 twin).
+    "zorder_pruned_scan",
     "stream_neardup_ingest_replay",
     "events_value_interpolate",
     "incremental_neardup_filter",
@@ -141,9 +141,9 @@ _CHECK_FIRST = [
     "leakage_safe_split",
     "pricing_summary",
     "orders_per_year",
-    "customer_order_histogram",
     # ---- round-8 window boundary (positions 1-50 above) ----
     # r5 tail — next round's front-load starts here
+    "customer_order_histogram",
     "parts_bought_together",
     "sales_cube",
     "events_value_histogram",

@@ -193,3 +193,51 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, agg, path, keys=["day", "event_type"], partition_by=["day"]
         )
     return read_parquet(spark, path)
+
+
+@register(
+    "zorder_pruned_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 2 AND 9 AND event_id BETWEEN 100 AND 499
+    """,
+    survey_ref="L4 + multi-dim clustering: Z-order layout, 2-D predicate scan",
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a Z-ORDER-clustered copy of ``events`` with a predicate on
+    BOTH cluster columns — the layout :func:`..io.sink.
+    write_zorder_clustered` exists for. The result is layout-invariant
+    (hence the trivial oracle); the 100 TB property is in the LAYOUT:
+    every file covers a narrow [min,max] box on user_id AND event_id,
+    so parquet row-group stats kill most files for a 2-D predicate
+    where 1-D range clustering prunes only its leading column
+    (measured in ``tests/test_load_layer.py::
+    test_zorder_write_skips_files_on_both_dimensions``; the Morton code
+    is a codegen'd shift/mask expression, no UDF). The clustered copy
+    is a fingerprint-keyed build-once artifact — at scale it is the
+    table's maintained layout (OPTIMIZE ZORDER), not per-query work.
+    Both predicates also reach the scan as PushedFilters for
+    row-group-level skipping."""
+    from ..io.artifacts import build_once, fixture_fingerprint
+    from ..io.sink import write_zorder_clustered
+    import re
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    fp = fixture_fingerprint(sf_dir, "events")
+
+    def _build(tmp: str) -> None:
+        from ..io import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_zorder_clustered(
+            ev, os.path.join(tmp, "events_z"), "user_id", "event_id", n_files=16
+        )
+
+    root = build_once(cache_dir(f"zorder_events/{key}"), fp, _build)
+    ev = spark.read.parquet(os.path.join(root, "events_z"))
+    return ev.filter(
+        F.col("user_id").between(2, 9) & F.col("event_id").between(100, 499)
+    ).select("event_id", "user_id", "event_type", "value")

@@ -11,6 +11,7 @@ import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R8_CHANGED = [
+    "zorder_pruned_scan",  # NEW in r8
     "stream_neardup_ingest_replay",  # NEW in r8
     "events_value_interpolate",
     "incremental_neardup_filter",
@@ -42,7 +43,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round8_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:6] == R8_CHANGED
+    assert first50[:7] == R8_CHANGED
     assert R4_VINTAGE <= set(first50)
 
 
