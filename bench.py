@@ -170,6 +170,9 @@ def main() -> int:
             "events_value_interpolate",
             "snapshot_diff",
             "value_outliers_mad",
+            # round 8 additions
+            "stream_neardup_ingest_replay",
+            "zorder_pruned_scan",
         )
         if n in QUERIES
     ]
@@ -197,6 +200,9 @@ def main() -> int:
     from automate_data_ingestion_project_spark.analytics.ivf import (
         ivf_cell_table,
     )
+    from automate_data_ingestion_project_spark.analytics.load import (
+        zorder_pruned_scan as _zorder_query,
+    )
     from automate_data_ingestion_project_spark.analytics.pq_train import (
         _train as pq_train_artifact,
     )
@@ -206,6 +212,7 @@ def main() -> int:
     minhash_pairs_evidence(spark, sf_dir)
     pq_train_artifact(spark, sf_dir)
     ivf_cell_table(spark, sf_dir)
+    _zorder_query(spark, sf_dir)  # builds the z-ordered artifact
     release_caches()
     artifact_build = round(time.perf_counter() - t0, 4)
 
