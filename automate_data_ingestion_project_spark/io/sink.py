@@ -377,11 +377,15 @@ def morton_code(x, y, bits: int = 16):
 
     Inputs must already be rank/bucket-normalized to [0, 2^bits); the
     caller owns that mapping (ntile, epoch-day, id ranges...) because
-    only the caller knows the column's distribution."""
+    only the caller knows the column's distribution.
+
+    ``bits`` caps at 31: at 32, the y column's top bit would land in
+    the BIGINT sign bit and negative codes would sort before positive
+    ones, silently breaking the curve's monotonicity."""
     from pyspark.sql import functions as F
 
-    if bits > 32:
-        raise ValueError("morton_code supports at most 32 bits per axis")
+    if bits > 31:
+        raise ValueError("morton_code supports at most 31 bits per axis")
 
     def spread(col):
         # 0x0000ffff -> interleave-ready: abcdefgh -> a0b0c0d0e0f0g0h0

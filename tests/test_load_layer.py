@@ -485,3 +485,22 @@ def test_zorder_write_skips_files_on_both_dimensions(spark):
     assert spark.read.parquet(zpath).agg(F.sum("v")).collect()[0][0] == sum(
         range(n)
     )
+
+
+def test_morton_code_rejects_sign_bit_widths(spark):
+    """bits=32 would put y's top bit in the BIGINT sign bit and make
+    negative codes sort first — must be rejected, and the widest legal
+    width must stay non-negative at the far corner."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.io.sink import morton_code
+
+    with pytest.raises(ValueError, match="31 bits"):
+        morton_code(F.lit(0), F.lit(0), bits=32)
+    top = (1 << 31) - 1
+    row = (
+        spark.range(1)
+        .select(morton_code(F.lit(top), F.lit(top), bits=31).alias("z"))
+        .collect()[0]
+    )
+    assert row.z == (1 << 62) - 1 and row.z > 0
