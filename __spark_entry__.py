@@ -95,7 +95,8 @@ _CHECK_FIRST = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     # (2) oldest evidence: the 13 remaining r4-vintage rows (the r7
-    # window covered the other 22; ann_ivf_topk above was the 14th)
+    # window covered the other 22; ann_ivf_topk above was the 14th).
+    # 7 + 13 = 20 so far.
     "customer_value_quartiles",
     "orders_rolling_revenue",
     "orders_monthly_gapfill",
@@ -109,8 +110,11 @@ _CHECK_FIRST = [
     "dbf_commune",
     "model_layer_build",
     "embedding_quantize",
-    # (3) r5 vintage — first 32 fill this round's 50-query window, the
-    # 7-row tail below the marker rolls to round 9
+    # (3) r5 vintage — the first 30 fill this round's 50-query window
+    # (7 + 13 + 30 = 50); the 9-row tail below the marker rolls to
+    # round 9. Bookkeeping: r5 vintage was 41 rows = 2 in section (1)
+    # (incremental_neardup_filter, ann_ivf_multiprobe changed this
+    # round) + these 30 + the 9-row tail.
     "orders_by_month",
     "categories",
     "orders_by_category",

@@ -616,20 +616,14 @@ def minhash_pairs_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the artifact builder). Content is deterministic (md5-based
     hashing), so artifact reads hash-match live recomputation exactly.
     """
-    import re
-
-    from ..io.artifacts import build_once, fixture_fingerprint
-    from .load import cache_dir
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "documents")
+    from ..io.artifacts import fixture_artifact
 
     def _build(tmp: str) -> None:
         dedup_minhash_pairs(spark, sf_dir).write.mode("overwrite").parquet(
             os.path.join(tmp, "pairs")
         )
 
-    root = build_once(cache_dir(f"minhash_pairs/{key}"), fp, _build)
+    root = fixture_artifact(sf_dir, "minhash_pairs", ("documents",), _build)
     return spark.read.parquet(os.path.join(root, "pairs"))
 
 
@@ -684,20 +678,14 @@ def corpus_neardup_index(spark: SparkSession, sf_dir: str):
     complete index. At 100 TB the writes would be bucketed by
     band_key / doc_id (write_bucketed_table) so the probe join is
     exchange-free."""
-    import re
-
-    from ..io.artifacts import build_once, fixture_fingerprint
+    from ..io.artifacts import fixture_artifact
     from ..textops.neardup_index import NearDupIndex
-    from .load import cache_dir
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "documents")
 
     def _build(tmp: str) -> None:
         corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         NearDupIndex.write_corpus(corpus, tmp)
 
-    root = build_once(cache_dir(f"neardup_index/{key}"), fp, _build)
+    root = fixture_artifact(sf_dir, "neardup_index", ("documents",), _build)
     return NearDupIndex(spark, root)
 
 

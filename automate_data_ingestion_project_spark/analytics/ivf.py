@@ -65,13 +65,7 @@ def ivf_cell_table(spark: SparkSession, sf_dir: str) -> str:
     nearest-centroid assignment over the deterministic codebook), then
     served from the artifact cache. Every IVF search reads this layout;
     a probe's candidate scan prunes to its cells' directories."""
-    import re
-
-    from ..io.artifacts import build_once, fixture_fingerprint
-    from .load import cache_dir
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "embeddings")
+    from ..io.artifacts import fixture_artifact
 
     def _build(tmp: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings").select(
@@ -84,7 +78,7 @@ def ivf_cell_table(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(tmp, "vectors")
         )
 
-    root = build_once(cache_dir(f"ivf_vectors/{key}"), fp, _build)
+    root = fixture_artifact(sf_dir, "ivf_vectors", ("embeddings",), _build)
     return os.path.join(root, "vectors")
 
 

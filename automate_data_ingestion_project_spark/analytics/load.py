@@ -219,12 +219,8 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's maintained layout (OPTIMIZE ZORDER), not per-query work.
     Both predicates also reach the scan as PushedFilters for
     row-group-level skipping."""
-    from ..io.artifacts import build_once, fixture_fingerprint
+    from ..io.artifacts import fixture_artifact
     from ..io.sink import write_zorder_clustered
-    import re
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "events")
 
     def _build(tmp: str) -> None:
         from ..io import load_table
@@ -236,7 +232,7 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, os.path.join(tmp, "events_z"), "user_id", "event_id", n_files=16
         )
 
-    root = build_once(cache_dir(f"zorder_events/{key}"), fp, _build)
+    root = fixture_artifact(sf_dir, "zorder_events", ("events",), _build)
     ev = spark.read.parquet(os.path.join(root, "events_z"))
     return ev.filter(
         F.col("user_id").between(2, 9) & F.col("event_id").between(100, 499)

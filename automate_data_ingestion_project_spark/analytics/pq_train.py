@@ -172,20 +172,14 @@ def _train(spark: SparkSession, sf_dir: str):
     instead of re-running the loop each). Content is deterministic, so
     artifact reads hash-match the live loop exactly; the live loop
     (:func:`_train_live`) IS the artifact builder."""
-    import re
-
-    from ..io.artifacts import build_once, fixture_fingerprint
-    from .load import cache_dir
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "embeddings")
+    from ..io.artifacts import fixture_artifact
 
     def _build(tmp: str) -> None:
         _, assignments = _train_live(spark, sf_dir)
         for t, a in enumerate(assignments):
             a.write.mode("overwrite").parquet(os.path.join(tmp, f"a{t}"))
 
-    root = build_once(cache_dir(f"pq_train/{key}"), fp, _build)
+    root = fixture_artifact(sf_dir, "pq_train", ("embeddings",), _build)
     assignments = [
         spark.read.parquet(os.path.join(root, f"a{t}"))
         for t in range(N_TRAIN_ITERS + 1)

@@ -51,14 +51,9 @@ def _cached_source(spark: SparkSession, sf_dir: str, name, build) -> str:
     preserves mtimes — so cached and freshly-built sources replay in
     the same batch order.
     """
-    import re
+    from ..io.artifacts import fixture_artifact
 
-    from ..io.artifacts import build_once, fixture_fingerprint
-    from .load import cache_dir
-
-    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    fp = fixture_fingerprint(sf_dir, "events")
-    root = build_once(cache_dir(f"stream_src/{name}/{key}"), fp, build)
+    root = fixture_artifact(sf_dir, f"stream_src/{name}", ("events",), build)
     return os.path.join(root, "events")
 
 

@@ -93,3 +93,25 @@ def build_once(
         if d != fingerprint and not d.startswith(".build-"):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return final
+
+
+def fixture_artifact(
+    sf_dir: str, name: str, tables: tuple[str, ...], build
+) -> str:
+    """The fixture-keyed artifact idiom in one place: sanitize the
+    fixture dir into a cache key, fingerprint the input ``tables``
+    (size + mtime_ns — regeneration-sensitive), and
+    :func:`build_once` under ``cache_dir(f"{name}/{key}")``.
+
+    Every materialized artifact (near-dup index, pair evidence, PQ
+    codebook trail, IVF cell table, z-ordered copies, stream sources)
+    routes through this, so the key-sanitization and cache layout have
+    exactly one definition site."""
+    import re
+
+    from ..analytics.load import cache_dir  # lazy: load.py imports io.sink
+
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    return build_once(
+        cache_dir(f"{name}/{key}"), fixture_fingerprint(sf_dir, *tables), build
+    )

@@ -430,7 +430,18 @@ def write_zorder_clustered(
     parquet min/max stats prune on, and ``repartitionByRange`` samples
     the CODE distribution, so files stay balanced even when skew
     compresses part of the code space. The code column is dropped
-    before the write; layout is the only effect."""
+    before the write; layout is the only effect.
+
+    Reserved names: ``_zcode`` and ``_xmin/_xmax/_ymin/_ymax`` are used
+    internally; raises ``ValueError`` if ``df`` already has any (a
+    colliding ``_zcode`` would otherwise be silently dropped from the
+    written table)."""
+    reserved = {"_zcode", "_xmin", "_xmax", "_ymin", "_ymax"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved names: {sorted(clash)}"
+        )
     from pyspark.sql import functions as F
 
     scale = (1 << bits) - 1

@@ -11,25 +11,36 @@ mutation (a keyed, replay-idempotent append) is exactly the
 foreachBatch for, and the decision table is appended per epoch so the
 stream's output is an auditable ingestion ledger.
 
-Exactly-once shape: ``ingest_batch`` is replay-idempotent by
-construction (the id guard drops already-indexed docs), so an
-at-least-once epoch replay cannot double-append — the same argument
-``stream_upsert`` makes with its keyed merge. One micro-batch per
-input file (``maxFilesPerTrigger=1``) keeps cross-batch detection
-honest in replays; at 100 TB/day the trigger is sized by data volume
-instead, and the index lives in a bucketed table
+Exactly-once shape, every leg: the index append is replay-idempotent
+(``ingest_batch``'s id guard drops already-indexed docs), the DECISIONS
+are replay-stable (``_decisions`` excludes the batch's own ids from the
+probed snapshot, so a replayed epoch — whose docs the earlier attempt
+already appended — reproduces its original rows instead of flagging
+every doc as its own near-dup), and the ledger write is an overwrite
+of the epoch's own partition directory, so a replay replaces identical
+rows rather than appending contradictory duplicates — together the
+same argument ``stream_upsert`` makes with its keyed merge. One
+micro-batch per input file (``maxFilesPerTrigger=1``) keeps
+cross-batch detection honest in replays; at 100 TB/day the trigger is
+sized by data volume instead, and the index lives in a bucketed table
 (``NearDupIndex.build(bucket_bands=...)``) so the probe join never
 reshuffles it.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..textops.neardup_index import NearDupIndex
 
 DOC_SCHEMA = "doc_id long, text string"
+# decision columns + the epoch partition column the ledger dirs encode
+_LEDGER_SCHEMA = (
+    "batch_id long, n_candidates bigint, n_verified_dups bigint, "
+    "is_near_dup boolean, epoch_id int"
+)
 
 
 def stream_neardup_ingest(
@@ -67,9 +78,12 @@ def stream_neardup_ingest(
         if not batch_df.take(1):
             return
         decisions = index.ingest_batch(batch_df.select("doc_id", "text"))
-        decisions.withColumn(
-            "epoch_id", F.lit(epoch_id).cast("long")
-        ).write.mode("append").parquet(decisions_path)
+        # idempotent ledger commit: the epoch owns its partition dir, so
+        # an at-least-once replay overwrites identical rows (decisions
+        # are replay-stable) instead of appending duplicates
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_path, f"epoch_id={epoch_id}")
+        )
 
     conf_key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(conf_key)
@@ -86,4 +100,8 @@ def stream_neardup_ingest(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
+    if not os.path.isdir(decisions_path):
+        # nothing pending is a normal state for a continuous loop — an
+        # empty ledger, not a read error on a never-created directory
+        return spark.createDataFrame([], _LEDGER_SCHEMA)
     return spark.read.parquet(decisions_path)

@@ -157,16 +157,31 @@ class NearDupIndex:
         batch_bands: DataFrame,
         broadcast_batch: bool = True,
     ) -> DataFrame:
+        # Replay safety: a replayed epoch probes an index that may
+        # already hold THIS batch's docs (the append committed, the
+        # caller's downstream commit didn't). Excluding the batch's own
+        # ids from the probed snapshot makes the decision table a pure
+        # function of (batch, PRIOR corpus) — re-running any batch
+        # reproduces its original decisions instead of flagging every
+        # doc as its own near-dup (and double-counting its shingles in
+        # the Jaccard verify). Broadcast anti-joins on the tiny batch-id
+        # set; a fresh batch makes them no-ops.
+        batch_ids = batch.select("doc_id")
+        idx_bands = self.bands().join(
+            F.broadcast(batch_ids), "doc_id", "left_anti"
+        )
+        idx_rows = self.rows().join(
+            F.broadcast(batch_ids), "doc_id", "left_anti"
+        )
         probe = batch_bands.withColumnRenamed("doc_id", "batch_id")
         if broadcast_batch:
             probe = F.broadcast(probe)
         cand = (
-            self.bands()
-            .join(probe, "band_key")
+            idx_bands.join(probe, "band_key")
             .select("batch_id", F.col("doc_id").alias("corpus_id"))
             .distinct()
         )
-        all_rows = self.rows().unionByName(batch_rows)
+        all_rows = idx_rows.unionByName(batch_rows)
         stats = pair_jaccard_stats(all_rows, cand, "batch_id", "corpus_id")
         agg = stats.groupBy("batch_id").agg(
             F.count("*").alias("n_candidates"),
@@ -215,6 +230,21 @@ class NearDupIndex:
         new_ids = accepted.join(already, "doc_id", "left_anti")
         new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
         new_bands = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        try:
+            self._append(new_rows, new_bands)
+        finally:
+            # the decision table is eagerly materialized and the appends
+            # are done — the batch derivations have no further consumer,
+            # so a continuous caller (the streaming loop) must not
+            # accumulate two live persists + registry entries per epoch
+            from ..operators.caching import untrack
+
+            for df in (rows, bands):
+                df.unpersist()
+                untrack(df)
+        return decisions
+
+    def _append(self, new_rows: DataFrame, new_bands: DataFrame) -> None:
         new_rows.write.mode("append").parquet(self.rows_path)
         if self.bands_table:
             # append preserves the bucket spec (Spark validates it
@@ -231,4 +261,3 @@ class NearDupIndex:
             )
         else:
             new_bands.write.mode("append").parquet(self.bands_path)
-        return decisions

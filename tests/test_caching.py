@@ -50,21 +50,27 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _persistent_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
 def test_release_caches_after_query_sweep(spark, sf_dir):
     release_caches()  # drop anything earlier tests left behind
     qs = entrymod.queries()
     for name in CACHE_USERS:
         assert name in qs, name
-        base = _n_persistent(spark)
+        # track RDD IDS, not counts: the ContextCleaner reclaims
+        # EARLIER tests' checkpoint blocks asynchronously, so a bare
+        # count can drop below the baseline mid-assertion (masking a
+        # leak) or exceed it without one. The pin is exact: every id
+        # the query CREATED is gone after release.
+        base_ids = _persistent_ids(spark)
         qs[name](spark, sf_dir).collect()
-        assert _n_persistent(spark) > base, f"{name}: expected live caches"
+        created = _persistent_ids(spark) - base_ids
+        assert created, f"{name}: expected live caches"
         release_caches()
-        # <= not ==: the ContextCleaner reclaims EARLIER tests'
-        # checkpoint blocks asynchronously, so the absolute count can
-        # legitimately drop below the pre-query baseline mid-assertion
-        # (observed when the streaming/dedup suites run first). What
-        # this pins is NO NET ADDITION by the query under test.
-        assert _n_persistent(spark) <= base, f"{name}: caches left behind"
+        leaked = _persistent_ids(spark) & created
+        assert not leaked, f"{name}: caches left behind: {sorted(leaked)}"
 
 
 def test_component_queries_leave_only_checkpoint_blocks(spark, sf_dir):

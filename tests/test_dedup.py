@@ -243,3 +243,32 @@ def test_bucketed_ingest_loop_appends_preserve_bucket_layout(spark, tmp_path):
         assert "band_key" in desc_text and "Num Buckets 4" in desc_text
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {index.bands_table}")
+
+
+def test_ingest_replay_reproduces_original_decisions(spark, tmp_path):
+    """At-least-once epoch replay: re-running a batch whose docs the
+    first attempt ALREADY APPENDED must reproduce the original decision
+    rows exactly — the probe excludes the batch's own ids from the
+    index snapshot, so a doc is never its own near-dup candidate and
+    its shingles are never double-counted in the Jaccard verify."""
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    b1 = spark.createDataFrame(
+        [
+            (10, "xq the quick brown fox jumps over the lazy dog today"),
+            (11, "completely different words about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    first = sorted(tuple(r) for r in index.ingest_batch(b1).collect())
+    # doc 11 is now IN the index; the replay must not see it as corpus
+    replay = sorted(tuple(r) for r in index.ingest_batch(b1).collect())
+    assert replay == first
+    assert {r[0]: r[3] for r in first} == {10: True, 11: False}

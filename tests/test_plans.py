@@ -680,7 +680,9 @@ def test_bucketed_neardup_probe_never_reshuffles_index(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         # truncate the batch-derivation lineage (its minhash groupBys
-        # shuffle too) so the exchange count isolates the PROBE join
+        # shuffle too) so the exchange count isolates the PROBE join.
+        # NOTE: this probes bands() directly (not _decisions) because
+        # the count pins the raw probe-join shape
         rows, bands = index._batch_derivations(batch)
         bands = bands.localCheckpoint(eager=True)
         cand = (
@@ -708,11 +710,14 @@ def test_bucketed_neardup_probe_never_reshuffles_index(spark, sf_dir):
             tuple(r)
             for r in index.filter_batch(batch, broadcast_batch=False).collect()
         )
+        want = sorted(tuple(r) for r in plain.filter_batch(batch).collect())
+        assert got == want and len(want) > 0
     finally:
+        # drop INSIDE finally: the table name is PID-derived, so a dir
+        # leaked by an assertion failure could never be reaped by a
+        # later process's DROP IF EXISTS under a different name
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    want = sorted(tuple(r) for r in plain.filter_batch(batch).collect())
-    assert got == want and len(want) > 0
-    spark.sql(f"DROP TABLE {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_ann_ivf_topk_scan_prunes_to_probed_cells(spark, sf_dir):

@@ -3,9 +3,10 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-8 window composition — the round's deliverable — must hold:
-the five changed-in-r8 queries lead, and every row whose latest green
-check is round 4 sits inside the driver's 50-query window (closing out
-the r4 vintage; the oldest surviving evidence after this round is r5)."""
+the seven round-8 rows (2 new queries + 5 changed) lead, and every row
+whose latest green check is round 4 sits inside the driver's 50-query
+window (closing out the r4 vintage; the oldest surviving evidence
+after this round is r5)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES

@@ -266,3 +266,35 @@ def test_stream_neardup_ingest_cross_batch_detection(spark, tmp_path):
     # the accepted doc is in the index; the rejected ones are not
     assert index.bands().filter("doc_id = 11").count() > 0
     assert index.bands().filter("doc_id in (10, 20)").count() == 0
+
+
+def test_stream_neardup_ingest_empty_drain_returns_empty_ledger(spark, tmp_path):
+    """A drain with nothing pending is a normal state for a continuous
+    loop: the ledger comes back empty with the full schema, not a
+    read error on a never-created directory."""
+    from automate_data_ingestion_project_spark.streaming.neardup import (
+        stream_neardup_ingest,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    src = tmp_path / "incoming"
+    os.makedirs(src, exist_ok=True)
+    ledger = stream_neardup_ingest(
+        spark,
+        f"{src}/*",
+        index,
+        str(tmp_path / "decisions"),
+        str(tmp_path / "ckpt"),
+    )
+    assert ledger.count() == 0
+    assert set(ledger.columns) == {
+        "batch_id", "n_candidates", "n_verified_dups", "is_near_dup",
+        "epoch_id",
+    }
