@@ -73,3 +73,43 @@ def test_fixture_fingerprint_changes_on_rewrite(tmp_path):
     os.utime(f, ns=(1, 2))
     fp2 = fixture_fingerprint(sf, "documents")
     assert fp1 != fp2
+
+
+def test_fixture_artifact_keys_by_fixture_dir_and_content(tmp_path):
+    """The consolidated idiom (key-sanitized fixture dir + content
+    fingerprint + build_once): same fixture reuses the build, a
+    rewritten fixture rebuilds, and two fixture dirs never share a
+    cache entry even with identical content."""
+    import os
+    import time
+
+    from automate_data_ingestion_project_spark.io.artifacts import (
+        fixture_artifact,
+    )
+
+    builds = []
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        builds.append(tmp)
+        with open(os.path.join(tmp, "out"), "w") as fh:
+            fh.write("x")
+
+    sf_a = tmp_path / "sf0.5"
+    sf_b = tmp_path / "other" / "sf0.5"
+    for d in (sf_a, sf_b):
+        os.makedirs(d)
+        with open(d / "events.parquet", "w") as fh:
+            fh.write("same bytes")
+
+    r1 = fixture_artifact(str(sf_a), "t_fixture_artifact", ("events",), build)
+    r2 = fixture_artifact(str(sf_a), "t_fixture_artifact", ("events",), build)
+    assert r1 == r2 and len(builds) == 1  # cached on second call
+    r3 = fixture_artifact(str(sf_b), "t_fixture_artifact", ("events",), build)
+    assert r3 != r1 and len(builds) == 2  # dir is part of the key
+    # in-place rewrite bumps mtime_ns → new fingerprint → rebuild
+    time.sleep(0.01)
+    with open(sf_a / "events.parquet", "w") as fh:
+        fh.write("same bytes")
+    r4 = fixture_artifact(str(sf_a), "t_fixture_artifact", ("events",), build)
+    assert r4 != r1 and len(builds) == 3
