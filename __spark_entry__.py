@@ -66,8 +66,8 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-8 ordering: (1) the two queries ADDED this round
-# plus the five whose code changed this round, so their official
+# comes first. Round-8 ordering: (1) the three queries ADDED this
+# round plus the five whose code changed this round, so their official
 # CORRECTNESS rows are post-change; (2) the 13 rows whose most recent
 # green check is ROUND 4 (after this round no surviving evidence
 # predates round 5 — fixture drift under unchanged code is proven,
@@ -87,6 +87,9 @@ _CHECK_FIRST = [
     #   driven by Structured Streaming foreachBatch, hash-checked
     #   against the same oracle as the batch replay).
     # zorder_pruned_scan — NEW in r8 (Z-order-clustered scan, L4 twin).
+    # weighted_systematic_sample — NEW in r8 (proportional-to-size
+    #   sample via the two-phase prefix sum, integer-exact).
+    "weighted_systematic_sample",
     "zorder_pruned_scan",
     "stream_neardup_ingest_replay",
     "events_value_interpolate",
@@ -96,7 +99,7 @@ _CHECK_FIRST = [
     "ann_ivf_multiprobe",
     # (2) oldest evidence: the 13 remaining r4-vintage rows (the r7
     # window covered the other 22; ann_ivf_topk above was the 14th).
-    # 7 + 13 = 20 so far.
+    # 8 + 13 = 21 so far.
     "customer_value_quartiles",
     "orders_rolling_revenue",
     "orders_monthly_gapfill",
@@ -110,11 +113,11 @@ _CHECK_FIRST = [
     "dbf_commune",
     "model_layer_build",
     "embedding_quantize",
-    # (3) r5 vintage — the first 30 fill this round's 50-query window
-    # (7 + 13 + 30 = 50); the 9-row tail below the marker rolls to
+    # (3) r5 vintage — the first 29 fill this round's 50-query window
+    # (8 + 13 + 29 = 50); the 10-row tail below the marker rolls to
     # round 9. Bookkeeping: r5 vintage was 41 rows = 2 in section (1)
     # (incremental_neardup_filter, ann_ivf_multiprobe changed this
-    # round) + these 30 + the 9-row tail.
+    # round) + these 29 + the 10-row tail.
     "orders_by_month",
     "categories",
     "orders_by_category",
@@ -144,9 +147,9 @@ _CHECK_FIRST = [
     "json_roundtrip_nation",
     "leakage_safe_split",
     "pricing_summary",
-    "orders_per_year",
     # ---- round-8 window boundary (positions 1-50 above) ----
     # r5 tail — next round's front-load starts here
+    "orders_per_year",
     "customer_order_histogram",
     "parts_bought_together",
     "sales_cube",

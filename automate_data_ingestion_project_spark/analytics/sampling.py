@@ -131,3 +131,84 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("rev").alias("revenue"),
         )
     )
+
+
+_SYS_STEP = 97  # prime sampling interval over cumulative token weight
+_SYS_BUCKET = 1000  # doc_id range per prefix-sum bucket
+
+
+@register(
+    "weighted_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_weight
+        FROM w
+    )
+    SELECT doc_id, n_tokens, cum_weight
+    FROM cum
+    WHERE (cum_weight - n_tokens) // {_SYS_STEP} < cum_weight // {_SYS_STEP}
+    """,
+    survey_ref="LLM curation: weighted (proportional-to-size) systematic sample",
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling proportional to token weight: walk the
+    corpus's cumulative token count and keep every document whose
+    weight interval crosses a multiple of the step — each doc selected
+    with probability ≈ n_tokens/step, EXACTLY deterministic (reruns,
+    retries, and replication all reproduce the same sample; the
+    rand()-based form can't), and integer-exact end to end so the
+    oracle hash-matches (positive weights ⇒ Spark's `div` and DuckDB's
+    `//` truncation agree; no transcendental weight keys to flap
+    low bits, unlike Efraimidis-Spirtakis u^(1/w)).
+
+    Scale shape — the oracle's global ordered window would squeeze
+    100 TB through ONE task; this computes the same cumulative weight
+    with the two-phase prefix sum: (1) per-bucket token totals
+    (doc_id div 1000 ranges — one partial-aggregated groupBy over
+    ~N/1000 rows), (2) running offsets over the TINY bucket relation
+    (window over bucket count, not row count), broadcast back,
+    (3) within-bucket cumulative sums under a PARTITIONED window. No
+    global window anywhere; the selection predicate is a narrow map.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _SYS_BUCKET).cast("long").alias("_bucket"),
+    )
+    totals = w.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    # running offset of each bucket = sum of all EARLIER buckets' totals;
+    # this window orders ~N/_SYS_BUCKET rows, bounded by corpus/1000
+    off_w = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        w.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "cum_weight",
+            F.col("_offset") + F.sum("n_tokens").over(in_bucket),
+        )
+    )
+    return cum.filter(
+        F.expr(f"(cum_weight - n_tokens) div {_SYS_STEP}")
+        < F.expr(f"cum_weight div {_SYS_STEP}")
+    ).select("doc_id", "n_tokens", "cum_weight")

@@ -88,3 +88,45 @@ def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
     # and the aggregate view partitions the full corpus
     agg = leakage_safe_split(spark, sf_dir).collect()
     assert sum(r.n_docs for r in agg) == len(by_doc)
+
+
+def test_weighted_systematic_sample_matches_global_window_form(spark, sf_dir):
+    """The two-phase prefix sum (bucket totals → broadcast offsets →
+    partitioned within-bucket window) must equal the naive global
+    ordered window row-for-row, and the plan's row-scale window must be
+    PARTITIONED by the bucket — the global window exists only over the
+    ~N/1000-row bucket relation. Selection rate ≈ total_weight/step."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.sampling import (
+        _SYS_STEP,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    df = entrymod.queries()["weighted_systematic_sample"](spark, sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    gw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        w.withColumn("cum_weight", F.sum("n_tokens").over(gw))
+        .filter(
+            F.expr(f"(cum_weight - n_tokens) div {_SYS_STEP}")
+            < F.expr(f"cum_weight div {_SYS_STEP}")
+        )
+        .select("doc_id", "n_tokens", "cum_weight")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want and len(got) > 0
+    # the row-scale window is partitioned (the scale claim): its spec
+    # carries the bucket key
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_bucket" in plan
+    # selection count tracks total_weight/step within rounding
+    total = w.agg(F.sum("n_tokens")).collect()[0][0]
+    assert abs(len(got) - total / _SYS_STEP) <= 1

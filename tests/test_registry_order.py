@@ -3,7 +3,7 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-8 window composition — the round's deliverable — must hold:
-the seven round-8 rows (2 new queries + 5 changed) lead, and every row
+the eight round-8 rows (3 new queries + 5 changed) lead, and every row
 whose latest green check is round 4 sits inside the driver's 50-query
 window (closing out the r4 vintage; the oldest surviving evidence
 after this round is r5)."""
@@ -12,6 +12,7 @@ import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R8_CHANGED = [
+    "weighted_systematic_sample",  # NEW in r8
     "zorder_pruned_scan",  # NEW in r8
     "stream_neardup_ingest_replay",  # NEW in r8
     "events_value_interpolate",
@@ -44,7 +45,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round8_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:7] == R8_CHANGED
+    assert first50[:8] == R8_CHANGED
     assert R4_VINTAGE <= set(first50)
 
 
