@@ -147,10 +147,13 @@ _SYS_BUCKET = 1000  # doc_id range per prefix-sum bucket
     ),
     cum AS (
         SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (
+               -- DuckDB widens SUM(BIGINT) to HUGEINT (float64 via
+               -- pandas); CAST back so the dtype-sensitive value hash
+               -- sees bigint on both sides (pattern: centroids.py)
+               CAST(SUM(n_tokens) OVER (
                    ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_weight
+               ) AS BIGINT) AS cum_weight
         FROM w
     )
     SELECT doc_id, n_tokens, cum_weight

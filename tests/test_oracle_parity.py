@@ -25,6 +25,34 @@ def _oracle_cases():
     return sorted(oracles.keys())
 
 
+def test_dtype_drift_fails_parity(spark, duck):
+    """The r8 escape class: equal Python values, drifted column dtype.
+
+    DuckDB's uncast SUM over BIGINT yields HUGEINT (float64 through the
+    driver's pandas conversion) while Spark returns bigint — the values
+    compare equal cell-by-cell, so a dtype-blind harness passes a query
+    the driver's dtype-sensitive hash fails. compare() must flag it.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(F.col("id").cast("long").alias("v"))
+    hugeint = "SELECT CAST(v AS HUGEINT) AS v FROM (VALUES (0),(1),(2)) t(v)"
+    report = compare(df, duck, hugeint)
+    assert not report["types_ok"], report
+    assert not report["ok"], report
+    # values alone would have matched — exactly the blind spot
+    assert report["values_ok"], report
+
+    bigint = "SELECT CAST(v AS BIGINT) AS v FROM (VALUES (0),(1),(2)) t(v)"
+    assert compare(df, duck, bigint)["ok"]
+
+    # the r3→r4 escape class: date vs timestamp
+    ddf = spark.sql("SELECT DATE'2024-01-02' AS d")
+    ts = "SELECT TIMESTAMP '2024-01-02 00:00:00' AS d"
+    assert not compare(ddf, duck, ts)["types_ok"]
+    assert compare(ddf, duck, "SELECT DATE '2024-01-02' AS d")["ok"]
+
+
 @pytest.mark.parametrize("name", _oracle_cases())
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     q = entrymod.queries()[name]
