@@ -109,15 +109,26 @@ class NearDupIndex:
             cls.write_corpus(docs, root)
             return cls(spark, root)
         rows = tracked_persist(shingle_rows(docs))
-        bands = lsh_band_keys(minhash_signatures_rows(rows))
-        rows.write.mode("overwrite").parquet(os.path.join(root, ROWS_SUBDIR))
-        write_bucketed_table(
-            bands,
-            _bands_table_name(root),
-            "band_key",
-            bucket_bands,
-            sort_col="band_key",
-        )
+        try:
+            bands = lsh_band_keys(minhash_signatures_rows(rows))
+            rows.write.mode("overwrite").parquet(
+                os.path.join(root, ROWS_SUBDIR)
+            )
+            write_bucketed_table(
+                bands,
+                _bands_table_name(root),
+                "band_key",
+                bucket_bands,
+                sort_col="band_key",
+            )
+        finally:
+            # both writes are done — the persist has no further consumer
+            # (mirrors ingest_batch's cleanup; without it every bucketed
+            # build leaks one live persist + registry entry)
+            from ..operators.caching import untrack
+
+            rows.unpersist()
+            untrack(rows)
         return cls(spark, root, bucket_bands=bucket_bands)
 
     # -- reads (re-read per call so appends are visible) -------------------
@@ -143,12 +154,64 @@ class NearDupIndex:
         """Decision table (batch_id, n_candidates, n_verified_dups,
         is_near_dup) for a (doc_id, text) batch vs the current index.
 
+        PRECONDITION — id/content agreement: a ``doc_id`` is the
+        identity of one document's content. A batch id may already be
+        in the index (that's the replay case the decision logic is
+        built for, and the excluded snapshot reproduces the original
+        decisions), but it must then carry the SAME text as the indexed
+        copy. A batch doc REUSING an indexed id for DIFFERENT content is
+        outside the contract: replay safety excludes the indexed copy
+        from its own probe, so the genuine near-dup between the two
+        contents is never compared. Callers minting ids (the registered
+        replays use disjoint +100000 ranges) satisfy this by
+        construction; untrusted id sources should run
+        :meth:`ingest_batch` with ``check_id_collisions=True``.
+
         ``broadcast_batch=False`` is the big-batch path: no broadcast
         hint, so the probe becomes a shuffle join — against a
         ``bucket_bands`` index the corpus side reads its buckets in
         place (zero Exchange) and only the batch shuffles."""
         rows, bands = self._batch_derivations(batch)
         return self._decisions(batch, rows, bands, broadcast_batch)
+
+    def _assert_no_content_collisions(
+        self, batch_rows: DataFrame, batch_ids: DataFrame
+    ) -> None:
+        """Raise if a batch doc_id already indexed carries different
+        content (shingle set) than its indexed copy — the silent-miss
+        case documented on :meth:`filter_batch`.
+
+        Cost: a column-pruned id scan of the band table semi-joined to
+        the broadcast batch ids, then shingle comparison restricted to
+        the COLLIDING ids only (zero rows for a fresh batch, the whole
+        batch for a pure replay — both bounded by the batch, never the
+        corpus). Both sides are DISTINCT (id, s) rows, so "present in
+        exactly one side" is exactly the symmetric difference.
+        """
+        colliding = (
+            self.bands()
+            .select("doc_id")
+            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            .distinct()
+        )
+        idx_r = self.rows().join(F.broadcast(colliding), "doc_id", "left_semi")
+        bat_r = batch_rows.join(F.broadcast(colliding), "doc_id", "left_semi")
+        mismatched = (
+            idx_r.unionByName(bat_r)
+            .groupBy("doc_id", "s")
+            .count()
+            .filter(F.col("count") == 1)
+            .select("doc_id")
+            .distinct()
+        )
+        bad = [r.doc_id for r in mismatched.limit(20).collect()]
+        if bad:
+            raise ValueError(
+                "id/content collision: batch doc_ids already indexed "
+                f"with DIFFERENT content (first {len(bad)}): {bad}. "
+                "Replay safety would silently skip comparing these — "
+                "re-id the batch or reconcile the contents."
+            )
 
     def _decisions(
         self,
@@ -197,7 +260,9 @@ class NearDupIndex:
             (F.coalesce("n_verified_dups", F.lit(0)) > 0).alias("is_near_dup"),
         )
 
-    def ingest_batch(self, batch: DataFrame) -> DataFrame:
+    def ingest_batch(
+        self, batch: DataFrame, check_id_collisions: bool = False
+    ) -> DataFrame:
         """Filter the batch, then append the ACCEPTED documents'
         bands/shingles to the index so the next batch sees them.
 
@@ -205,8 +270,17 @@ class NearDupIndex:
         persisted derivations (no recompute), keeps only ids not
         already present (replay-idempotent), and is the one mutation
         the loop performs — the corpus index is otherwise read-only.
+
+        Inherits :meth:`filter_batch`'s id/content-agreement
+        precondition; ``check_id_collisions=True`` enforces it eagerly
+        (one extra bounded action per batch) and raises ``ValueError``
+        on a violation instead of silently missing the near-dup.
         """
         rows, bands = self._batch_derivations(batch)
+        if check_id_collisions:
+            self._assert_no_content_collisions(
+                rows, batch.select("doc_id")
+            )
         # Pin the decision table to the PRE-append index snapshot:
         # eager localCheckpoint materializes it NOW and truncates the
         # lineage, so no later recompute can re-list the index parquet

@@ -272,3 +272,69 @@ def test_ingest_replay_reproduces_original_decisions(spark, tmp_path):
     replay = sorted(tuple(r) for r in index.ingest_batch(b1).collect())
     assert replay == first
     assert {r[0]: r[3] for r in first} == {10: True, 11: False}
+
+
+def test_ingest_id_collision_guard(spark, tmp_path):
+    """A batch doc REUSING an indexed id for DIFFERENT content violates
+    the id/content-agreement precondition (replay safety would silently
+    never compare the two contents). check_id_collisions=True must
+    raise; a true replay (same id, same content) and a fresh batch must
+    pass the same check."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    novel = spark.createDataFrame(
+        [(11, "completely different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+    # fresh batch: zero colliding ids, check is a no-op
+    index.ingest_batch(novel, check_id_collisions=True).collect()
+    # true replay: id 11 indexed with IDENTICAL content — allowed
+    index.ingest_batch(novel, check_id_collisions=True).collect()
+    # collision: id 11 reused for different content — must raise
+    impostor = spark.createDataFrame(
+        [(11, "some entirely unrelated impostor text goes right here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="id/content collision.*11"):
+        index.ingest_batch(impostor, check_id_collisions=True)
+
+
+def test_bucketed_build_releases_its_persist(spark, tmp_path):
+    """NearDupIndex.build(bucket_bands=n) must not leave its shingle
+    persist live/tracked after both writes complete (the same per-call
+    leak ingest_batch's finally block prevents)."""
+    from automate_data_ingestion_project_spark.operators.caching import (
+        _ACTIVE,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    # delta-based: earlier tests in the shared session may legitimately
+    # hold live persists; build() must simply not ADD one
+    tracked_before = len(_ACTIVE)
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(
+        spark, corpus, str(tmp_path / "idx"), bucket_bands=4
+    )
+    try:
+        assert len(_ACTIVE) == tracked_before
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+            == persisted_before
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index.bands_table}")
