@@ -163,3 +163,147 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+DOC_CAP = 10  # max documents kept per source (domain cap)
+TOKEN_BUDGET = 600  # max tokens kept per source (token-budget cap)
+_CAP_SALTS = 8  # phase-1 fan-out of the two-phase per-group top-K
+
+
+def _scramble(dialect: str, tag: str) -> str:
+    """56-bit md5 scramble of doc_id — the deterministic stand-in for
+    'uniformly random order', identical value in both engines, so the
+    capped selection is a pure function of the corpus (reruns and the
+    oracle pick the SAME documents)."""
+    if dialect == "spark":
+        s = f"concat('{tag}:', cast(doc_id as string))"
+        return f"cast(conv(substr(md5({s}), 1, 14), 16, 10) as bigint)"
+    s = f"concat('{tag}:', cast(doc_id as varchar))"
+    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT)"
+
+
+@register(
+    "source_doc_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_scramble("duckdb", "cap")}, doc_id
+               ) AS keep_rank
+        FROM documents
+    )
+    SELECT doc_id, source, keep_rank
+    FROM ranked WHERE keep_rank <= {DOC_CAP}
+    """,
+    survey_ref="LLM curation: per-source document cap (domain capping, north star)",
+)
+def source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping by document count: keep at most ``DOC_CAP`` docs
+    per source, chosen in deterministic scrambled-hash order (every
+    real corpus build caps its dominant domains — CommonCrawl-style
+    sources would otherwise drown the mixture).
+
+    Scale shape — the naive per-source ROW_NUMBER window sorts each
+    source's FULL document set on one task (a 10 PB crawl source =
+    one task). This runs the two-phase top-K instead: phase 1 ranks
+    within (source, salt) cells — ``_CAP_SALTS``× smaller sorts, any of
+    which may hold at most the whole top-K — and keeps only each
+    cell's top-``DOC_CAP``; phase 2 re-ranks the ≤ salts·K survivors per
+    source, a bounded relation regardless of corpus size. Every
+    global top-K member is a cell top-K member, so the result is
+    exactly the one-window answer (the oracle computes that form).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_scramble("spark", "cap")).alias("_hkey"),
+        (F.col("doc_id") % _CAP_SALTS).alias("_salt"),
+    )
+    cell = Window.partitionBy("source", "_salt").orderBy("_hkey", "doc_id")
+    survivors = keyed.withColumn(
+        "_cell_rank", F.row_number().over(cell)
+    ).filter(F.col("_cell_rank") <= DOC_CAP)
+    final = Window.partitionBy("source").orderBy("_hkey", "doc_id")
+    return (
+        survivors.withColumn("keep_rank", F.row_number().over(final))
+        .filter(F.col("keep_rank") <= DOC_CAP)
+        .select("doc_id", "source", "keep_rank")
+    )
+
+
+@register(
+    "source_token_budget_cap",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "budget")} AS hkey
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    survey_ref="LLM curation: per-source token budget cap (north star)",
+)
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping by token budget: walk each source's documents in
+    deterministic scrambled order and keep documents while the
+    source's running token count stays within ``TOKEN_BUDGET`` (the
+    "cap source X at N tokens" rule in every published data recipe —
+    token budgets, not doc counts, are what mixture specs are written
+    in).
+
+    Scale shape — same objection as :func:`source_doc_cap`: a
+    per-source ordered window serializes the source. This computes the
+    running count with the two-phase prefix sum IN SCRAMBLE SPACE:
+    hash-range buckets (top bits of the 56-bit scramble key) are
+    contiguous in the walk order, so (1) per-(source, bucket) token
+    totals partial-aggregate map-side, (2) running offsets need a
+    window over the tiny (source, bucket) relation only, (3)
+    within-bucket cumulative sums run under a partitioned window whose
+    partitions are 1/2048th of a source. No window anywhere whose
+    partition grows with the full source. (Pattern proven by
+    ``weighted_systematic_sample``; here it composes with a scrambled
+    — not natural-key — walk order.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(_scramble("spark", "budget")).alias("_hkey"),
+    ).withColumn("_hbucket", F.expr("_hkey div 35184372088832"))  # 2^45
+    totals = sized.groupBy("source", "_hbucket").agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("_hbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "_hbucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy("source", "_hbucket")
+        .orderBy("_hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sized.join(F.broadcast(offsets), ["source", "_hbucket"]).withColumn(
+        "cum_tokens", F.col("_offset") + F.sum("n_tokens").over(in_bucket)
+    )
+    return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )

@@ -173,6 +173,11 @@ def main() -> int:
             # round 8 additions
             "stream_neardup_ingest_replay",
             "zorder_pruned_scan",
+            # round 9 additions (+ weighted_systematic_sample, added in
+            # r8 but benchable only once its oracle row went green)
+            "weighted_systematic_sample",
+            "source_doc_cap",
+            "source_token_budget_cap",
         )
         if n in QUERIES
     ]

@@ -55,7 +55,96 @@ def test_pack_known_values(spark, tmp_path):
     assert out[1]["first_doc_id"] == 87
 
 
-@pytest.mark.parametrize("name", ["corpus_sample_mix", "pack_sequences"])
+def test_source_doc_cap_matches_one_window_form_and_caps(spark):
+    """The two-phase (salted) top-K must equal the naive per-source
+    ROW_NUMBER window row-for-row, honor the cap, and its plan's
+    row-scale window must be partitioned by (source, _salt) — the
+    source-only window runs over the bounded survivor relation only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        DOC_CAP,
+        _scramble,
+        source_doc_cap,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    df = source_doc_cap(spark, SF_DIR)
+    got = sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_scramble("spark", "cap")), "doc_id"
+    )
+    naive = (
+        docs.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= DOC_CAP)
+        .select("doc_id", "source", "keep_rank")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want and len(got) > 0
+    per_source: dict[str, int] = {}
+    for _, s, rk in got:
+        per_source[s] = max(per_source.get(s, 0), rk)
+        assert 1 <= rk <= DOC_CAP
+    assert all(v <= DOC_CAP for v in per_source.values())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # phase-1 window carries the salt key
+
+
+def test_source_token_budget_cap_matches_one_window_form(spark):
+    """The two-phase prefix sum in scramble space must equal the naive
+    per-source ordered window row-for-row, every kept doc's running
+    total must respect the budget, and the plan's row-scale window must
+    be partitioned by the hash-range bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        TOKEN_BUDGET,
+        _scramble,
+        source_token_budget_cap,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops import analysis as ta
+
+    df = source_token_budget_cap(spark, SF_DIR)
+    got = sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(_scramble("spark", "budget")).alias("_hkey"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want and len(got) > 0
+    assert all(r[3] <= TOKEN_BUDGET for r in got)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan and "_hbucket" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_sample_mix",
+        "pack_sequences",
+        "source_doc_cap",
+        "source_token_budget_cap",
+    ],
+)
 def test_oracle_parity(spark, name):
     con = duckdb_connection(SF_DIR)
     res = compare(

@@ -2,33 +2,30 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-8 window composition — the round's deliverable — must hold:
-the eight round-8 rows (3 new queries + 5 changed) lead, and every row
-whose latest green check is round 4 sits inside the driver's 50-query
-window (closing out the r4 vintage; the oldest surviving evidence
-after this round is r5)."""
+the round-9 window composition — the round's deliverable — must hold:
+the fixed r8 red row leads, then the two r9 additions, then the three
+queries whose code changed this round, and every row whose latest
+green check is round 5 sits inside the driver's 50-query window
+(closing out the r5 vintage; the oldest surviving evidence after this
+round is r6)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R8_CHANGED = [
-    "weighted_systematic_sample",  # NEW in r8
-    "zorder_pruned_scan",  # NEW in r8
-    "stream_neardup_ingest_replay",  # NEW in r8
-    "events_value_interpolate",
-    "incremental_neardup_filter",
+R9_HEAD = [
+    "weighted_systematic_sample",  # r8's only red row, oracle fixed
+    "source_doc_cap",  # NEW in r9
+    "source_token_budget_cap",  # NEW in r9
+    "incremental_neardup_filter",  # NearDupIndex changed in r9
     "neardup_ingest_replay",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
+    "stream_neardup_ingest_replay",
 ]
 
-R4_VINTAGE = {
-    "customer_value_quartiles", "orders_rolling_revenue",
-    "orders_monthly_gapfill", "nation_revenue_share", "kmeans_step",
-    "nation_revenue_pareto", "referential_integrity",
-    "events_weekly_heatmap", "rest_ingest_dv3f", "rest_datasource_scan",
-    "dbf_commune", "ann_ivf_topk", "model_layer_build",
-    "embedding_quantize",
+R5_VINTAGE = {
+    "orders_per_year", "customer_order_histogram", "parts_bought_together",
+    "sales_cube", "events_value_histogram", "cumulative_new_customers",
+    "order_priority_exists", "big_ticket_orders",
+    "cheapest_supplier_per_part", "customer_interarrival",
 }
 
 
@@ -43,10 +40,10 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round8_window_composition():
+def test_round9_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:8] == R8_CHANGED
-    assert R4_VINTAGE <= set(first50)
+    assert first50[:6] == R9_HEAD
+    assert R5_VINTAGE <= set(first50)
 
 
 def test_oracles_cover_every_query():
