@@ -13,7 +13,7 @@ Usage::
     python scripts/scale_demo.py [REP] [SF_DIR]
 
     REP     replication factor (default 10 → 50k docs from sf0.1's 5k,
-            the sf1-equivalent corpus; supported up to 100 → 500k docs.
+            the sf1-equivalent corpus; supported up to 200 → 1M docs.
             Replicas 0-17 use the cipher cycle below — 17 distinct
             non-identity rotations, identical to the r7 runs so data
             points stay comparable; replicas ≥ 18 additionally insert a
@@ -76,8 +76,8 @@ CIPHER = "etaoinshrdlucmfwyp"
 def main(argv: list[str]) -> int:
     rep = int(argv[1]) if len(argv) > 1 else 10
     sf_dir = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
-    if not 2 <= rep <= 100:
-        print("REP must be in [2, 100]", file=sys.stderr)
+    if not 2 <= rep <= 200:
+        print("REP must be in [2, 200]", file=sys.stderr)
         return 2
 
     # Size the single-JVM heap for the scaled corpus BEFORE the JVM

@@ -486,3 +486,102 @@ def test_interpolation_matches_python_reference_on_any_series(spark, rows):
         for r in interpolate_time_weighted(df, ["user"], "ts", "v").collect()
     }
     assert got == reference()
+
+
+@st.composite
+def capped_corpora(draw):
+    """(doc_id, source, text) corpora with skewed source sizes, empty
+    texts, and doc_ids dense enough to land in one scramble bucket AND
+    sparse enough to span many — the shapes the two-phase forms must
+    agree with the one-window semantics on."""
+    n = draw(st.integers(min_value=1, max_value=18))
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10**7),
+            min_size=n,
+            max_size=n,
+            unique=True,
+        )
+    )
+    rows = []
+    for doc_id in ids:
+        source = draw(st.sampled_from(["s0", "s0", "s0", "s1", "s2"]))
+        k = draw(st.integers(min_value=0, max_value=9))
+        rows.append((doc_id, source, " ".join(["w"] * k)))
+    return rows
+
+
+def _scramble_py(tag: str, doc_id: int) -> int:
+    """Python twin of analytics.mixing._scramble (md5 56-bit key)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}:{doc_id}".encode()).hexdigest()[:14], 16)
+
+
+_CAP_COUNTER = iter(range(10**9))
+
+
+def _write_docs(spark, rows):
+    path = os.path.join(
+        scratch_dir("prop_caps"), f"c{next(_CAP_COUNTER)}"
+    )
+    spark.createDataFrame(
+        [(d, s, t, "en", len(t)) for d, s, t in rows],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+@_SETTINGS
+@given(rows=capped_corpora())
+def test_source_doc_cap_matches_python_model_on_any_corpus(spark, rows):
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        DOC_CAP,
+        source_doc_cap,
+    )
+
+    path = _write_docs(spark, rows)
+    got = sorted(tuple(r) for r in source_doc_cap(spark, path).collect())
+
+    expected = []
+    by_source: dict[str, list] = {}
+    for doc_id, source, _ in rows:
+        by_source.setdefault(source, []).append(doc_id)
+    for source, ids in by_source.items():
+        ordered = sorted(ids, key=lambda d: (_scramble_py("cap", d), d))
+        expected.extend(
+            (d, source, rk + 1) for rk, d in enumerate(ordered[:DOC_CAP])
+        )
+    assert got == sorted(expected)
+
+
+@_SETTINGS
+@given(rows=capped_corpora())
+def test_source_token_budget_cap_matches_python_model_on_any_corpus(
+    spark, rows
+):
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        TOKEN_BUDGET,
+        source_token_budget_cap,
+    )
+
+    path = _write_docs(spark, rows)
+    got = sorted(
+        tuple(r) for r in source_token_budget_cap(spark, path).collect()
+    )
+
+    expected = []
+    by_source: dict[str, list] = {}
+    for doc_id, source, text in rows:
+        # Spark size(split(text,' ')): '' splits to [''] = 1 token
+        by_source.setdefault(source, []).append(
+            (doc_id, len(text.split(" ")))
+        )
+    for source, docs in by_source.items():
+        ordered = sorted(docs, key=lambda dn: (_scramble_py("budget", dn[0]), dn[0]))
+        cum = 0
+        for doc_id, n in ordered:
+            cum += n
+            if cum <= TOKEN_BUDGET:
+                expected.append((doc_id, source, n, cum))
+    assert got == sorted(expected)
