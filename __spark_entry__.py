@@ -67,7 +67,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
 # comes first. Round-9 ordering: (1) the one red r8 row, now fixed;
-# (2) the two queries ADDED this round; (3) the three queries whose
+# (2) the three queries ADDED this round; (3) the three queries whose
 # code changed this round, so their official CORRECTNESS rows are
 # post-change; (4) the 10-row r5-vintage tail (after this round no
 # surviving evidence predates round 6); (5) the oldest 34 r6-vintage
@@ -90,6 +90,10 @@ _CHECK_FIRST = [
     #   two-phase prefix sum in scramble space.
     "source_doc_cap",
     "source_token_budget_cap",
+    # duckdb_federated_scan — the reference's primary local engine as a
+    #   live executable connector (federated pushdown → Arrow handoff,
+    #   io/vendors.py).
+    "duckdb_federated_scan",
     # (3) code changed in round 9: NearDupIndex grew the id/content
     # collision guard (check_id_collisions, default off) and the
     # bucketed build's persist cleanup — behavior-neutral for these
@@ -109,8 +113,8 @@ _CHECK_FIRST = [
     "big_ticket_orders",
     "cheapest_supplier_per_part",
     "customer_interarrival",
-    # (5) r6 vintage in r6 check order — the first 34 fill the window
-    # (16 + 34 = 50); the 14-row tail below the marker rolls to r10.
+    # (5) r6 vintage in r6 check order — the first 33 fill the window
+    # (17 + 33 = 50); the 15-row tail below the marker rolls to r10.
     "promo_revenue_share",
     "median_order_by_nation",
     "small_qty_revenue_by_brand",
@@ -144,9 +148,9 @@ _CHECK_FIRST = [
     "xml_roundtrip_part",
     "top_supplier_revenue",
     "events_variant_props",
-    "fuzzy_name_pairs",
     # ---- round-9 window boundary (positions 1-50 above) ----
     # r6 tail — next round's front-load starts here
+    "fuzzy_name_pairs",
     "bitmap_exact_distinct",
     "hll_sketch_rollup",
     "duplicate_text_spans",

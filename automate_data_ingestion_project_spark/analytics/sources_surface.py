@@ -91,3 +91,32 @@ def xml_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit schema: XML carries no types, so the read declares them —
     # doubles round-trip exactly (Java shortest-round-trip formatting)
     return read_xml(spark, path, row_tag="part", schema=part.schema)
+
+
+@register(
+    "duckdb_federated_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey IN (0, 1)
+    """,
+    survey_ref="S6 (duckdb connector, executable; federated query → Arrow handoff)",
+)
+def duckdb_federated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary local engine as a live connector
+    (``@evidence-dev/duckdb``, package.json:22): the predicate and
+    projection run INSIDE DuckDB (federated pushdown) and the result
+    crosses into Spark once, through Arrow (`io/vendors.read_duckdb`).
+    Driver-side by design — dimension-scale data; the fact-scale
+    handoff is DuckDB ``COPY TO (FORMAT PARQUET)`` + a native Spark
+    scan (module docstring of ``io/vendors.py``)."""
+    from ..io.vendors import read_duckdb
+
+    return read_duckdb(
+        spark,
+        ":memory:",
+        f"""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM read_parquet('{sf_dir}/nation.parquet')
+        WHERE n_regionkey IN (0, 1)
+        """,
+    )

@@ -1,0 +1,232 @@
+"""Vendor database connectors — the engine-side counterpart of the
+reference's BI connector set (bigquery / databricks / duckdb / mssql /
+mysql / postgres / snowflake / sqlite / trino,
+``evidence-workspace/package.json:17-28``).
+
+Spark's generic JDBC source (``io.sources.read_jdbc``, exercised for
+real against embedded Derby) already covers every one of these given
+the vendor's driver jar; what a user switching from the reference
+actually needs is the PER-VENDOR CONFIGURATION that the reference's
+connector packages encapsulate: driver class, URL shape, identifier
+quoting, and sane scan defaults. :data:`VENDORS` records exactly that,
+:func:`read_vendor` dispatches through the generic JDBC path, and
+:func:`read_duckdb` is a fully EXECUTABLE connector (duckdb ships in
+this runtime) for the reference's primary local engine.
+
+Scale notes:
+
+- Every JDBC vendor scan should use partitioned reads
+  (``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``)
+  past dimension size — one connection dragging a fact table serializes
+  the cluster behind a single socket. :func:`read_vendor` passes these
+  straight through to Spark, which issues one range-bounded query per
+  partition.
+- ``fetchsize`` defaults are per-vendor: the JDBC default of a few
+  hundred rows round-trips the network per fetch; 10k is the common
+  production setting (MySQL instead streams row-by-row unless
+  ``useCursorFetch=true``).
+- DuckDB is an in-process engine, so :func:`read_duckdb` materializes
+  driver-side through Arrow — correct for dimension-scale data and
+  federated pushdown results (the same rationale as the driver-side
+  DBF parser, ``io/dbf.py``). Fact-scale handoff should instead
+  ``COPY (…) TO 'dir' (FORMAT PARQUET)`` in DuckDB and let Spark scan
+  the parquet natively — zero serialization through one process.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import read_jdbc
+
+
+@dataclass(frozen=True)
+class VendorDialect:
+    """Connection recipe for one vendor through Spark's JDBC source."""
+
+    name: str
+    driver: str  # JDBC driver class (jar supplied by the deployment)
+    url: Callable[..., str]  # (host, port, database, **params) -> url
+    default_port: int | None
+    quote: str = '"'  # identifier quote character (ANSI default)
+    scan_defaults: dict = field(default_factory=dict)
+
+
+def _params(extra: dict) -> str:
+    return "".join(f";{k}={v}" for k, v in sorted(extra.items()))
+
+
+def _qparams(extra: dict) -> str:
+    if not extra:
+        return ""
+    return "?" + "&".join(f"{k}={v}" for k, v in sorted(extra.items()))
+
+
+VENDORS: dict[str, VendorDialect] = {
+    d.name: d
+    for d in (
+        VendorDialect(
+            name="postgres",
+            driver="org.postgresql.Driver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:postgresql://{host}:{port}/{database}{_qparams(p)}"
+            ),
+            default_port=5432,
+            scan_defaults={"fetchsize": "10000"},
+        ),
+        VendorDialect(
+            name="mysql",
+            driver="com.mysql.cj.jdbc.Driver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:mysql://{host}:{port}/{database}{_qparams(p)}"
+            ),
+            default_port=3306,
+            quote="`",
+            # without cursor fetch the Connector/J client buffers the
+            # ENTIRE result set in executor memory
+            scan_defaults={"fetchsize": "10000", "useCursorFetch": "true"},
+        ),
+        VendorDialect(
+            name="mssql",
+            driver="com.microsoft.sqlserver.jdbc.SQLServerDriver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:sqlserver://{host}:{port};databaseName={database}"
+                f"{_params(p)}"
+            ),
+            default_port=1433,
+            quote="[",  # closes with ]; quote_identifier handles it
+            scan_defaults={"fetchsize": "10000"},
+        ),
+        VendorDialect(
+            name="sqlite",
+            driver="org.sqlite.JDBC",
+            url=lambda host, port, database, **p: f"jdbc:sqlite:{database}",
+            default_port=None,
+        ),
+        VendorDialect(
+            name="snowflake",
+            driver="net.snowflake.client.jdbc.SnowflakeDriver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:snowflake://{host}/?db={database}"
+                + ("&" + "&".join(f"{k}={v}" for k, v in sorted(p.items()))
+                   if p else "")
+            ),
+            default_port=443,
+            scan_defaults={"fetchsize": "10000"},
+        ),
+        VendorDialect(
+            name="trino",
+            driver="io.trino.jdbc.TrinoDriver",
+            # database = catalog[/schema]
+            url=lambda host, port, database, **p: (
+                f"jdbc:trino://{host}:{port}/{database}{_qparams(p)}"
+            ),
+            default_port=8080,
+            scan_defaults={"fetchsize": "10000"},
+        ),
+        VendorDialect(
+            name="databricks",
+            driver="com.databricks.client.jdbc.Driver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:databricks://{host}:{port}/{database}{_params(p)}"
+            ),
+            default_port=443,
+            quote="`",
+            scan_defaults={"fetchsize": "10000"},
+        ),
+        # Derby ships inside the Spark distribution — the one vendor the
+        # sandbox can execute end-to-end; it stands in for the family in
+        # tests (same dispatch, same options path).
+        VendorDialect(
+            name="derby",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            url=lambda host, port, database, **p: (
+                f"jdbc:derby:{database}{_params(p)}"
+            ),
+            default_port=None,
+        ),
+    )
+}
+
+# BigQuery is NOT a JDBC source: Spark reads it through the dedicated
+# spark-bigquery connector (format "bigquery"), whose jar this sandbox
+# does not ship — same documented gate as Delta/Avro.
+BIGQUERY_FORMAT = "bigquery"
+
+
+def quote_identifier(vendor: str, name: str) -> str:
+    """Vendor-correct identifier quoting (for dbtable/query strings
+    Spark passes through verbatim). Embedded quote chars are doubled,
+    the one injection-safe escape every listed dialect shares."""
+    d = VENDORS[vendor]
+    if d.quote == "[":
+        return "[" + name.replace("]", "]]") + "]"
+    return d.quote + name.replace(d.quote, d.quote * 2) + d.quote
+
+
+def vendor_url(
+    vendor: str,
+    host: str = "localhost",
+    port: int | None = None,
+    database: str = "",
+    **params,
+) -> str:
+    d = VENDORS[vendor]
+    return d.url(host, port if port is not None else d.default_port,
+                 database, **params)
+
+
+def read_vendor(
+    spark: SparkSession,
+    vendor: str,
+    table: str,
+    host: str = "localhost",
+    port: int | None = None,
+    database: str = "",
+    url_params: dict | None = None,
+    **options,
+) -> DataFrame:
+    """Vendor scan through the generic JDBC path: dialect driver + URL
+    + scan defaults, with caller ``options`` (credentials, partitioned-
+    read bounds, pushed predicates) overriding defaults. Exercised
+    end-to-end against the ``derby`` dialect in ``tests/test_vendors.py``;
+    every other vendor differs only by jar + URL, which is exactly what
+    this module encodes."""
+    if vendor == "bigquery":
+        raise ValueError(
+            "bigquery is not a JDBC source — use "
+            "spark.read.format('bigquery') with the spark-bigquery "
+            "connector jar (absent in this runtime; documented gate)"
+        )
+    d = VENDORS[vendor]
+    opts = {"driver": d.driver, **d.scan_defaults, **options}
+    return read_jdbc(
+        spark,
+        vendor_url(vendor, host, port, database, **(url_params or {})),
+        table,
+        **opts,
+    )
+
+
+def read_duckdb(
+    spark: SparkSession, database: str, query: str
+) -> DataFrame:
+    """Executable DuckDB connector: run ``query`` in DuckDB (in-process,
+    ``database`` = file path or ``:memory:``) and hand the result to
+    Spark through Arrow. Driver-side by design — dimension-scale data
+    and federated pushdown results; see the module docstring for the
+    fact-scale parquet handoff."""
+    import duckdb
+
+    con = duckdb.connect(database)
+    try:
+        tbl = con.sql(query).arrow()
+    finally:
+        con.close()
+    try:
+        return spark.createDataFrame(tbl)  # Arrow Table (Spark 4)
+    except TypeError:  # older PySpark: go through pandas
+        return spark.createDataFrame(tbl.to_pandas())

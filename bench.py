@@ -178,6 +178,7 @@ def main() -> int:
             "weighted_systematic_sample",
             "source_doc_cap",
             "source_token_budget_cap",
+            "duckdb_federated_scan",
         )
         if n in QUERIES
     ]

@@ -3,7 +3,7 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-9 window composition — the round's deliverable — must hold:
-the fixed r8 red row leads, then the two r9 additions, then the three
+the fixed r8 red row leads, then the three r9 additions, then the three
 queries whose code changed this round, and every row whose latest
 green check is round 5 sits inside the driver's 50-query window
 (closing out the r5 vintage; the oldest surviving evidence after this
@@ -16,6 +16,7 @@ R9_HEAD = [
     "weighted_systematic_sample",  # r8's only red row, oracle fixed
     "source_doc_cap",  # NEW in r9
     "source_token_budget_cap",  # NEW in r9
+    "duckdb_federated_scan",  # NEW in r9
     "incremental_neardup_filter",  # NearDupIndex changed in r9
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
@@ -42,7 +43,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round9_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:6] == R9_HEAD
+    assert first50[:7] == R9_HEAD
     assert R5_VINTAGE <= set(first50)
 
 

@@ -1,0 +1,144 @@
+"""Vendor connector registry (S6 family closure): URL/driver/quoting
+recipes for the reference's connector set, with the dispatch path
+executed for REAL against the two engines this sandbox ships — embedded
+Derby (JDBC) and in-process DuckDB (Arrow handoff)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automate_data_ingestion_project_spark.io.vendors import (
+    VENDORS,
+    quote_identifier,
+    read_duckdb,
+    read_vendor,
+    vendor_url,
+)
+
+REFERENCE_CONNECTORS = {
+    # evidence-workspace/package.json:17-28, minus csv (io/sources.py)
+    # and bigquery (non-JDBC, documented gate)
+    "databricks",
+    "mssql",
+    "mysql",
+    "postgres",
+    "snowflake",
+    "sqlite",
+    "trino",
+}
+
+
+def test_registry_covers_the_reference_connector_set():
+    assert REFERENCE_CONNECTORS <= set(VENDORS)
+
+
+def test_vendor_urls_and_drivers():
+    cases = {
+        "postgres": (
+            vendor_url("postgres", "h", 5433, "db", sslmode="require"),
+            "jdbc:postgresql://h:5433/db?sslmode=require",
+        ),
+        "mysql": (
+            vendor_url("mysql", "h", database="db"),
+            "jdbc:mysql://h:3306/db",
+        ),
+        "mssql": (
+            vendor_url("mssql", "h", database="db", encrypt="true"),
+            "jdbc:sqlserver://h:1433;databaseName=db;encrypt=true",
+        ),
+        "sqlite": (
+            vendor_url("sqlite", database="/tmp/x.db"),
+            "jdbc:sqlite:/tmp/x.db",
+        ),
+        "snowflake": (
+            vendor_url("snowflake", "acct.snowflakecomputing.com",
+                       database="db", warehouse="wh"),
+            "jdbc:snowflake://acct.snowflakecomputing.com/"
+            "?db=db&warehouse=wh",
+        ),
+        "trino": (
+            vendor_url("trino", "h", 8443, "hive/web"),
+            "jdbc:trino://h:8443/hive/web",
+        ),
+        "databricks": (
+            vendor_url("databricks", "ws.cloud.databricks.com",
+                       database="default", httpPath="/sql/1.0/x"),
+            "jdbc:databricks://ws.cloud.databricks.com:443/default"
+            ";httpPath=/sql/1.0/x",
+        ),
+    }
+    for vendor, (got, want) in cases.items():
+        assert got == want, vendor
+        assert VENDORS[vendor].driver  # every dialect names its jar class
+
+
+def test_identifier_quoting_per_dialect():
+    assert quote_identifier("postgres", "order") == '"order"'
+    assert quote_identifier("postgres", 'we"ird') == '"we""ird"'
+    assert quote_identifier("mysql", "order") == "`order`"
+    assert quote_identifier("mysql", "we`ird") == "`we``ird`"
+    assert quote_identifier("mssql", "order") == "[order]"
+    assert quote_identifier("mssql", "we]ird") == "[we]]ird]"
+    assert quote_identifier("trino", "order") == '"order"'
+
+
+def test_bigquery_is_a_documented_non_jdbc_gate(spark):
+    with pytest.raises(ValueError, match="spark-bigquery"):
+        read_vendor(spark, "bigquery", "t")
+
+
+def test_read_vendor_executes_through_derby(spark, tmp_path):
+    """The dispatch path runs for real: dialect URL + driver + options
+    reach Spark's JDBC source and rows come back — including the
+    partitioned-read scale options."""
+    db = f"{tmp_path}/db"
+    df = spark.range(0, 50).withColumn("v", (F.col("id") * 3).cast("long"))
+    (
+        df.write.format("jdbc")
+        .options(
+            url=f"jdbc:derby:{db};create=true",
+            dbtable="t",
+            driver=VENDORS["derby"].driver,
+        )
+        .mode("overwrite")
+        .save()
+    )
+    out = read_vendor(
+        spark,
+        "derby",
+        "t",
+        database=db,
+        partitionColumn="id",
+        lowerBound=0,
+        upperBound=50,
+        numPartitions=4,
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert sorted((r.id, r.v) for r in out.collect()) == [
+        (i, 3 * i) for i in range(50)
+    ]
+
+
+def test_read_duckdb_arrow_handoff(spark, sf_dir):
+    """The executable DuckDB connector: a federated DuckDB query over
+    the same parquet fixture must round-trip into Spark exactly."""
+    got = read_duckdb(
+        spark,
+        ":memory:",
+        f"""
+        SELECT n_nationkey, n_name
+        FROM read_parquet('{sf_dir}/nation.parquet')
+        WHERE n_regionkey = 1
+        ORDER BY n_nationkey
+        """,
+    )
+    direct = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey", "n_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert [f.name for f in got.schema.fields] == ["n_nationkey", "n_name"]
