@@ -149,7 +149,9 @@ _CHECK_FIRST = [
     "top_supplier_revenue",
     "events_variant_props",
     # ---- round-9 window boundary (positions 1-50 above) ----
-    # r6 tail — next round's front-load starts here
+    # r10 front-load starts here: the r9-registered JDBC round-trip
+    # (locally strict-hash green, no official row yet), then the r6 tail
+    "jdbc_roundtrip_nation",
     "fuzzy_name_pairs",
     "bitmap_exact_distinct",
     "hll_sketch_rollup",

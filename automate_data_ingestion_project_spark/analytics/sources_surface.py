@@ -120,3 +120,42 @@ def duckdb_federated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_regionkey IN (0, 1)
         """,
     )
+
+
+@register(
+    "jdbc_roundtrip_nation",
+    oracle="SELECT * FROM nation",
+    survey_ref="S6 (jdbc connector via the vendor registry; write+read round-trip vs original, embedded Derby)",
+)
+def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JDBC connector as a registered round-trip (same proof shape
+    as the csv/json/orc/xml rows): ``nation`` lands in an embedded
+    Derby database through Spark's JDBC sink and comes back through
+    ``io/vendors.read_vendor`` — the identical dispatch every vendor
+    dialect uses; only the jar + URL recipe differ (io/vendors.py).
+    Derby is single-process; the scratch dir is PID-scoped, so a
+    concurrent pytest and driver run cannot contend on one database."""
+    from ..io.vendors import VENDORS, read_vendor
+
+    nation = load_table(spark, sf_dir, "nation")
+    db = os.path.join(scratch_dir("jdbc_roundtrip"), "derby_db")
+    (
+        nation.write.format("jdbc")
+        .options(
+            url=f"jdbc:derby:{db};create=true",
+            dbtable="nation",
+            driver=VENDORS["derby"].driver,
+        )
+        .mode("overwrite")
+        .save()
+    )
+    return read_vendor(
+        spark,
+        "derby",
+        "nation",
+        database=db,
+        partitionColumn="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+    )

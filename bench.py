@@ -179,6 +179,7 @@ def main() -> int:
             "source_doc_cap",
             "source_token_budget_cap",
             "duckdb_federated_scan",
+            "jdbc_roundtrip_nation",
         )
         if n in QUERIES
     ]
