@@ -70,9 +70,10 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (2) the three queries ADDED this round; (3) the three queries whose
 # code changed this round, so their official CORRECTNESS rows are
 # post-change; (4) the 10-row r5-vintage tail (after this round no
-# surviving evidence predates round 6); (5) the oldest 34 r6-vintage
-# rows in their r6 check order; the remaining 14 r6 rows (below the
-# boundary marker) roll to round 10.
+# surviving evidence predates round 6); (5) the oldest 33 r6-vintage
+# rows in their r6 check order; the remaining 15 r6 rows (below the
+# boundary marker, after the r9-registered jdbc_roundtrip_nation) roll
+# to round 10.
 _CHECK_FIRST = [
     # (1) the only red row in CORRECTNESS_r08: the oracle's windowed
     # SUM over BIGINT returned HUGEINT (float64 through the driver's

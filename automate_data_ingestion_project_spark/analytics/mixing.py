@@ -40,13 +40,23 @@ from .registry import register
 SEQ_BUDGET = 256  # tokens per packed training sequence
 
 
-def _hash_pct(dialect: str) -> str:
-    """hash56(doc_id) % 100 — identical value in both engines."""
-    s = "concat('mix:', cast(doc_id as varchar))"
+def _scramble(dialect: str, tag: str) -> str:
+    """56-bit md5 scramble of doc_id — the deterministic stand-in for
+    'uniformly random order', identical value in both engines, so the
+    capped selection is a pure function of the corpus (reruns and the
+    oracle pick the SAME documents)."""
     if dialect == "spark":
-        s = "concat('mix:', cast(doc_id as string))"
-        return f"cast(conv(substr(md5({s}), 1, 14), 16, 10) as bigint) % 100"
-    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT) % 100"
+        s = f"concat('{tag}:', cast(doc_id as string))"
+        return f"cast(conv(substr(md5({s}), 1, 14), 16, 10) as bigint)"
+    s = f"concat('{tag}:', cast(doc_id as varchar))"
+    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT)"
+
+
+def _hash_pct(dialect: str) -> str:
+    """hash56(doc_id) % 100 — identical value in both engines (one
+    recipe: the shared :func:`_scramble`, so the engine pair cannot
+    drift apart)."""
+    return f"{_scramble(dialect, 'mix')} % 100"
 
 
 def _rate(dialect: str) -> str:
@@ -168,18 +178,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_CAP = 10  # max documents kept per source (domain cap)
 TOKEN_BUDGET = 600  # max tokens kept per source (token-budget cap)
 _CAP_SALTS = 8  # phase-1 fan-out of the two-phase per-group top-K
-
-
-def _scramble(dialect: str, tag: str) -> str:
-    """56-bit md5 scramble of doc_id — the deterministic stand-in for
-    'uniformly random order', identical value in both engines, so the
-    capped selection is a pure function of the corpus (reruns and the
-    oracle pick the SAME documents)."""
-    if dialect == "spark":
-        s = f"concat('{tag}:', cast(doc_id as string))"
-        return f"cast(conv(substr(md5({s}), 1, 14), 16, 10) as bigint)"
-    s = f"concat('{tag}:', cast(doc_id as varchar))"
-    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT)"
 
 
 @register(

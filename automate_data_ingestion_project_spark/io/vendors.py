@@ -110,7 +110,7 @@ VENDORS: dict[str, VendorDialect] = {
             name="snowflake",
             driver="net.snowflake.client.jdbc.SnowflakeDriver",
             url=lambda host, port, database, **p: (
-                f"jdbc:snowflake://{host}/?db={database}"
+                f"jdbc:snowflake://{host}:{port}/?db={database}"
                 + ("&" + "&".join(f"{k}={v}" for k, v in sorted(p.items()))
                    if p else "")
             ),

@@ -188,11 +188,16 @@ class NearDupIndex:
         corpus). Both sides are DISTINCT (id, s) rows, so "present in
         exactly one side" is exactly the symmetric difference.
         """
+        # materialize the colliding-id set ONCE (eager localCheckpoint):
+        # it feeds both shingle semi-joins below, and an uncached
+        # subquery would re-run its band-table id scan per consumer —
+        # twice the guard's dominant I/O
         colliding = (
             self.bands()
             .select("doc_id")
             .join(F.broadcast(batch_ids), "doc_id", "left_semi")
             .distinct()
+            .localCheckpoint(eager=True)
         )
         idx_r = self.rows().join(F.broadcast(colliding), "doc_id", "left_semi")
         bat_r = batch_rows.join(F.broadcast(colliding), "doc_id", "left_semi")
@@ -277,40 +282,51 @@ class NearDupIndex:
         on a violation instead of silently missing the near-dup.
         """
         rows, bands = self._batch_derivations(batch)
-        if check_id_collisions:
-            self._assert_no_content_collisions(
-                rows, batch.select("doc_id")
-            )
-        # Pin the decision table to the PRE-append index snapshot:
-        # eager localCheckpoint materializes it NOW and truncates the
-        # lineage, so no later recompute can re-list the index parquet
-        # after the append below (a lazy persist is not enough — a
-        # recomputed partition would see the batch's own appended bands
-        # and flag every accepted doc as its own near-dup).
-        decisions = self._decisions(batch, rows, bands).localCheckpoint(
-            eager=True
-        )
-        accepted = decisions.filter(~F.col("is_near_dup")).select(
-            F.col("batch_id").alias("doc_id")
-        )
-        # replay guard: drop ids the index already holds (column-pruned
-        # scan of the index id column vs the broadcast batch id set)
-        already = (
-            self.bands()
-            .select("doc_id")
-            .join(F.broadcast(accepted), "doc_id", "left_semi")
-            .distinct()
-        )
-        new_ids = accepted.join(already, "doc_id", "left_anti")
-        new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
-        new_bands = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        # Everything from here on must release the two tracked persists
+        # no matter how it exits — INCLUDING the collision guard's
+        # ValueError, whose documented remedy is "re-id and retry": a
+        # continuous caller catching it would otherwise leak two live
+        # persists + registry entries per rejected batch, the exact
+        # class the bucketed build's finally was added to prevent.
         try:
+            if check_id_collisions:
+                self._assert_no_content_collisions(
+                    rows, batch.select("doc_id")
+                )
+            # Pin the decision table to the PRE-append index snapshot:
+            # eager localCheckpoint materializes it NOW and truncates
+            # the lineage, so no later recompute can re-list the index
+            # parquet after the append below (a lazy persist is not
+            # enough — a recomputed partition would see the batch's own
+            # appended bands and flag every accepted doc as its own
+            # near-dup).
+            decisions = self._decisions(batch, rows, bands).localCheckpoint(
+                eager=True
+            )
+            accepted = decisions.filter(~F.col("is_near_dup")).select(
+                F.col("batch_id").alias("doc_id")
+            )
+            # replay guard: drop ids the index already holds
+            # (column-pruned scan of the index id column vs the
+            # broadcast batch id set)
+            already = (
+                self.bands()
+                .select("doc_id")
+                .join(F.broadcast(accepted), "doc_id", "left_semi")
+                .distinct()
+            )
+            new_ids = accepted.join(already, "doc_id", "left_anti")
+            new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
+            new_bands = bands.join(
+                F.broadcast(new_ids), "doc_id", "left_semi"
+            )
             self._append(new_rows, new_bands)
         finally:
-            # the decision table is eagerly materialized and the appends
-            # are done — the batch derivations have no further consumer,
-            # so a continuous caller (the streaming loop) must not
-            # accumulate two live persists + registry entries per epoch
+            # on success the decision table is eagerly materialized and
+            # the appends are done; on failure nothing downstream holds
+            # the derivations — either way they have no further
+            # consumer, and a continuous caller (the streaming loop)
+            # must not accumulate per-epoch persists
             from ..operators.caching import untrack
 
             for df in (rows, bands):

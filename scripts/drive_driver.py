@@ -27,6 +27,12 @@ con = duckdb_connection(SF)
 
 only = set(sys.argv[1:])  # optional: restrict to named queries
 qs, oracles = E.queries(), E.oracle_sql()
+unknown = only - set(qs)
+if unknown:
+    # a typo here would run ZERO comparisons and exit 0 — a fake green
+    # on the exact gate this script exists to provide
+    print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+    sys.exit(2)
 fails = []
 for name, fn in sorted(qs.items()):
     if only and name not in only:

@@ -84,12 +84,13 @@ def main(argv: list[str]) -> int:
     # starts (spark.driver.memory is launch-time-only; the package's
     # get_spark cannot set it — session.py:57). The 1 GiB local-mode
     # default OOMs around REP≈18 (90k docs) in the MinHash verify
-    # stage's persisted shingle arrays; 8 GiB covers the full REP range
-    # with the same plan shapes. On a real cluster this is executor
-    # sizing, not a code concern. No-op when a session already exists
-    # (e.g. under pytest at small REP).
+    # stage's persisted shingle arrays; the recorded REP=200 (1M docs)
+    # run needed 12 GiB, which covers the full supported REP range with
+    # the same plan shapes. On a real cluster this is executor sizing,
+    # not a code concern. No-op when a session already exists (e.g.
+    # under pytest at small REP).
     os.environ.setdefault(
-        "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 12g pyspark-shell"
     )
 
     import __spark_entry__ as entrymod  # populates the query registry

@@ -54,8 +54,12 @@ def test_vendor_urls_and_drivers():
         "snowflake": (
             vendor_url("snowflake", "acct.snowflakecomputing.com",
                        database="db", warehouse="wh"),
-            "jdbc:snowflake://acct.snowflakecomputing.com/"
+            "jdbc:snowflake://acct.snowflakecomputing.com:443/"
             "?db=db&warehouse=wh",
+        ),
+        "snowflake-proxy": (
+            vendor_url("snowflake", "proxy.internal", 8443, "db"),
+            "jdbc:snowflake://proxy.internal:8443/?db=db",
         ),
         "trino": (
             vendor_url("trino", "h", 8443, "hive/web"),
@@ -70,7 +74,7 @@ def test_vendor_urls_and_drivers():
     }
     for vendor, (got, want) in cases.items():
         assert got == want, vendor
-        assert VENDORS[vendor].driver  # every dialect names its jar class
+        assert VENDORS[vendor.split("-")[0]].driver  # dialect names its jar
 
 
 def test_identifier_quoting_per_dialect():
