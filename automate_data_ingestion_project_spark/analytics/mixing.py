@@ -1,7 +1,7 @@
-"""Corpus-mixing queries: deterministic per-source sampling and
-token-budget sequence packing over ``documents``.
+"""Corpus-mixing queries: deterministic per-source sampling, domain
+capping, and token-budget sequence packing over ``documents``.
 
-Two more shapes every LLM training-data build runs:
+The shapes every LLM training-data build runs:
 
 - ``corpus_sample_mix`` — per-source sampling at per-source rates
   (the "mixture weights" step). Random sampling is useless at
@@ -16,6 +16,11 @@ Two more shapes every LLM training-data build runs:
   starting-offset ``div`` budget. One shuffle: the window's
   ``source`` partitioning also satisfies the (source, seq_id)
   groupBy.
+- ``source_doc_cap`` / ``source_token_budget_cap`` (r9) — domain
+  capping by document count and by token budget, in deterministic
+  scrambled-hash order; both avoid any window whose partition grows
+  with a source (two-phase salted top-K; two-phase prefix sum in
+  scramble space — see each docstring).
 
 100 TB note for packing: a single ordered window per source
 serializes that source on one task. At real scale the same operator

@@ -124,6 +124,24 @@ def test_read_vendor_executes_through_derby(spark, tmp_path):
     ]
 
 
+def test_read_vendor_caller_options_override_scan_defaults(spark, tmp_path):
+    """Caller options must win over dialect scan defaults (credentials,
+    tuned fetchsize) — asserted through the real Derby path by passing
+    an option Spark validates: a bogus driver class must be USED (and
+    fail), proving it overrode the dialect default."""
+    import py4j.protocol
+    import pytest as _pytest
+
+    with _pytest.raises(py4j.protocol.Py4JJavaError):
+        read_vendor(
+            spark,
+            "derby",
+            "t",
+            database=f"{tmp_path}/nope",
+            driver="com.example.NoSuchDriver",
+        ).collect()
+
+
 def test_read_duckdb_arrow_handoff(spark, sf_dir):
     """The executable DuckDB connector: a federated DuckDB query over
     the same parquet fixture must round-trip into Spark exactly."""
