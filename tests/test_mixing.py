@@ -134,6 +134,9 @@ def test_source_token_budget_cap_matches_one_window_form(spark):
     assert all(r[3] <= TOKEN_BUDGET for r in got)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(source" in plan and "_hbucket" in plan
+    # the tiny (source, bucket) offsets relation joins back broadcast —
+    # the docs relation is never reshuffled for the offset join
+    assert "BroadcastHashJoin" in plan
 
 
 @pytest.mark.parametrize(
