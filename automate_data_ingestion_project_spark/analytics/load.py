@@ -53,6 +53,16 @@ def _new_row_sql(dialect: str = "duckdb") -> str:
     )
 
 
+def scratch_path(name: str) -> str:
+    """Path a query's scratch WOULD occupy, without wiping or creating
+    it. For callers that must inspect/release resources rooted under
+    the previous invocation's tree BEFORE :func:`scratch_dir` wipes it
+    (e.g. shutting down a still-booted embedded Derby database whose
+    files live there — deleting under a booted database is undefined
+    behavior)."""
+    return os.path.join(SCRATCH_ROOT, f"pid{os.getpid()}", name)
+
+
 def scratch_dir(name: str) -> str:
     """Fresh per-query scratch, wiped at every call so re-runs are
     stable. PID-scoped: two engine processes running the same query
@@ -60,7 +70,7 @@ def scratch_dir(name: str) -> str:
     not wipe each other's in-flight streaming checkpoints / upsert
     targets — observed as CANNOT_WRITE_STATE_STORE when they shared a
     path. Stale PID trees from previous processes are reaped lazily."""
-    mine = os.path.join(SCRATCH_ROOT, f"pid{os.getpid()}", name)
+    mine = scratch_path(name)
     if os.path.isdir(mine):
         shutil.rmtree(mine)
     os.makedirs(mine, exist_ok=True)

@@ -123,6 +123,42 @@ def duckdb_federated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duckdb_parquet_handoff",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    survey_ref="S6 (duckdb connector, fact-scale handoff: COPY TO PARQUET → native Spark scan)",
+)
+def duckdb_parquet_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FACT-SCALE half of the DuckDB connector story
+    (``duckdb_federated_scan`` is the dimension-scale half): the DuckDB
+    query's result is COPY'd to parquet inside DuckDB
+    (``io/vendors.duckdb_copy_to_parquet``, one file per writer thread)
+    and Spark scans those files NATIVELY — no Arrow hop, no rows
+    through the driver, and the scan is an ordinary distributed
+    parquet read (plan-pinned in ``tests/test_vendors.py``: a
+    ``FileScan parquet``, not a ``LocalTableScan``). The oracle reads
+    the ORIGINAL table, so a hash match proves the DuckDB→parquet→Spark
+    round-trip is lossless, not merely self-consistent."""
+    from ..io.vendors import duckdb_copy_to_parquet
+
+    dest = os.path.join(scratch_dir("duckdb_handoff"), "orders_urgent")
+    duckdb_copy_to_parquet(
+        ":memory:",
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WHERE o_orderpriority = '1-URGENT'
+        """,
+        dest,
+    )
+    return spark.read.parquet(dest)
+
+
+@register(
     "jdbc_roundtrip_nation",
     oracle="SELECT * FROM nation",
     survey_ref="S6 (jdbc connector via the vendor registry; write+read round-trip vs original, embedded Derby)",
@@ -134,10 +170,20 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``io/vendors.read_vendor`` — the identical dispatch every vendor
     dialect uses; only the jar + URL recipe differ (io/vendors.py).
     Derby is single-process; the scratch dir is PID-scoped, so a
-    concurrent pytest and driver run cannot contend on one database."""
-    from ..io.vendors import VENDORS, read_vendor
+    concurrent pytest and driver run cannot contend on one database.
+
+    Rerun-in-process safety: embedded Derby keeps a database BOOTED
+    per-JVM keyed by path, and ``scratch_dir`` wipes the tree on every
+    call — so a second invocation in one process (repeated bench
+    iterations) would delete files under a still-booted database.
+    The previous invocation's database is therefore shut down FIRST
+    (``derby_shutdown``), via the non-wiping ``scratch_path``, before
+    the wipe."""
+    from ..io.vendors import VENDORS, derby_shutdown, read_vendor
+    from .load import scratch_path
 
     nation = load_table(spark, sf_dir, "nation")
+    derby_shutdown(spark, os.path.join(scratch_path("jdbc_roundtrip"), "derby_db"))
     db = os.path.join(scratch_dir("jdbc_roundtrip"), "derby_db")
     (
         nation.write.format("jdbc")

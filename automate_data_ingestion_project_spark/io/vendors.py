@@ -28,9 +28,10 @@ Scale notes:
 - DuckDB is an in-process engine, so :func:`read_duckdb` materializes
   driver-side through Arrow — correct for dimension-scale data and
   federated pushdown results (the same rationale as the driver-side
-  DBF parser, ``io/dbf.py``). Fact-scale handoff should instead
-  ``COPY (…) TO 'dir' (FORMAT PARQUET)`` in DuckDB and let Spark scan
-  the parquet natively — zero serialization through one process.
+  DBF parser, ``io/dbf.py``). Fact-scale handoff goes through
+  :func:`duckdb_copy_to_parquet` instead: DuckDB ``COPY (…) TO 'dir'
+  (FORMAT PARQUET)`` + a native Spark scan of the result — zero
+  serialization through one process.
 """
 
 from __future__ import annotations
@@ -209,6 +210,65 @@ def read_vendor(
         table,
         **opts,
     )
+
+
+def duckdb_copy_to_parquet(
+    database: str, query: str, dest_dir: str, per_thread_output: bool = True
+) -> str:
+    """Fact-scale DuckDB→Spark handoff: execute ``query`` in DuckDB and
+    ``COPY`` its result to parquet under ``dest_dir``, for Spark to scan
+    NATIVELY. This is the path the module docstring prescribes past
+    dimension scale: :func:`read_duckdb` materializes the result
+    driver-side through Arrow (one process holds the whole result), while
+    here DuckDB streams straight to parquet files and the cluster reads
+    them with the ordinary distributed scan — zero rows ever transit the
+    driver, and Spark's predicate pushdown / column pruning / partition
+    sizing all apply as if the data had been born in the lake.
+
+    ``per_thread_output=True`` has DuckDB write one file per writer
+    thread instead of a single file — the parquet layout a parallel
+    Spark scan wants (one task per file/row-group instead of one task
+    splitting a monolith).
+
+    Returns ``dest_dir`` (the path to hand to ``spark.read.parquet``).
+    Counterpart of the reference's duckdb connector
+    (``evidence-workspace/package.json:22``) for result sets too large
+    to hand over in memory."""
+    import duckdb
+
+    opts = "FORMAT PARQUET" + (
+        ", PER_THREAD_OUTPUT TRUE" if per_thread_output else ""
+    )
+    con = duckdb.connect(database)
+    try:
+        # dest_dir interpolated as a literal: COPY takes no parameter
+        # binding for the target. Single-quote escape guards the path.
+        dest = dest_dir.replace("'", "''")
+        con.sql(f"COPY ({query}) TO '{dest}' ({opts})")
+    finally:
+        con.close()
+    return dest_dir
+
+
+def derby_shutdown(spark: SparkSession, db: str) -> None:
+    """Shut down one embedded Derby database so its files can be
+    deleted safely. Embedded Derby keeps a database BOOTED per-JVM
+    keyed by path: deleting files under a booted database (e.g. a
+    scratch wipe between reruns in one process) leaves the engine
+    holding pages of a table that no longer exists — boot/lock errors
+    or undefined state on the next connect. The shutdown URL is the
+    documented remedy, and Derby reports a SUCCESSFUL single-database
+    shutdown by THROWING SQLException 08006 — so every outcome that
+    matters here (shut down, never booted, driver not yet loaded)
+    arrives as an exception, and all are equally "safe to delete now":
+    swallow them. Issued through the JVM, where the embedded engine
+    actually lives (a Python-side driver would boot a second engine)."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};shutdown=true"
+        )
+    except Exception:
+        pass
 
 
 def read_duckdb(

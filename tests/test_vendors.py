@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from automate_data_ingestion_project_spark.io.vendors import (
     VENDORS,
+    duckdb_copy_to_parquet,
     quote_identifier,
     read_duckdb,
     read_vendor,
@@ -140,6 +141,75 @@ def test_read_vendor_caller_options_override_scan_defaults(spark, tmp_path):
             database=f"{tmp_path}/nope",
             driver="com.example.NoSuchDriver",
         ).collect()
+
+
+def test_duckdb_copy_to_parquet_native_scan(spark, sf_dir, tmp_path):
+    """Fact-scale handoff: DuckDB COPY TO PARQUET + native Spark scan.
+    Losslessness vs a direct Spark read of the same source, AND the
+    plan must be an ordinary distributed parquet FileScan — no Arrow /
+    LocalTableScan / driver hop anywhere."""
+    dest = str(tmp_path / "nation_pq")
+    duckdb_copy_to_parquet(
+        ":memory:",
+        f"""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM read_parquet('{sf_dir}/nation.parquet')
+        WHERE n_regionkey <= 2
+        """,
+        dest,
+    )
+    got = spark.read.parquet(dest)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "LocalTableScan" not in plan
+    direct = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_duckdb_copy_per_thread_output_writes_a_directory(tmp_path):
+    """PER_THREAD_OUTPUT must produce a DIRECTORY of parquet files (the
+    layout a parallel scan wants); single-file mode must produce one
+    file — both scannable."""
+    import os
+
+    import duckdb
+
+    d1 = str(tmp_path / "multi")
+    duckdb_copy_to_parquet(":memory:", "SELECT range AS r FROM range(10)", d1)
+    assert os.path.isdir(d1) and any(
+        f.endswith(".parquet") for f in os.listdir(d1)
+    )
+    f1 = str(tmp_path / "single.parquet")
+    duckdb_copy_to_parquet(
+        ":memory:",
+        "SELECT range AS r FROM range(10)",
+        f1,
+        per_thread_output=False,
+    )
+    assert os.path.isfile(f1)
+    assert duckdb.sql(f"SELECT count(*) c FROM read_parquet('{f1}')").fetchone()[0] == 10
+
+
+def test_jdbc_roundtrip_rerun_in_process(spark):
+    """Regression for the Derby rerun hazard: ``scratch_dir`` wipes the
+    database directory on every invocation, and embedded Derby keeps a
+    database booted per-JVM keyed by path — without the pre-wipe
+    ``derby_shutdown`` a second run in the same process deletes files
+    under a still-booted database (boot/lock errors or undefined
+    state). Three consecutive runs must all round-trip."""
+    from automate_data_ingestion_project_spark.analytics.sources_surface import (
+        jdbc_roundtrip_nation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for _ in range(3):
+        assert jdbc_roundtrip_nation(spark, sf).count() == 25
 
 
 def test_read_duckdb_arrow_handoff(spark, sf_dir):
