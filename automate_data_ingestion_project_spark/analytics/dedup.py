@@ -685,7 +685,13 @@ def corpus_neardup_index(spark: SparkSession, sf_dir: str):
         corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         NearDupIndex.write_corpus(corpus, tmp)
 
-    root = fixture_artifact(sf_dir, "neardup_index", ("documents",), _build)
+    # the artifact name carries the index LAYOUT version (the content
+    # fingerprint only tracks fixture regeneration): v2 = bands +
+    # shingles + the content-hash roster the collision guard's primary
+    # path needs. Bumping the name makes current code rebuild rather
+    # than serve a pre-roster tree and silently run the guard's
+    # resolution-limited legacy fallback forever.
+    root = fixture_artifact(sf_dir, "neardup_index_v2", ("documents",), _build)
     return NearDupIndex(spark, root)
 
 
@@ -822,7 +828,12 @@ def _clone_replay_index(spark: SparkSession, sf_dir: str, name: str):
     "clone then mutate" free at 100 TB (metadata-only copy)."""
     import shutil
 
-    from ..textops.neardup_index import BANDS_SUBDIR, ROWS_SUBDIR, NearDupIndex
+    from ..textops.neardup_index import (
+        BANDS_SUBDIR,
+        HASHES_SUBDIR,
+        ROWS_SUBDIR,
+        NearDupIndex,
+    )
     from .load import scratch_dir
 
     src = corpus_neardup_index(spark, sf_dir)
@@ -840,6 +851,12 @@ def _clone_replay_index(spark: SparkSession, sf_dir: str, name: str):
     shutil.copytree(
         src.rows_path, os.path.join(root, ROWS_SUBDIR), copy_function=_link_or_copy
     )
+    if src.has_hashes():  # keep the roster invariant: exists ⟺ complete
+        shutil.copytree(
+            src.hashes_path,
+            os.path.join(root, HASHES_SUBDIR),
+            copy_function=_link_or_copy,
+        )
     # the copy happened outside Spark's write path, so the session's
     # FileStatusCache still holds the PREVIOUS run's listing for this
     # scratch path — refresh or the re-run reads deleted file names

@@ -2,7 +2,9 @@
 loop's state.
 
 A 100 TB ingestion never re-dedupes the corpus per batch: it maintains
-an INDEX of the corpus's LSH band keys and shingle rows as tables, and
+an INDEX of the corpus's LSH band keys and shingle rows as tables
+(plus a per-doc content-hash roster, :func:`content_hashes` — the
+resolution-complete doc list the id/content collision guard uses), and
 each incoming batch (a) probes the index for near-dup candidates,
 (b) verifies candidates with exact Jaccard, and (c) APPENDS the
 accepted (novel) documents' bands/shingles so the next batch sees them.
@@ -51,6 +53,22 @@ from .dedup import (
 
 BANDS_SUBDIR = "bands"
 ROWS_SUBDIR = "shingles"
+HASHES_SUBDIR = "content_hashes"
+
+
+def content_hashes(docs: DataFrame) -> DataFrame:
+    """Per-doc exact content identity: ``(doc_id, content_md5)``.
+
+    The shingle/band tables are RESOLUTION-LIMITED: a text shorter than
+    the shingle width (3 words) produces zero shingle rows and zero
+    bands, so it is invisible to any shingle-set comparison. The hash
+    table is the index's resolution-complete doc roster — one tiny row
+    per indexed document regardless of length — and is what the
+    id/content collision guard compares (md5 differs ⟺ content
+    differs, at any length)."""
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5")
+    )
 
 
 def _bands_table_name(root: str) -> str:
@@ -75,6 +93,7 @@ class NearDupIndex:
         self.bucket_bands = bucket_bands
         self.bands_path = os.path.join(root, BANDS_SUBDIR)
         self.rows_path = os.path.join(root, ROWS_SUBDIR)
+        self.hashes_path = os.path.join(root, HASHES_SUBDIR)
         self.bands_table = _bands_table_name(root) if bucket_bands else None
 
     # -- construction ------------------------------------------------------
@@ -90,6 +109,9 @@ class NearDupIndex:
         )
         bands.write.mode("overwrite").parquet(
             os.path.join(dest_root, BANDS_SUBDIR)
+        )
+        content_hashes(docs).write.mode("overwrite").parquet(
+            os.path.join(dest_root, HASHES_SUBDIR)
         )
 
     @classmethod
@@ -113,6 +135,9 @@ class NearDupIndex:
             bands = lsh_band_keys(minhash_signatures_rows(rows))
             rows.write.mode("overwrite").parquet(
                 os.path.join(root, ROWS_SUBDIR)
+            )
+            content_hashes(docs).write.mode("overwrite").parquet(
+                os.path.join(root, HASHES_SUBDIR)
             )
             write_bucketed_table(
                 bands,
@@ -140,6 +165,15 @@ class NearDupIndex:
 
     def rows(self) -> DataFrame:
         return self.spark.read.parquet(self.rows_path)
+
+    def has_hashes(self) -> bool:
+        """Whether this index carries the per-doc content-hash roster
+        (indexes written before it existed don't; the collision guard
+        then falls back to the resolution-limited shingle comparison)."""
+        return os.path.isdir(self.hashes_path)
+
+    def hashes(self) -> DataFrame:
+        return self.spark.read.parquet(self.hashes_path)
 
     # -- the ingestion loop ------------------------------------------------
 
@@ -175,19 +209,51 @@ class NearDupIndex:
         return self._decisions(batch, rows, bands, broadcast_batch)
 
     def _assert_no_content_collisions(
-        self, batch_rows: DataFrame, batch_ids: DataFrame
+        self, batch: DataFrame, batch_rows: DataFrame
     ) -> None:
         """Raise if a batch doc_id already indexed carries different
-        content (shingle set) than its indexed copy — the silent-miss
-        case documented on :meth:`filter_batch`.
+        content than its indexed copy — the silent-miss case documented
+        on :meth:`filter_batch`.
 
-        Cost: a column-pruned id scan of the band table semi-joined to
-        the broadcast batch ids, then shingle comparison restricted to
-        the COLLIDING ids only (zero rows for a fresh batch, the whole
-        batch for a pure replay — both bounded by the batch, never the
-        corpus). Both sides are DISTINCT (id, s) rows, so "present in
-        exactly one side" is exactly the symmetric difference.
+        Primary path — the content-hash roster (:func:`content_hashes`,
+        present on any index written by this version): colliding ids
+        come from the roster (one row per indexed doc, so shingle-free
+        documents ARE covered) and content equality is one md5 compare.
+        Cost: a 2-column scan of the roster semi-joined to the
+        broadcast batch ids — strictly cheaper than touching shingles,
+        and bounded by the batch.
+
+        Legacy fallback (pre-roster index directories): colliding ids
+        are seeded from the BAND table and compared as shingle sets
+        (symmetric difference of DISTINCT (id, s) rows). This path is
+        RESOLUTION-LIMITED by construction: a text shorter than the
+        shingle width (3 words) has no bands and no shingles, so an
+        indexed sub-3-word doc never enters the check and two different
+        sub-3-word contents sharing an id pass silently. Rebuild the
+        index (or ingest once with this version, which starts the
+        roster) to close that gap.
         """
+        batch_ids = batch.select("doc_id")
+        if self.has_hashes():
+            idx_h = (
+                self.hashes()
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .withColumnRenamed("content_md5", "indexed_md5")
+            )
+            mismatched = (
+                idx_h.join(content_hashes(batch), "doc_id")
+                .filter(F.col("indexed_md5") != F.col("content_md5"))
+                .select("doc_id")
+            )
+            bad = [r.doc_id for r in mismatched.limit(20).collect()]
+            if bad:
+                raise ValueError(
+                    "id/content collision: batch doc_ids already indexed "
+                    f"with DIFFERENT content (first {len(bad)}): {bad}. "
+                    "Replay safety would silently skip comparing these — "
+                    "re-id the batch or reconcile the contents."
+                )
+            return
         # materialize the colliding-id set ONCE (eager localCheckpoint):
         # it feeds both shingle semi-joins below, and an uncached
         # subquery would re-run its band-table id scan per consumer —
@@ -290,9 +356,7 @@ class NearDupIndex:
         # class the bucketed build's finally was added to prevent.
         try:
             if check_id_collisions:
-                self._assert_no_content_collisions(
-                    rows, batch.select("doc_id")
-                )
+                self._assert_no_content_collisions(batch, rows)
             # Pin the decision table to the PRE-append index snapshot:
             # eager localCheckpoint materializes it NOW and truncates
             # the lineage, so no later recompute can re-list the index
@@ -320,7 +384,20 @@ class NearDupIndex:
             new_bands = bands.join(
                 F.broadcast(new_ids), "doc_id", "left_semi"
             )
-            self._append(new_rows, new_bands)
+            # roster invariant: the content-hash table exists ⟺ it is
+            # COMPLETE (covers every indexed doc). Indexes born with the
+            # roster extend it per ingest; a pre-roster index never
+            # gains a partial one (originals' texts are gone, so it
+            # could not be backfilled), keeping the guard's fallback
+            # decision sound.
+            new_hashes = (
+                content_hashes(batch).join(
+                    F.broadcast(new_ids), "doc_id", "left_semi"
+                )
+                if self.has_hashes()
+                else None
+            )
+            self._append(new_rows, new_bands, new_hashes)
         finally:
             # on success the decision table is eagerly materialized and
             # the appends are done; on failure nothing downstream holds
@@ -334,8 +411,15 @@ class NearDupIndex:
                 untrack(df)
         return decisions
 
-    def _append(self, new_rows: DataFrame, new_bands: DataFrame) -> None:
+    def _append(
+        self,
+        new_rows: DataFrame,
+        new_bands: DataFrame,
+        new_hashes: DataFrame | None = None,
+    ) -> None:
         new_rows.write.mode("append").parquet(self.rows_path)
+        if new_hashes is not None:
+            new_hashes.write.mode("append").parquet(self.hashes_path)
         if self.bands_table:
             # append preserves the bucket spec (Spark validates it
             # against the existing table) — new rows hash into the same

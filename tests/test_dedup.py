@@ -308,6 +308,99 @@ def test_ingest_id_collision_guard(spark, tmp_path):
         index.ingest_batch(impostor, check_id_collisions=True)
 
 
+def test_collision_guard_covers_shingle_free_docs(spark, tmp_path):
+    """Texts shorter than the shingle width (3 words) produce zero
+    shingle rows and zero bands — invisible to any shingle-set
+    comparison. The content-hash roster closes that gap: a sub-3-word
+    doc's id reused for DIFFERENT sub-3-word content must raise, and a
+    true short-doc replay must pass."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "hi there"), (2, "the quick brown fox jumps over the dog")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    assert index.has_hashes()
+    # roster covers the shingle-free doc even though bands/shingles don't
+    assert 1 in {r.doc_id for r in index.hashes().collect()}
+    # true replay of the short doc: same id, same content — allowed
+    same = spark.createDataFrame([(1, "hi there")], "doc_id long, text string")
+    index.ingest_batch(same, check_id_collisions=True).collect()
+    # different sub-3-word content under the indexed id — must raise
+    impostor = spark.createDataFrame(
+        [(1, "bye now")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="id/content collision.*1"):
+        index.ingest_batch(impostor, check_id_collisions=True)
+
+
+def test_collision_guard_roster_extends_across_ingests(spark, tmp_path):
+    """Docs accepted by an INGEST (not just the build) must join the
+    roster, so a later batch colliding with an ingested id is caught
+    by the hash path too — including shingle-free ingested docs."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    short = spark.createDataFrame(
+        [(42, "two words")], "doc_id long, text string"
+    )
+    index.ingest_batch(short, check_id_collisions=True).collect()
+    assert 42 in {r.doc_id for r in index.hashes().collect()}
+    impostor = spark.createDataFrame(
+        [(42, "other words")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="id/content collision.*42"):
+        index.ingest_batch(impostor, check_id_collisions=True)
+
+
+def test_collision_guard_legacy_index_fallback(spark, tmp_path):
+    """Index directories written before the roster existed fall back to
+    the shingle-set comparison: ≥3-word collisions still raise, the
+    roster is NOT partially created by later ingests (exists ⟺
+    complete), and the documented resolution limit applies."""
+    import shutil
+
+    import pytest
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    shutil.rmtree(index.hashes_path)  # simulate a pre-roster index
+    assert not index.has_hashes()
+    novel = spark.createDataFrame(
+        [(11, "completely different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+    index.ingest_batch(novel, check_id_collisions=True).collect()
+    # a pre-roster index must not grow a PARTIAL roster
+    assert not index.has_hashes()
+    impostor = spark.createDataFrame(
+        [(11, "some entirely unrelated impostor text goes right here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="id/content collision.*11"):
+        index.ingest_batch(impostor, check_id_collisions=True)
+
+
 def test_bucketed_build_releases_its_persist(spark, tmp_path):
     """NearDupIndex.build(bucket_bands=n) must not leave its shingle
     persist live/tracked after both writes complete (the same per-call
@@ -320,9 +413,18 @@ def test_bucketed_build_releases_its_persist(spark, tmp_path):
     )
 
     # delta-based: earlier tests in the shared session may legitimately
-    # hold live persists; build() must simply not ADD one
+    # hold live persists; build() must simply not ADD one. Compare RDD
+    # ID SETS, not counts: the ContextCleaner unpersists out-of-scope
+    # localCheckpoint RDDs from EARLIER tests asynchronously, and a
+    # removal landing inside this window shrank a count-based check
+    # into a false failure — new ids are the leak signal, removals are
+    # irrelevant.
+    def _persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
     tracked_before = len(_ACTIVE)
-    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ids_before = _persisted_ids()
     corpus = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today")],
         "doc_id long, text string",
@@ -332,9 +434,6 @@ def test_bucketed_build_releases_its_persist(spark, tmp_path):
     )
     try:
         assert len(_ACTIVE) == tracked_before
-        assert (
-            spark.sparkContext._jsc.getPersistentRDDs().size()
-            == persisted_before
-        )
+        assert _persisted_ids() <= ids_before
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {index.bands_table}")
