@@ -2,31 +2,32 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-9 window composition — the round's deliverable — must hold:
-the fixed r8 red row leads, then the three r9 additions, then the three
-queries whose code changed this round, and every row whose latest
-green check is round 5 sits inside the driver's 50-query window
-(closing out the r5 vintage; the oldest surviving evidence after this
-round is r6)."""
+the round-10 window composition — the round's deliverable — must hold:
+the one never-driver-checked row leads (jdbc_roundtrip_nation, which
+sat one slot past the r9 window), then the r10 addition, then the
+three queries whose code changed this round, and every row whose
+latest green check is round 6 sits inside the driver's 50-query window
+(closing out the r6 vintage; the oldest surviving evidence after this
+round is r7)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R9_HEAD = [
-    "weighted_systematic_sample",  # r8's only red row, oracle fixed
-    "source_doc_cap",  # NEW in r9
-    "source_token_budget_cap",  # NEW in r9
-    "duckdb_federated_scan",  # NEW in r9
-    "incremental_neardup_filter",  # NearDupIndex changed in r9
+R10_HEAD = [
+    "jdbc_roundtrip_nation",  # only registered query with no driver row
+    "duckdb_parquet_handoff",  # NEW in r10
+    "incremental_neardup_filter",  # index layout v2 (content-hash roster)
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
 ]
 
-R5_VINTAGE = {
-    "orders_per_year", "customer_order_histogram", "parts_bought_together",
-    "sales_cube", "events_value_histogram", "cumulative_new_customers",
-    "order_priority_exists", "big_ticket_orders",
-    "cheapest_supplier_per_part", "customer_interarrival",
+R6_VINTAGE = {
+    "fuzzy_name_pairs", "bitmap_exact_distinct", "hll_sketch_rollup",
+    "duplicate_text_spans", "span_dedup_mask", "neardup_blast_radius",
+    "neardup_triangles", "profile_drift", "event_sessions_udtf",
+    "normalize_dv3f_pandas_api", "scripted_quality_gate",
+    "pipe_syntax_revenue", "ann_truncated_recall_eval", "snapshot_diff",
+    "value_outliers_mad",
 }
 
 
@@ -41,10 +42,10 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round9_window_composition():
+def test_round10_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:7] == R9_HEAD
-    assert R5_VINTAGE <= set(first50)
+    assert first50[:5] == R10_HEAD
+    assert R6_VINTAGE <= set(first50)
 
 
 def test_oracles_cover_every_query():
