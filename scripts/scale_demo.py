@@ -10,7 +10,7 @@ lives in SCALE.md ("Composed-pipeline scale demo").
 
 Usage::
 
-    python scripts/scale_demo.py [REP] [SF_DIR]
+    python scripts/scale_demo.py [REP] [SF_DIR] [--class-size=K]
 
     REP     replication factor (default 10 → 50k docs from sf0.1's 5k,
             the sf1-equivalent corpus; supported up to 200 → 1M docs.
@@ -22,6 +22,20 @@ Usage::
             token-free windows are ~1/3 of either side's shingle set,
             Jaccard ≈ 1/7 « the 0.5 dup threshold)
     SF_DIR  fixture dir (default /root/testdata/sf0.1)
+
+    --class-size=K  constant-dup-density mode. The DEFAULT planting
+            keys each dup class by doc alone, so class size grows with
+            REP (~0.1·REP members) and pair count grows ~REP² — that is
+            what the fixture plants, not what the operator costs, and
+            it is why the recorded default-mode curve is superlinear.
+            With --class-size=K the dup classes are keyed by
+            (doc, rep div K): every class has EXACTLY K members
+            regardless of REP, dup FRACTION stays ~15%, the number of
+            classes grows linearly with the corpus — the realistic
+            shape (a 2× corpus has 2× the dup classes, not 2×-bigger
+            classes). Under it, Σ|class|² is linear in corpus size, so
+            a ~linear near-dup stage time is the MEASURED form of
+            SCALE.md's constant-density linearity claim.
 
 Stages (each timed separately; one JSON line at the end):
 
@@ -73,11 +87,55 @@ REP_OFFSET = 10_000_000  # doc_id stride per replica; multiple of EVAL_MOD
 CIPHER = "etaoinshrdlucmfwyp"
 
 
+def _ciphered(key_sql: str):
+    """Letter-substitution cipher keyed by the (SQL-fragment) integer
+    key: rotate the 18-letter cycle by key % 17 + 1 — 17 distinct
+    non-identity rotations. F.expr because ``translate`` needs a
+    per-row `to` string, which the Column API only takes as a literal."""
+    n = len(CIPHER) - 1
+    return F.expr(
+        f"translate(text, '{CIPHER}', concat("
+        f"substring('{CIPHER}', ({key_sql}) % {n} + 2, {len(CIPHER)}), "
+        f"substring('{CIPHER}', 1, ({key_sql}) % {n} + 1)))"
+    )
+
+
+def _perturbed(key_sql: str):
+    """Key-distinct text perturbation: the cipher alone for keys < 18
+    (distinct rotations), composed with a key-tagged token inserted
+    after every 3rd word for keys ≥ 18 (keys sharing a rotation then
+    share only the token-free ~1/3 of their shingle sets, Jaccard ≈
+    1/7 « the 0.5 dup threshold). Still one codegen'd expression — the
+    replacement group ref '$1' survives a per-row Column replacement."""
+    inserted = F.regexp_replace(
+        _ciphered(key_sql),
+        r"((\S+\s+){3})",
+        F.concat(
+            F.lit("$1zq"),
+            F.expr(f"CAST({key_sql} AS STRING)"),
+            F.lit(" "),
+        ),
+    )
+    return F.when(
+        F.expr(key_sql) < len(CIPHER), _ciphered(key_sql)
+    ).otherwise(inserted)
+
+
 def main(argv: list[str]) -> int:
-    rep = int(argv[1]) if len(argv) > 1 else 10
-    sf_dir = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
+    class_size = None
+    args = []
+    for a in argv[1:]:
+        if a.startswith("--class-size"):
+            class_size = int(a.split("=", 1)[1]) if "=" in a else 11
+        else:
+            args.append(a)
+    rep = int(args[0]) if args else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     if not 2 <= rep <= 200:
         print("REP must be in [2, 200]", file=sys.stderr)
+        return 2
+    if class_size is not None and class_size < 2:
+        print("--class-size must be ≥ 2", file=sys.stderr)
         return 2
 
     # Size the single-JVM heap for the scaled corpus BEFORE the JVM
@@ -122,34 +180,14 @@ def main(argv: list[str]) -> int:
     docs = load_table(spark, sf_dir, "documents")
     stats["rows_in"] = docs.count()
     r = F.col("rep")
-    # deterministic per-(doc, replica) bucket selects planted dup classes
-    bucket = F.crc32(F.concat_ws("|", F.col("doc_id"), r)) % 100
-    # per-replica cipher: rotate the cycle by rep % 17 + 1 (never the
-    # identity for rep>0); SQL translate accepts a per-row `to` string
-    ciphered = F.expr(
-        f"translate(text, '{CIPHER}', concat("
-        f"substring('{CIPHER}', rep % {len(CIPHER) - 1} + 2, {len(CIPHER)}), "
-        f"substring('{CIPHER}', 1, rep % {len(CIPHER) - 1} + 1)))"
-    )
-    # Replicas beyond the 17 distinct rotations (rep ≥ 18) reuse a
-    # rotation, so the cipher alone would make them near-dups of an
-    # earlier replica. Compose a second, replica-keyed perturbation:
-    # insert a 'zq<rep>' token after every 3rd word. Every 3-shingle
-    # window that crosses an insertion point changes, and insertion
-    # points are identical across replicas, so two replicas sharing a
-    # rotation share only the token-free windows (~1/3 of either shingle
-    # set; Jaccard ≈ 1/7 « 0.5). Still one codegen'd expression — the
-    # replacement group ref '$1' survives a per-row Column replacement.
-    inserted = F.regexp_replace(
-        ciphered,
-        r"((\S+\s+){3})",
-        F.concat(F.lit("$1zq"), r.cast("string"), F.lit(" ")),
-    )
-    perturbed = F.when(r < len(CIPHER), ciphered).otherwise(inserted)
-    scaled = (
-        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
-        .select(
-            (F.col("doc_id") + r * REP_OFFSET).alias("doc_id"),
+    if class_size is None:
+        # DEFAULT planting (identical to every recorded prior run):
+        # dup classes keyed per doc, so ~10% of replicas join ONE
+        # exact-dup class with the original (class size grows ~0.1·REP)
+        # and ~5% join one near-dup class. Non-planted replicas get the
+        # rep-keyed perturbation — far from everything.
+        bucket = F.crc32(F.concat_ws("|", F.col("doc_id"), r)) % 100
+        text = (
             F.when(r == 0, F.col("text"))
             .when(bucket < 10, F.col("text"))  # planted exact dup
             .when(  # planted near-dup: one novel token prepended
@@ -158,8 +196,39 @@ def main(argv: list[str]) -> int:
                     F.lit("xq"), r.cast("string"), F.lit(" "), F.col("text")
                 ),
             )
-            .otherwise(perturbed)
-            .alias("text"),
+            .otherwise(_perturbed("rep"))
+        )
+    else:
+        # CONSTANT-DENSITY planting: classes keyed by (doc, rep div K),
+        # so every class has exactly K members at any REP. A selected
+        # group's members share the GROUP-keyed perturbation as their
+        # class base (group 0 = the original text); bases of different
+        # groups are far apart by the same argument as default-mode
+        # replicas, so classes never chain into super-components.
+        # Member (non-planted) perturbations are keyed rep + 1000 —
+        # disjoint from every group key (≤ 200/K), so a member text can
+        # never coincide with a class base.
+        grp_sql = f"CAST(rep / {class_size} AS INT)"
+        grp = F.expr(grp_sql)
+        gbucket = (
+            F.crc32(F.concat_ws("|", F.col("doc_id"), F.lit("g"), grp)) % 100
+        )
+        group_base = F.when(grp == 0, F.col("text")).otherwise(
+            _perturbed(grp_sql)
+        )
+        text = (
+            F.when(gbucket < 10, group_base)  # exact-dup class, size K
+            .when(  # near-dup class, size K: one member token prepended
+                gbucket < 15,
+                F.concat(F.lit("xq"), r.cast("string"), F.lit(" "), group_base),
+            )
+            .otherwise(_perturbed("rep + 1000"))
+        )
+    scaled = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .select(
+            (F.col("doc_id") + r * REP_OFFSET).alias("doc_id"),
+            text.alias("text"),
             "lang",
             "source",
         )
@@ -215,6 +284,7 @@ def main(argv: list[str]) -> int:
                 "unit": "sec",
                 "rep": rep,
                 "sf_dir": sf_dir,
+                "class_size": class_size,
                 "stages": timings,
                 **stats,
             }
