@@ -180,6 +180,8 @@ def main() -> int:
             "source_token_budget_cap",
             "duckdb_federated_scan",
             "jdbc_roundtrip_nation",
+            # round 10 additions
+            "duckdb_parquet_handoff",
         )
         if n in QUERIES
     ]
