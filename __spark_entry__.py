@@ -83,8 +83,11 @@ _CHECK_FIRST = [
     "jdbc_roundtrip_nation",
     # (2) NEW in r10: the fact-scale half of the DuckDB connector —
     # COPY TO PARQUET inside DuckDB, native Spark scan of the result
-    # (no Arrow/driver hop; plan-pinned in tests/test_vendors.py).
+    # (no Arrow/driver hop; plan-pinned in tests/test_vendors.py) —
+    # and the terminal token-bounded shard export (global two-phase
+    # prefix sum in scramble space; stats from the WRITTEN files).
     "duckdb_parquet_handoff",
+    "export_token_shards",
     # (3) code changed in round 10: the near-dup index layout gained
     # the per-doc content-hash roster (collision-guard completeness,
     # neardup_index.py) and the fixture artifact rebuilt under the v2
@@ -94,7 +97,7 @@ _CHECK_FIRST = [
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
     # (4) oldest evidence: the 15-row r6 tail (r6 vintage closes out
-    # this round). 5 + 15 = 20 so far.
+    # this round). 6 + 15 = 21 so far.
     "fuzzy_name_pairs",
     "bitmap_exact_distinct",
     "hll_sketch_rollup",
@@ -110,8 +113,8 @@ _CHECK_FIRST = [
     "ann_truncated_recall_eval",
     "snapshot_diff",
     "value_outliers_mad",
-    # (5) r7 vintage in r7 check order — the first 30 fill the window
-    # (20 + 30 = 50); the 19-row tail below the marker rolls to r11.
+    # (5) r7 vintage in r7 check order — the first 29 fill the window
+    # (21 + 29 = 50); the 20-row tail below the marker rolls to r11.
     "table_profile",
     "stream_dedup_events",
     "stream_windowed_counts",
@@ -141,10 +144,10 @@ _CHECK_FIRST = [
     "sales_rollup",
     "asof_purchase_last_click",
     "range_join_signup_errors",
-    "events_hypertable_rollup",
     # ---- round-10 window boundary (positions 1-50 above) ----
-    # r11 front-load starts here: the remaining 19 r7-vintage rows in
+    # r11 front-load starts here: the remaining 20 r7-vintage rows in
     # their r7 check order.
+    "events_hypertable_rollup",
     "lang_confusion",
     "text_stats",
     "top_terms_per_doc",

@@ -21,6 +21,10 @@ The shapes every LLM training-data build runs:
   scrambled-hash order; both avoid any window whose partition grows
   with a source (two-phase salted top-K; two-phase prefix sum in
   scramble space — see each docstring).
+- ``export_token_shards`` (r10) — the terminal materialization:
+  write the corpus as token-bounded shards in deterministic global
+  scrambled order (global two-phase prefix sum; hash-clustered
+  partitionBy write; stats recomputed from the WRITTEN files).
 
 100 TB note for packing: a single ordered window per source
 serializes that source on one task. At real scale the same operator
@@ -183,6 +187,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_CAP = 10  # max documents kept per source (domain cap)
 TOKEN_BUDGET = 600  # max tokens kept per source (token-budget cap)
 _CAP_SALTS = 8  # phase-1 fan-out of the two-phase per-group top-K
+SHARD_BUDGET = 20_000  # tokens per exported corpus shard
+_HBUCKET_DIV = 35184372088832  # 2^45: top 11 bits of the 56-bit scramble
 
 
 @register(
@@ -285,7 +291,7 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
         F.expr(_scramble("spark", "budget")).alias("_hkey"),
-    ).withColumn("_hbucket", F.expr("_hkey div 35184372088832"))  # 2^45
+    ).withColumn("_hbucket", F.expr(f"_hkey div {_HBUCKET_DIV}"))
     totals = sized.groupBy("source", "_hbucket").agg(
         F.sum("n_tokens").alias("_total")
     )
@@ -309,4 +315,104 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+@register(
+    "export_token_shards",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: token-bounded shard export (north star)",
+)
+def export_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's LAST step: materialize the corpus as token-bounded
+    output shards (every training-data build ends by writing "shard
+    files of ~N tokens each" for the loader to stream). A document
+    belongs to the shard its starting offset falls in, in a
+    deterministic GLOBAL scrambled order — reruns produce byte-identical
+    shards, and the returned stats are computed from the WRITTEN files
+    (the read-back proves the materialization, not just the plan).
+
+    Scale shape — the naive form is a single global ordered window: one
+    task sorts the whole corpus, the worst window in this module. This
+    runs the two-phase prefix sum in scramble space GLOBALLY: the only
+    unpartitioned window is over the ≤2^11-row bucket-totals relation
+    (constant-bounded, broadcast back); the row-scale cumulative sum is
+    partitioned by hash-range bucket. The write hash-clusters by
+    ``shard_id`` BEFORE ``partitionBy`` so each task writes only its
+    own shards' files (the repartition(n, cols)-then-partitionBy rule —
+    without it every task holds every shard and the layout explodes to
+    tasks×shards files).
+    """
+    import os
+
+    from .load import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "text",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(_scramble("spark", "shard")).alias("_hkey"),
+    ).withColumn("_hbucket", F.expr(f"_hkey div {_HBUCKET_DIV}"))
+    totals = sized.groupBy("_hbucket").agg(F.sum("n_tokens").alias("_total"))
+    off_w = Window.orderBy("_hbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_hbucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy("_hbucket")
+        .orderBy("_hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        sized.join(F.broadcast(offsets), "_hbucket")
+        .withColumn(
+            "cum_tokens", F.col("_offset") + F.sum("n_tokens").over(in_bucket)
+        )
+        .withColumn(
+            "shard_id", F.expr(f"(cum_tokens - n_tokens) div {SHARD_BUDGET}")
+        )
+    )
+    out = os.path.join(scratch_dir("token_shards"), "shards")
+    (
+        assigned.select("doc_id", "text", "n_tokens", "shard_id")
+        .repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out)
+    )
+    exported = spark.read.parquet(out)
+    return (
+        exported.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
     )

@@ -182,6 +182,7 @@ def main() -> int:
             "jdbc_roundtrip_nation",
             # round 10 additions
             "duckdb_parquet_handoff",
+            "export_token_shards",
         )
         if n in QUERIES
     ]

@@ -139,6 +139,112 @@ def test_source_token_budget_cap_matches_one_window_form(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_export_token_shards_matches_one_window_form(spark):
+    """The global two-phase prefix sum must equal the naive single
+    global ordered window shard-for-shard; every doc must land in
+    exactly one shard; each shard's token total may exceed the budget
+    only by its final document's overhang (the starting-offset rule);
+    the written layout must hold one directory per shard; and the plan
+    must keep the row-scale window partitioned by the hash bucket with
+    the offsets joined back broadcast."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.load import (
+        scratch_path,
+    )
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        SHARD_BUDGET,
+        _scramble,
+        export_token_shards,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops import analysis as ta
+
+    df = export_token_shards(spark, SF_DIR)
+    got = sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(_scramble("spark", "shard")).alias("_hkey"),
+    )
+    w = Window.orderBy("_hkey", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard_id", F.expr(f"(cum_tokens - n_tokens) div {SHARD_BUDGET}")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want and len(got) > 0
+    # every doc exported exactly once
+    assert sum(r[1] for r in got) == docs.count()
+    # a shard overruns the budget only by its last doc's overhang
+    max_doc_tokens = sized.agg(F.max("n_tokens")).collect()[0][0]
+    assert all(r[2] < SHARD_BUDGET + max_doc_tokens for r in got)
+    # written layout: one partition directory per shard
+    out = os.path.join(scratch_path("token_shards"), "shards")
+    dirs = {d for d in os.listdir(out) if d.startswith("shard_id=")}
+    assert len(dirs) == len(got)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan  # stats come from the WRITTEN files
+
+
+def test_export_token_shards_plan_is_bucket_partitioned(spark):
+    """Plan pin on the ASSIGNMENT side (pre-write): the row-scale
+    cumulative window is partitioned by _hbucket (never a global
+    unpartitioned window over the corpus) and the tiny offsets relation
+    joins back broadcast."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        _HBUCKET_DIV,
+        _scramble,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops import analysis as ta
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(_scramble("spark", "shard")).alias("_hkey"),
+    ).withColumn("_hbucket", F.expr(f"_hkey div {_HBUCKET_DIV}"))
+    totals = sized.groupBy("_hbucket").agg(F.sum("n_tokens").alias("_total"))
+    off_w = Window.orderBy("_hbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_hbucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy("_hbucket")
+        .orderBy("_hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = sized.join(F.broadcast(offsets), "_hbucket").withColumn(
+        "cum_tokens", F.col("_offset") + F.sum("n_tokens").over(in_bucket)
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_hbucket" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -146,6 +252,7 @@ def test_source_token_budget_cap_matches_one_window_form(spark):
         "pack_sequences",
         "source_doc_cap",
         "source_token_budget_cap",
+        "export_token_shards",
     ],
 )
 def test_oracle_parity(spark, name):

@@ -16,6 +16,7 @@ from automate_data_ingestion_project_spark.analytics import QUERIES
 R10_HEAD = [
     "jdbc_roundtrip_nation",  # only registered query with no driver row
     "duckdb_parquet_handoff",  # NEW in r10
+    "export_token_shards",  # NEW in r10
     "incremental_neardup_filter",  # index layout v2 (content-hash roster)
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
@@ -44,7 +45,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round10_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:5] == R10_HEAD
+    assert first50[:6] == R10_HEAD
     assert R6_VINTAGE <= set(first50)
 
 
