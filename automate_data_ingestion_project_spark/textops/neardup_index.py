@@ -230,8 +230,10 @@ class NearDupIndex:
         shingle width (3 words) has no bands and no shingles, so an
         indexed sub-3-word doc never enters the check and two different
         sub-3-word contents sharing an id pass silently. Rebuild the
-        index (or ingest once with this version, which starts the
-        roster) to close that gap.
+        index with this version to close the gap — ingests deliberately
+        do NOT start a partial roster on a pre-roster index (the
+        already-indexed docs' texts are gone, so it could never be
+        completed; see the invariant note in :meth:`ingest_batch`).
         """
         batch_ids = batch.select("doc_id")
         if self.has_hashes():
