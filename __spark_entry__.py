@@ -68,12 +68,12 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round to round). Order the registry so the weakest driver evidence
 # comes first. Round-10 ordering: (1) the one registered query with NO
 # driver row ever (it sat at position 50+1 of the r9 window — the r9
-# verdict's top item), whose code also changed this round; (2) the one
-# query ADDED this round; (3) the three queries whose code changed
+# verdict's top item), whose code also changed this round; (2) the two
+# queries ADDED this round; (3) the three queries whose code changed
 # this round (index layout v2), so their official rows are
 # post-change; (4) the 15-row r6-vintage tail (after this round no
-# surviving evidence predates round 7); (5) the oldest 30 r7-vintage
-# rows in their r7 check order (5 + 15 + 30 = 50); the remaining 19
+# surviving evidence predates round 7); (5) the oldest 29 r7-vintage
+# rows in their r7 check order (6 + 15 + 29 = 50); the remaining 20
 # r7 rows below the boundary marker roll to round 11.
 _CHECK_FIRST = [
     # (1) registered in r9 at position 50+1 — locally strict-hash green

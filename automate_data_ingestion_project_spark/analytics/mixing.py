@@ -402,6 +402,11 @@ def export_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         assigned.select("doc_id", "text", "n_tokens", "shard_id")
         .repartition("shard_id")
+        # deterministic file CONTENTS, not just membership: shuffle
+        # fetch order varies run to run, so without the in-task sort
+        # two reruns write the same rows in different orders and the
+        # byte-identity contract (checksum-based shard caching) breaks
+        .sortWithinPartitions("shard_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(out)

@@ -242,9 +242,16 @@ class NearDupIndex:
                 .join(F.broadcast(batch_ids), "doc_id", "left_semi")
                 .withColumnRenamed("content_md5", "indexed_md5")
             )
+            # null-safe: md5(NULL text) is NULL, and a plain != would
+            # evaluate to NULL and silently DROP a NULL-vs-real-content
+            # collision — the exact silent-miss class the guard exists
+            # to raise on. eqNullSafe treats two NULL texts as equal
+            # (same content) and NULL-vs-value as a mismatch.
             mismatched = (
                 idx_h.join(content_hashes(batch), "doc_id")
-                .filter(F.col("indexed_md5") != F.col("content_md5"))
+                .filter(
+                    ~F.col("indexed_md5").eqNullSafe(F.col("content_md5"))
+                )
                 .select("doc_id")
             )
             bad = [r.doc_id for r in mismatched.limit(20).collect()]
@@ -374,10 +381,19 @@ class NearDupIndex:
             )
             # replay guard: drop ids the index already holds
             # (column-pruned scan of the index id column vs the
-            # broadcast batch id set)
+            # broadcast batch id set). Seed from the ROSTER when it
+            # exists: it holds one row per indexed doc INCLUDING
+            # shingle-free docs, which have no bands — band-seeding
+            # re-accepted those on every replay, whose rows/bands
+            # appends were empty no-ops but whose roster append
+            # duplicated their (doc_id, md5) row per replay. The band
+            # table remains the guard on pre-roster indexes, where
+            # shingle-free re-appends are no-ops everywhere.
+            idx_ids = (
+                self.hashes() if self.has_hashes() else self.bands()
+            ).select("doc_id")
             already = (
-                self.bands()
-                .select("doc_id")
+                idx_ids
                 .join(F.broadcast(accepted), "doc_id", "left_semi")
                 .distinct()
             )

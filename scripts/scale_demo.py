@@ -29,13 +29,16 @@ Usage::
             what the fixture plants, not what the operator costs, and
             it is why the recorded default-mode curve is superlinear.
             With --class-size=K the dup classes are keyed by
-            (doc, rep div K): every class has EXACTLY K members
-            regardless of REP, dup FRACTION stays ~15%, the number of
-            classes grows linearly with the corpus — the realistic
-            shape (a 2× corpus has 2× the dup classes, not 2×-bigger
-            classes). Under it, Σ|class|² is linear in corpus size, so
-            a ~linear near-dup stage time is the MEASURED form of
-            SCALE.md's constant-density linearity claim.
+            (doc, rep div K): every class has K members — bounded by
+            the CONSTANT K at any REP (each doc's final group holds
+            REP mod K members when K doesn't divide REP; e.g. REP=10,
+            K=11 → one 10-member group per doc) — dup FRACTION stays
+            ~15%, and the number of classes grows linearly with the
+            corpus: the realistic shape (a 2× corpus has 2× the dup
+            classes, not 2×-bigger classes). Under it, Σ|class|² is
+            linear in corpus size, so a ~linear near-dup stage time is
+            the MEASURED form of SCALE.md's constant-density
+            linearity claim.
 
 Stages (each timed separately; one JSON line at the end):
 
@@ -125,8 +128,15 @@ def main(argv: list[str]) -> int:
     class_size = None
     args = []
     for a in argv[1:]:
-        if a.startswith("--class-size"):
-            class_size = int(a.split("=", 1)[1]) if "=" in a else 11
+        if a.startswith("--class-size="):
+            class_size = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            # strict: a typo'd or space-separated flag silently running
+            # the WRONG configuration would contaminate a recorded
+            # measurement — refuse instead
+            print(f"unknown flag {a!r} (did you mean --class-size=K?)",
+                  file=sys.stderr)
+            return 2
         else:
             args.append(a)
     rep = int(args[0]) if args else 10
@@ -200,11 +210,13 @@ def main(argv: list[str]) -> int:
         )
     else:
         # CONSTANT-DENSITY planting: classes keyed by (doc, rep div K),
-        # so every class has exactly K members at any REP. A selected
-        # group's members share the GROUP-keyed perturbation as their
-        # class base (group 0 = the original text); bases of different
-        # groups are far apart by the same argument as default-mode
-        # replicas, so classes never chain into super-components.
+        # so class size is bounded by the CONSTANT K at any REP (each
+        # doc's final group is partial — REP mod K members — when K
+        # doesn't divide REP). A selected group's members share the
+        # GROUP-keyed perturbation as their class base (group 0 = the
+        # original text); bases of different groups are far apart by
+        # the same argument as default-mode replicas, so classes never
+        # chain into super-components.
         # Member (non-planted) perturbations are keyed rep + 1000 —
         # disjoint from every group key (≤ 200/K), so a member text can
         # never coincide with a class base.

@@ -359,6 +359,14 @@ def test_collision_guard_roster_extends_across_ingests(spark, tmp_path):
     )
     index.ingest_batch(short, check_id_collisions=True).collect()
     assert 42 in {r.doc_id for r in index.hashes().collect()}
+    # replay idempotence must hold for SHINGLE-FREE docs too: they have
+    # no bands, so a band-seeded replay guard re-accepted them every
+    # replay and duplicated their roster row — the guard must seed from
+    # the roster, which covers them. Two replays, still one row.
+    index.ingest_batch(short, check_id_collisions=True).collect()
+    index.ingest_batch(short).collect()
+    roster_rows = index.hashes().filter("doc_id = 42").collect()
+    assert len(roster_rows) == 1
     impostor = spark.createDataFrame(
         [(42, "other words")], "doc_id long, text string"
     )

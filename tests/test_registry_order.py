@@ -4,7 +4,7 @@ silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-10 window composition — the round's deliverable — must hold:
 the one never-driver-checked row leads (jdbc_roundtrip_nation, which
-sat one slot past the r9 window), then the r10 addition, then the
+sat one slot past the r9 window), then the two r10 additions, then the
 three queries whose code changed this round, and every row whose
 latest green check is round 6 sits inside the driver's 50-query window
 (closing out the r6 vintage; the oldest surviving evidence after this
