@@ -109,14 +109,15 @@ def duckdb_federated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side by design — dimension-scale data; the fact-scale
     handoff is DuckDB ``COPY TO (FORMAT PARQUET)`` + a native Spark
     scan (module docstring of ``io/vendors.py``)."""
-    from ..io.vendors import read_duckdb
+    from ..io.vendors import duckdb_path_literal, read_duckdb
 
+    src = duckdb_path_literal(f"{sf_dir}/nation.parquet")
     return read_duckdb(
         spark,
         ":memory:",
         f"""
         SELECT n_nationkey, n_name, n_regionkey
-        FROM read_parquet('{sf_dir}/nation.parquet')
+        FROM read_parquet({src})
         WHERE n_regionkey IN (0, 1)
         """,
     )
@@ -142,15 +143,16 @@ def duckdb_parquet_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``FileScan parquet``, not a ``LocalTableScan``). The oracle reads
     the ORIGINAL table, so a hash match proves the DuckDB→parquet→Spark
     round-trip is lossless, not merely self-consistent."""
-    from ..io.vendors import duckdb_copy_to_parquet
+    from ..io.vendors import duckdb_copy_to_parquet, duckdb_path_literal
 
     dest = os.path.join(scratch_dir("duckdb_handoff"), "orders_urgent")
+    src = duckdb_path_literal(f"{sf_dir}/orders.parquet")
     duckdb_copy_to_parquet(
         ":memory:",
         f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
-        FROM read_parquet('{sf_dir}/orders.parquet')
+        FROM read_parquet({src})
         WHERE o_orderpriority = '1-URGENT'
         """,
         dest,

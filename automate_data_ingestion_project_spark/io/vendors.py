@@ -212,6 +212,16 @@ def read_vendor(
     )
 
 
+def duckdb_path_literal(path: str) -> str:
+    """``path`` as a single-quoted DuckDB SQL string literal, with
+    embedded single quotes doubled. DuckDB's table functions
+    (``read_parquet``/``read_csv``/…) and ``COPY … TO`` take paths as
+    literals, not bind parameters — every path interpolated into a
+    DuckDB statement in this repo goes through here, so a path
+    containing ``'`` cannot break out of the literal."""
+    return "'" + path.replace("'", "''") + "'"
+
+
 def duckdb_copy_to_parquet(
     database: str, query: str, dest_dir: str, per_thread_output: bool = True
 ) -> str:
@@ -233,7 +243,13 @@ def duckdb_copy_to_parquet(
     Returns ``dest_dir`` (the path to hand to ``spark.read.parquet``).
     Counterpart of the reference's duckdb connector
     (``evidence-workspace/package.json:22``) for result sets too large
-    to hand over in memory."""
+    to hand over in memory.
+
+    Trust boundary: ``query`` is interpolated RAW into the COPY
+    statement (it IS SQL) — it must be a trusted literal, and any path
+    it embeds should be quoted via :func:`duckdb_path_literal`.
+    ``dest_dir`` is escaped here (COPY takes no parameter binding for
+    the target)."""
     import duckdb
 
     opts = "FORMAT PARQUET" + (
@@ -241,10 +257,7 @@ def duckdb_copy_to_parquet(
     )
     con = duckdb.connect(database)
     try:
-        # dest_dir interpolated as a literal: COPY takes no parameter
-        # binding for the target. Single-quote escape guards the path.
-        dest = dest_dir.replace("'", "''")
-        con.sql(f"COPY ({query}) TO '{dest}' ({opts})")
+        con.sql(f"COPY ({query}) TO {duckdb_path_literal(dest_dir)} ({opts})")
     finally:
         con.close()
     return dest_dir

@@ -435,9 +435,22 @@ class NearDupIndex:
         new_bands: DataFrame,
         new_hashes: DataFrame | None = None,
     ) -> None:
+        # Append ORDER is the crash-safety contract: rows, then bands,
+        # then the roster LAST. The replay guard seeds already-indexed
+        # ids from the roster when it exists (ingest_batch), so a
+        # roster row must imply the doc's rows+bands appends committed
+        # — the roster is the commit marker. Writing it earlier would
+        # let a crash between roster and bands appends strand a doc in
+        # the roster with no bands: a retried ingest drops it as
+        # already indexed and it is permanently invisible to band
+        # probing, the silent-miss class this module guards against.
+        # With roster-last, a crash mid-append means the retry
+        # re-appends — duplicate rows/bands rows, which are benign:
+        # candidate generation applies ``.distinct()`` and the Jaccard
+        # verify uses ``array_intersect``/``array_union`` set-ops
+        # (duplicate-insensitive). Same failure mode the legacy
+        # band-seeded guard had.
         new_rows.write.mode("append").parquet(self.rows_path)
-        if new_hashes is not None:
-            new_hashes.write.mode("append").parquet(self.hashes_path)
         if self.bands_table:
             # append preserves the bucket spec (Spark validates it
             # against the existing table) — new rows hash into the same
@@ -453,3 +466,5 @@ class NearDupIndex:
             )
         else:
             new_bands.write.mode("append").parquet(self.bands_path)
+        if new_hashes is not None:
+            new_hashes.write.mode("append").parquet(self.hashes_path)

@@ -374,6 +374,68 @@ def test_collision_guard_roster_extends_across_ingests(spark, tmp_path):
         index.ingest_batch(impostor, check_id_collisions=True)
 
 
+def test_roster_is_append_commit_marker(spark, tmp_path, monkeypatch):
+    """A crash DURING an ingest's bands append must leave the doc out
+    of the roster, so the retried ingest re-appends instead of
+    dropping it as already indexed (the roster is the commit marker —
+    it is written LAST in _append). With roster-first ordering the
+    retry would see the doc in the roster, skip its bands forever, and
+    the doc would be permanently invisible to band probing."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    assert index.has_hashes()
+
+    b1 = spark.createDataFrame(
+        [(11, "completely different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_bands(self, path, *args, **kwargs):
+        if path == index.bands_path:
+            raise RuntimeError("injected crash during bands append")
+        return real_parquet(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_bands)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        index.ingest_batch(b1).collect()
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # the crash happened after the rows append but before the roster:
+    # the doc must NOT be in the roster (else the retry drops it)
+    assert 11 not in {r.doc_id for r in index.hashes().collect()}
+
+    # retry: the replay guard seeds from the roster, doc 11 is absent,
+    # so its rows/bands/roster are (re-)appended
+    d = {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(b1).collect()
+    }
+    assert d == {11: False}
+    assert index.bands().filter("doc_id = 11").count() > 0
+    assert index.hashes().filter("doc_id = 11").count() == 1
+
+    # and the doc is probe-visible: a near-dup of it is flagged
+    b2 = spark.createDataFrame(
+        [(20, "zz completely different words about distributed query engines")],
+        "doc_id long, text string",
+    )
+    d2 = {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(b2).collect()
+    }
+    assert d2 == {20: True}
+
+
 def test_collision_guard_legacy_index_fallback(spark, tmp_path):
     """Index directories written before the roster existed fall back to
     the shingle-set comparison: ≥3-word collisions still raise, the

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from automate_data_ingestion_project_spark.io.vendors import (
     VENDORS,
     duckdb_copy_to_parquet,
+    duckdb_path_literal,
     quote_identifier,
     read_duckdb,
     read_vendor,
@@ -194,6 +195,28 @@ def test_duckdb_copy_per_thread_output_writes_a_directory(tmp_path):
     )
     assert os.path.isfile(f1)
     assert duckdb.sql(f"SELECT count(*) c FROM read_parquet('{f1}')").fetchone()[0] == 10
+
+
+def test_duckdb_path_literal_quotes_survive(tmp_path):
+    """Path literals embedded in DuckDB statements go through
+    ``duckdb_path_literal`` — a path containing a single quote must
+    round-trip through COPY TO and read_parquet instead of breaking
+    the statement (the r10 ADVICE trust-boundary finding)."""
+    import os
+
+    import duckdb
+
+    assert duckdb_path_literal("/a/b'c") == "'/a/b''c'"
+    quoted_dir = tmp_path / "o'quote"
+    quoted_dir.mkdir()
+    dest = str(quoted_dir / "out")
+    duckdb_copy_to_parquet(":memory:", "SELECT range AS r FROM range(5)", dest)
+    assert os.path.isdir(dest)
+    src = duckdb_path_literal(os.path.join(dest, "*.parquet"))
+    assert (
+        duckdb.sql(f"SELECT count(*) c FROM read_parquet({src})").fetchone()[0]
+        == 5
+    )
 
 
 def test_jdbc_roundtrip_rerun_in_process(spark):
