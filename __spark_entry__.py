@@ -66,87 +66,35 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-10 ordering: (1) the one registered query with NO
-# driver row ever (it sat at position 50+1 of the r9 window — the r9
-# verdict's top item), whose code also changed this round; (2) the two
-# queries ADDED this round; (3) the three queries whose code changed
-# this round (index layout v2), so their official rows are
-# post-change; (4) the 15-row r6-vintage tail (after this round no
-# surviving evidence predates round 7); (5) the oldest 29 r7-vintage
-# rows in their r7 check order (6 + 15 + 29 = 50); the remaining 20
-# r7 rows below the boundary marker roll to round 11.
+# comes first. Round-11 ordering: (1) the two queries ADDED this
+# round; (2) the five queries whose code changed this round (DuckDB
+# path-literal escaping; roster-last append ordering), so their
+# official rows are post-change; (3) the 20-row r7-vintage tail
+# (after this round no surviving evidence predates round 8); (4) the
+# oldest 23 r8-vintage rows in their r8 check order (2 + 5 + 20 + 23
+# = 50); the remaining 23 r8 rows below the boundary marker roll to
+# round 12.
 _CHECK_FIRST = [
-    # (1) registered in r9 at position 50+1 — locally strict-hash green
-    # all along, but the official record has never seen it. Its code
-    # also changed this round (pre-wipe Derby shutdown for
-    # rerun-in-process safety), so the row lands post-change.
-    "jdbc_roundtrip_nation",
-    # (2) NEW in r10: the fact-scale half of the DuckDB connector —
-    # COPY TO PARQUET inside DuckDB, native Spark scan of the result
-    # (no Arrow/driver hop; plan-pinned in tests/test_vendors.py) —
-    # and the terminal token-bounded shard export (global two-phase
-    # prefix sum in scramble space; stats from the WRITTEN files).
+    # (1) the two queries ADDED in round 11: the composed terminal
+    # path (dedup→decontaminate→sample→domain-cap→shard export as ONE
+    # oracle-checked lineage) and the incremental shard append (new
+    # batches fill the last partial shard / open new ones; closed
+    # shards byte-stable — the r10 verdict's requested capability).
+    "curated_shard_export",
+    "incremental_shard_export",
+    # (2) code changed in round 11, so the official rows land
+    # post-change: the DuckDB path-literal escaping (io/vendors.py)
+    # touches both duckdb connector queries; the roster-last append
+    # ordering (neardup_index._append commit marker) touches the three
+    # index-backed queries. All behavior-neutral on the green path.
+    "duckdb_federated_scan",
     "duckdb_parquet_handoff",
-    "export_token_shards",
-    # (3) code changed in round 10: the near-dup index layout gained
-    # the per-doc content-hash roster (collision-guard completeness,
-    # neardup_index.py) and the fixture artifact rebuilt under the v2
-    # name — decisions are behavior-neutral, but the official rows
-    # must be post-change.
     "incremental_neardup_filter",
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
-    # (4) oldest evidence: the 15-row r6 tail (r6 vintage closes out
-    # this round). 6 + 15 = 21 so far.
-    "fuzzy_name_pairs",
-    "bitmap_exact_distinct",
-    "hll_sketch_rollup",
-    "duplicate_text_spans",
-    "span_dedup_mask",
-    "neardup_blast_radius",
-    "neardup_triangles",
-    "profile_drift",
-    "event_sessions_udtf",
-    "normalize_dv3f_pandas_api",
-    "scripted_quality_gate",
-    "pipe_syntax_revenue",
-    "ann_truncated_recall_eval",
-    "snapshot_diff",
-    "value_outliers_mad",
-    # (5) r7 vintage in r7 check order — the first 29 fill the window
-    # (21 + 29 = 50); the 20-row tail below the marker rolls to r11.
-    "table_profile",
-    "stream_dedup_events",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
-    "normalize_dv3f",
-    "dbt_first_model",
-    "dbt_second_model",
-    "top10_orders",
-    "top_brands_by_quantity",
-    "quality_report",
-    "dedup_exact",
-    "price_quantiles",
-    "revenue_by_nation",
-    "top3_orders_per_priority",
-    "doc_fingerprints",
-    "doc_chunks",
-    "decontaminate_overlap",
-    "doc_repetition",
-    "corpus_sample_mix",
-    "pack_sequences",
-    "label_centroids",
-    "centroid_purity",
-    "corpus_curation_pipeline",
-    "nation_only_keys_except",
-    "repeat_customers_intersect",
-    "sales_rollup",
-    "asof_purchase_last_click",
-    "range_join_signup_errors",
-    # ---- round-10 window boundary (positions 1-50 above) ----
-    # r11 front-load starts here: the remaining 20 r7-vintage rows in
-    # their r7 check order.
+    # (3) the 20 remaining r7-vintage rows (the r10 verdict's declared
+    # r11 front-load), in their r7 check order — after this round no
+    # surviving evidence predates round 8. 2 + 5 + 20 = 27 so far.
     "events_hypertable_rollup",
     "lang_confusion",
     "text_stats",
@@ -167,6 +115,58 @@ _CHECK_FIRST = [
     "commune_enrichment",
     "quality_gates",
     "stratified_sample_exact",
+    # (4) oldest r8-vintage rows in their r8 check order — the first
+    # 23 fill the window (27 + 23 = 50); the remaining 23 r8 rows
+    # below the marker roll to round 12.
+    "zorder_pruned_scan",
+    "events_value_interpolate",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "customer_value_quartiles",
+    "orders_rolling_revenue",
+    "orders_monthly_gapfill",
+    "nation_revenue_share",
+    "kmeans_step",
+    "nation_revenue_pareto",
+    "referential_integrity",
+    "events_weekly_heatmap",
+    "rest_ingest_dv3f",
+    "rest_datasource_scan",
+    "dbf_commune",
+    "model_layer_build",
+    "embedding_quantize",
+    "orders_by_month",
+    "categories",
+    "orders_by_category",
+    "not_null_filter",
+    "smoke_select_star",
+    "nations_in_region1",
+    # ---- round-11 window boundary (positions 1-50 above) ----
+    # r12 front-load starts here: the remaining 23 r8-vintage rows in
+    # their r8 check order.
+    "dedup_minhash_pairs",
+    "dedup_components",
+    "dedup_canonical_keep",
+    "minhash_estimate_error",
+    "upsert_idempotent",
+    "incremental_daily_rollup",
+    "pipeline_etl_replay",
+    "multimodal_manifest",
+    "multimodal_features",
+    "multimodal_chunks",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "ann_recall_eval",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_recall_eval",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "source_registry_sql",
+    "csv_roundtrip_region",
+    "json_roundtrip_nation",
+    "leakage_safe_split",
+    "pricing_summary",
 ]
 
 

@@ -318,6 +318,69 @@ def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scrambled_cum_tokens(
+    sized: DataFrame, tag: str, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Running token count over ``sized`` (needs ``doc_id``,
+    ``n_tokens`` [+ ``by`` cols]) in deterministic scrambled order,
+    optionally per ``by`` group — the two-phase prefix sum IN SCRAMBLE
+    SPACE that :func:`source_token_budget_cap` and
+    :func:`export_token_shards` pioneered, factored for reuse: hash-range
+    buckets (top 11 bits of the 56-bit scramble) are contiguous in the
+    walk order, so per-bucket totals partial-aggregate map-side, running
+    offsets need a window over only the tiny (by, bucket) relation
+    (≤2^11 rows per group, broadcast back), and the row-scale cumulative
+    sum runs under a bucket-partitioned window. No window anywhere whose
+    partition grows with the corpus.
+
+    Returns the input plus ``_hkey`` (the scramble key, for callers that
+    need the walk order) and ``cum_tokens`` (inclusive running total).
+    """
+    keyed = sized.withColumn(
+        "_hkey", F.expr(_scramble("spark", tag))
+    ).withColumn("_hbucket", F.expr(f"_hkey div {_HBUCKET_DIV}"))
+    totals = keyed.groupBy(*by, "_hbucket").agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    off_w = (
+        Window.partitionBy(*by)
+        .orderBy("_hbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *by,
+        "_hbucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    in_bucket = (
+        Window.partitionBy(*by, "_hbucket")
+        .orderBy("_hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [*by, "_hbucket"])
+        .withColumn(
+            "cum_tokens", F.col("_offset") + F.sum("n_tokens").over(in_bucket)
+        )
+        .drop("_hbucket", "_offset")
+    )
+
+
+def assign_token_shards(
+    sized: DataFrame, tag: str, budget: int, start: int = 0
+) -> DataFrame:
+    """Shard assignment: a document belongs to the shard its starting
+    token offset falls in, walking ``sized`` in deterministic scrambled
+    order from global offset ``start`` (0 for a fresh export; the
+    prior batches' token total for an incremental append). Adds
+    ``cum_tokens`` and ``shard_id``."""
+    cum = scrambled_cum_tokens(sized, tag)
+    return cum.withColumn(
+        "shard_id",
+        F.expr(f"({start} + cum_tokens - n_tokens) div {budget}"),
+    )
+
+
 @register(
     "export_token_shards",
     oracle=f"""
@@ -420,4 +483,183 @@ def export_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
             F.max("doc_id").alias("last_doc_id"),
         )
+    )
+
+
+def shard_store_paths(root: str) -> tuple[str, str]:
+    """(shards_dir, ledger_dir) under an incremental shard-store root.
+    The ledger sits BESIDE the shard tree, not inside it, so a plain
+    ``spark.read.parquet(shards_dir)`` never sees ledger files."""
+    import os
+
+    return os.path.join(root, "shards"), os.path.join(root, "ledger")
+
+
+def append_token_shard_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    batch_seq: int,
+    budget: int = SHARD_BUDGET,
+) -> None:
+    """Incremental shard export: append a document batch (``doc_id``,
+    ``text``) to an existing token-bounded shard set WITHOUT rewriting
+    closed shards — the terminal-step capability a growing corpus
+    needs (a crawl refresh must not re-materialize 100 TB of already
+    exported shards).
+
+    Walk order is (batch_seq, scramble, doc_id): each batch's docs are
+    walked in deterministic scrambled order starting at the global
+    token offset where the previous batch ended (from the ledger), so
+    the first new docs FILL the last partial shard and the rest open
+    new shards. A from-scratch export over the concatenated batches in
+    that same order produces the identical shard assignment — the
+    equivalence the registered query's oracle checks.
+
+    Durability protocol (the neardup-index ledger pattern,
+    ``textops/neardup_index.py``):
+
+    - Files land under ``shards/shard_id=K/batch_seq=B/`` — an
+      append-mode ``partitionBy(shard_id, batch_seq)`` write only ADDS
+      files under this batch's own ``batch_seq=B`` leaves; every file
+      from earlier batches is untouched (byte-stable closed shards,
+      asserted by checksum in tests).
+    - The ledger row (batch_seq, n_docs, n_tokens) is appended LAST —
+      it is the commit marker. A replayed committed batch is a no-op;
+      a retry after a mid-write crash first deletes the batch's own
+      ``batch_seq=B`` leaves (self-heal), then rewrites them — other
+      batches' files are never candidates for cleanup.
+    - Appends are ordered: ``batch_seq`` must exceed every committed
+      one (the offset arithmetic depends on it).
+
+    Scale shape: shard assignment is :func:`assign_token_shards` (no
+    corpus-sized window); the write hash-clusters by ``shard_id``
+    before ``partitionBy`` (tasks own their shards); ledger reads are
+    O(#batches) rows; self-heal listing is metadata-only.
+    """
+    import glob
+    import os
+    import shutil
+
+    shards_path, ledger_path = shard_store_paths(root)
+    start = 0
+    if os.path.isdir(ledger_path) and any(
+        f.endswith(".parquet") for f in os.listdir(ledger_path)
+    ):
+        committed = spark.read.parquet(ledger_path).collect()
+        if any(r.batch_seq == batch_seq for r in committed):
+            return  # replay of a committed batch: no-op
+        top = max(r.batch_seq for r in committed)
+        if batch_seq < top:
+            raise ValueError(
+                f"shard appends are ordered: batch_seq {batch_seq} <= "
+                f"committed max {top}"
+            )
+        start = sum(r.n_tokens for r in committed)
+    # self-heal: a prior attempt of THIS batch that crashed before its
+    # ledger commit left orphan files under its batch_seq leaves
+    leftovers = glob.glob(
+        os.path.join(shards_path, "shard_id=*", f"batch_seq={batch_seq}")
+    )
+    for d in leftovers:
+        shutil.rmtree(d)
+    sized = docs.select(
+        "doc_id",
+        "text",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+    )
+    assigned = assign_token_shards(sized, "shard", budget, start=start)
+    (
+        assigned.select("doc_id", "text", "n_tokens", "shard_id")
+        .withColumn("batch_seq", F.lit(batch_seq))
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.mode("append")
+        .partitionBy("shard_id", "batch_seq")
+        .parquet(shards_path)
+    )
+    # the rmtree above bypassed Spark's write path — drop any stale
+    # FileStatusCache entries before the read-back
+    spark.catalog.refreshByPath(shards_path)
+    # ledger stats come from the WRITTEN files (read-back proves the
+    # materialization); the batch_seq filter prunes to this batch's
+    # partition leaves only
+    written = (
+        spark.read.parquet(shards_path)
+        .filter(F.col("batch_seq") == batch_seq)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+        .first()
+    )
+    # commit marker LAST: a ledger row implies the batch's files are
+    # all in place (see the durability protocol above)
+    spark.createDataFrame(
+        [(batch_seq, written.n_docs, written.n_tokens)],
+        "batch_seq int, n_docs long, n_tokens long",
+    ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+@register(
+    "incremental_shard_export",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS batch_seq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens, batch_seq,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY batch_seq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT batch_seq) AS n_batches,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: incremental token-shard append (north star)",
+)
+def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental export: batch 0 (doc_id % 3 != 0) builds
+    the shard set, batch 1 (the rest) is APPENDED — its first docs fill
+    batch 0's last partial shard (shards with ``n_batches = 2`` in the
+    output prove cross-batch filling), closed shards are not rewritten
+    (byte-stability is checksum-asserted in ``tests/test_mixing.py``).
+    The oracle computes the equivalent from-scratch export in the
+    (batch_seq, scramble, doc_id) walk order, so a hash match proves
+    the incremental path lands every doc in the same shard a full
+    re-export would."""
+    import os
+
+    from .load import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("incremental_shards")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, _ = shard_store_paths(root)
+    exported = spark.read.parquet(shards_path)
+    return exported.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.countDistinct("batch_seq").alias("n_batches"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
     )

@@ -26,9 +26,14 @@ def test_pipeline_only_shrinks_the_corpus(spark):
         assert r["total_tokens"] > 0
 
 
-def test_oracle_parity(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name", ["corpus_curation_pipeline", "curated_shard_export"]
+)
+def test_oracle_parity(spark, name):
     con = duckdb_connection(SF_DIR)
-    name = "corpus_curation_pipeline"
     res = compare(
         entry.queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
     )

@@ -253,6 +253,7 @@ def test_export_token_shards_plan_is_bucket_partitioned(spark):
         "source_doc_cap",
         "source_token_budget_cap",
         "export_token_shards",
+        "incremental_shard_export",
     ],
 )
 def test_oracle_parity(spark, name):
@@ -261,3 +262,178 @@ def test_oracle_parity(spark, name):
         entry.queries()[name](spark, SF_DIR), con, entry.oracle_sql()[name]
     )
     assert res["ok"], res
+
+
+def _file_md5s(root):
+    """{relative parquet path: md5} under a shard tree."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+    return out
+
+
+def test_incremental_shard_append_is_byte_stable(spark, tmp_path):
+    """Appending a batch must only ADD files under the new batch's
+    batch_seq leaves — every file batch 0 wrote stays byte-identical
+    (closed shards are never rewritten), the tail shard is FILLED
+    across batches, and per-shard stats equal a from-scratch export in
+    the (batch_seq, scramble, doc_id) walk order."""
+    from pyspark.sql import Window, functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops import analysis as ta
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    budget = 5000  # ~6 shards at sf0.001, with a cross-batch one
+    b0 = docs.filter(F.col("doc_id") % 3 != 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    append_token_shard_batch(spark, b0, root, 0, budget=budget)
+    shards_path, _ = shard_store_paths(root)
+    before = _file_md5s(shards_path)
+    assert before  # batch 0 wrote files
+
+    append_token_shard_batch(spark, b1, root, 1, budget=budget)
+    after = _file_md5s(shards_path)
+    # every batch-0 file is still there, byte-identical
+    assert {p: after[p] for p in before} == before
+    # every NEW file lives under a batch_seq=1 leaf
+    assert all("batch_seq=1" in p for p in set(after) - set(before))
+
+    # stats match a from-scratch export in the same walk order
+    got = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in spark.read.parquet(shards_path)
+        .groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .collect()
+    }
+    sized = docs.select(
+        "doc_id",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+        F.expr(
+            "cast(conv(substr(md5(concat('shard:', cast(doc_id as string)))"
+            ", 1, 14), 16, 10) as bigint)"
+        ).alias("hkey"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("batch_seq"),
+    )
+    w = Window.orderBy("batch_seq", "hkey", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expected = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("shard_id", F.expr(f"(cum - n_tokens) div {budget}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .collect()
+    }
+    assert got == expected
+    # cross-batch filling actually happened: some shard holds both
+    n_batches = {
+        r.shard_id: r.nb
+        for r in spark.read.parquet(shards_path)
+        .groupBy("shard_id")
+        .agg(F.countDistinct("batch_seq").alias("nb"))
+        .collect()
+    }
+    assert max(n_batches.values()) == 2
+
+
+def test_incremental_shard_append_replay_and_order_guard(spark, tmp_path):
+    """A replayed committed batch is a no-op (ledger = commit marker);
+    an out-of-order append raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 2)
+    shards_path, _ = shard_store_paths(root)
+    before = _file_md5s(shards_path)
+    # replay of committed batch 0: nothing changes, nothing is deleted
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
+    assert _file_md5s(shards_path) == before
+    # an UNCOMMITTED seq below the committed max: the offset arithmetic
+    # would be wrong — must raise
+    with pytest.raises(ValueError, match="ordered"):
+        append_token_shard_batch(
+            spark, docs.filter("doc_id % 3 = 0"), root, 1
+        )
+
+
+def test_incremental_shard_append_crash_retry_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the batch's data files land but BEFORE its ledger
+    commit leaves orphans; the retried append must delete exactly this
+    batch's leaves and rewrite them — no duplicated docs, earlier
+    batches untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    shards_path, ledger_path = shard_store_paths(root)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 != 0"), root, 0)
+    batch0_files = _file_md5s(shards_path)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_ledger(self, path, *args, **kwargs):
+        if path == ledger_path:
+            raise RuntimeError("injected crash before ledger commit")
+        return real_parquet(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_ledger)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_token_shard_batch(spark, docs.filter("doc_id % 3 = 0"), root, 1)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # orphan batch-1 files exist, but the ledger has no batch-1 row
+    assert any("batch_seq=1" in p for p in _file_md5s(shards_path))
+    assert spark.read.parquet(ledger_path).filter("batch_seq = 1").count() == 0
+
+    # retry: self-heal wipes the orphans, rewrites, commits
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 0"), root, 1)
+    spark.catalog.refreshByPath(shards_path)
+    exported = spark.read.parquet(shards_path)
+    # no duplicated docs anywhere
+    assert exported.count() == exported.select("doc_id").distinct().count()
+    assert exported.count() == docs.count()
+    # batch-0 files were never candidates for the self-heal
+    after = _file_md5s(shards_path)
+    assert {p: after[p] for p in batch0_files} == batch0_files

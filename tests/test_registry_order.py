@@ -2,33 +2,33 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-10 window composition — the round's deliverable — must hold:
-the one never-driver-checked row leads (jdbc_roundtrip_nation, which
-sat one slot past the r9 window), then the two r10 additions, then the
-three queries whose code changed this round, and every row whose
-latest green check is round 6 sits inside the driver's 50-query window
-(closing out the r6 vintage; the oldest surviving evidence after this
-round is r7)."""
+the round-11 window composition — the round's deliverable — must hold:
+the two r11 additions lead, then the five queries whose code changed
+this round, then the full 20-row r7-vintage tail (closing out the r7
+vintage; the oldest surviving evidence after this round is r8), then
+the oldest 23 r8-vintage rows."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R10_HEAD = [
-    "jdbc_roundtrip_nation",  # only registered query with no driver row
-    "duckdb_parquet_handoff",  # NEW in r10
-    "export_token_shards",  # NEW in r10
-    "incremental_neardup_filter",  # index layout v2 (content-hash roster)
+R11_HEAD = [
+    "curated_shard_export",  # NEW in r11
+    "incremental_shard_export",  # NEW in r11
+    "duckdb_federated_scan",  # path-literal escaping (io/vendors.py)
+    "duckdb_parquet_handoff",
+    "incremental_neardup_filter",  # roster-last append (commit marker)
     "neardup_ingest_replay",
     "stream_neardup_ingest_replay",
 ]
 
-R6_VINTAGE = {
-    "fuzzy_name_pairs", "bitmap_exact_distinct", "hll_sketch_rollup",
-    "duplicate_text_spans", "span_dedup_mask", "neardup_blast_radius",
-    "neardup_triangles", "profile_drift", "event_sessions_udtf",
-    "normalize_dv3f_pandas_api", "scripted_quality_gate",
-    "pipe_syntax_revenue", "ann_truncated_recall_eval", "snapshot_diff",
-    "value_outliers_mad",
+R7_VINTAGE = {
+    "events_hypertable_rollup", "lang_confusion", "text_stats",
+    "top_terms_per_doc", "vocab_encode", "events_by_type",
+    "scd2_history", "event_funnel", "cohort_retention",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "event_sessions", "events_json_props",
+    "lang_length_zscores", "dataset_split", "bigram_counts",
+    "commune_enrichment", "quality_gates", "stratified_sample_exact",
 }
 
 
@@ -43,10 +43,10 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round10_window_composition():
+def test_round11_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:6] == R10_HEAD
-    assert R6_VINTAGE <= set(first50)
+    assert first50[:7] == R11_HEAD
+    assert R7_VINTAGE <= set(first50)
 
 
 def test_oracles_cover_every_query():
