@@ -68,6 +68,13 @@ Stages (each timed separately; one JSON line at the end):
    (exact dedup → 5-gram decontamination → mixture sampling →
    sequence packing composed in one Catalyst lineage,
    ``analytics/curation.py``) pointed at the filtered corpus.
+4. ``shard_export`` — the registered ``export_token_shards`` query
+   (``analytics/mixing.py``) pointed at the filtered corpus: the
+   pipeline's TERMINAL materialization (global scramble-order prefix
+   sum → repartition(shard_id) → partitionBy write → stats read back
+   from the written files). Recorded: shard count, written bytes/files,
+   wall — the repartition-then-partitionBy write is the shape that
+   misbehaves first at scale, so it is measured, not argued.
 
 Everything stays in the engine's own operators — the demo adds no new
 query surface, it composes the existing one.
@@ -286,6 +293,31 @@ def main(argv: list[str]) -> int:
     stats["packed_docs"] = sum(row["n_docs"] for row in result)
     stats["packed_sequences"] = sum(row["n_sequences"] for row in result)
     stats["total_tokens"] = sum(row["total_tokens"] for row in result)
+
+    # ---- stage 4: terminal shard export (registered query) -----------
+    from automate_data_ingestion_project_spark.analytics.load import (
+        scratch_path,
+    )
+
+    t0 = time.monotonic()
+    shards = QUERIES["export_token_shards"].fn(spark, curated_dir).collect()
+    timings["shard_export_sec"] = round(time.monotonic() - t0, 2)
+    stats["shards"] = len(shards)
+    stats["shard_docs"] = sum(row["n_docs"] for row in shards)
+    stats["shard_tokens"] = sum(row["shard_tokens"] for row in shards)
+    # written-layout accounting from the files themselves (the query
+    # already read them back for its stats; this is the bytes/files
+    # view SCALE.md records)
+    shards_root = os.path.join(scratch_path("token_shards"), "shards")
+    n_files = 0
+    n_bytes = 0
+    for dirpath, _dirs, files in os.walk(shards_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(dirpath, f))
+    stats["shard_files"] = n_files
+    stats["shard_bytes"] = n_bytes
 
     total = round(sum(timings.values()), 2)
     print(

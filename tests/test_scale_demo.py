@@ -29,7 +29,12 @@ def test_scale_demo_composes_end_to_end(spark, sf_dir, capsys):
         "scale_up_sec",
         "neardup_filter_sec",
         "curate_pack_sec",
+        "shard_export_sec",
     }
+    # the terminal export materialized real files and read them back
+    assert out["shards"] > 0
+    assert out["shard_docs"] == out["rows_curated"]
+    assert out["shard_files"] > 0 and out["shard_bytes"] > 0
 
 
 def test_scale_demo_constant_density_mode(spark, sf_dir, capsys):
