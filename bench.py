@@ -183,6 +183,9 @@ def main() -> int:
             # round 10 additions
             "duckdb_parquet_handoff",
             "export_token_shards",
+            # round 11 additions
+            "curated_shard_export",
+            "incremental_shard_export",
         )
         if n in QUERIES
     ]
