@@ -601,9 +601,10 @@ def append_token_shard_batch(
     ).coalesce(1).write.mode("append").parquet(ledger_path)
 
 
-@register(
-    "incremental_shard_export",
-    oracle=f"""
+# the two-batch (doc_id % 3) incremental export and its streaming twin
+# hash-match this SAME from-scratch oracle: docs walked in
+# (batch_seq, scramble, doc_id) order with one global running total
+_TWO_BATCH_SHARD_ORACLE = f"""
     WITH sized AS (
         SELECT doc_id,
                {ta.n_tokens("text", "duckdb")} AS n_tokens,
@@ -627,7 +628,26 @@ def append_token_shard_batch(
            MAX(doc_id) AS last_doc_id
     FROM cum
     GROUP BY 1
-    """,
+    """
+
+
+def _two_batch_shard_stats(exported: DataFrame) -> DataFrame:
+    """Per-shard stats over an exported shard tree — the shared output
+    shape of the incremental export and its streaming twin."""
+    return exported.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.countDistinct("batch_seq").alias("n_batches"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+@register(
+    "incremental_shard_export",
+    oracle=_TWO_BATCH_SHARD_ORACLE,
     survey_ref="LLM curation: incremental token-shard append (north star)",
 )
 def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,13 +673,54 @@ def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
     )
     shards_path, _ = shard_store_paths(root)
-    exported = spark.read.parquet(shards_path)
-    return exported.groupBy(
-        F.col("shard_id").cast("bigint").alias("shard_id")
-    ).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("shard_tokens"),
-        F.countDistinct("batch_seq").alias("n_batches"),
-        F.min("doc_id").alias("first_doc_id"),
-        F.max("doc_id").alias("last_doc_id"),
+    return _two_batch_shard_stats(spark.read.parquet(shards_path))
+
+
+@register(
+    "stream_shard_export",
+    oracle=_TWO_BATCH_SHARD_ORACLE,
+    survey_ref="streaming: continuous token-shard export (foreachBatch, full oracle)",
+)
+def stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-batch shard export, driven by Structured Streaming
+    instead of direct calls: the batches land as files, the file source
+    drains them one micro-batch each (``maxFilesPerTrigger=1``), and
+    ``foreachBatch`` runs :func:`append_token_shard_batch` with the
+    epoch id as the batch sequence
+    (:func:`..streaming.shards.stream_shard_export`) — the continuous
+    exporter a production corpus runs as documents arrive. It
+    hash-matches the identical DuckDB oracle as
+    :func:`incremental_shard_export`, proving the streaming drain is
+    shard-for-shard equivalent to both the batch append AND a
+    from-scratch export (epoch 1's docs fill the shard epoch 0 left
+    partial only if epoch 0's ledger commit landed first).
+
+    File order is pinned via mtimes (the file source processes oldest
+    first) — the streaming analogue of the append protocol's ordered
+    batch_seq requirement."""
+    import os
+
+    from .load import scratch_dir
+    from ..streaming.shards import stream_shard_export as drain_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("stream_shard_export")
+    src = os.path.join(root, "incoming")
+    b0 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    b0.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "batch2"))
+    t0 = os.stat(os.path.join(src, "batch1")).st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for walk_root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                p = os.path.join(walk_root, f)
+                os.utime(p, (t0 + off, t0 + off))
+    exported = drain_shards(
+        spark,
+        os.path.join(src, "*"),
+        os.path.join(root, "store"),
+        os.path.join(root, "ckpt"),
+        shuffle_partitions=8,
     )
+    return _two_batch_shard_stats(exported)

@@ -186,6 +186,7 @@ def main() -> int:
             # round 11 additions
             "curated_shard_export",
             "incremental_shard_export",
+            "stream_shard_export",
         )
         if n in QUERIES
     ]

@@ -254,6 +254,7 @@ def test_export_token_shards_plan_is_bucket_partitioned(spark):
         "source_token_budget_cap",
         "export_token_shards",
         "incremental_shard_export",
+        "stream_shard_export",
     ],
 )
 def test_oracle_parity(spark, name):
@@ -437,3 +438,62 @@ def test_incremental_shard_append_crash_retry_self_heals(
     # batch-0 files were never candidates for the self-heal
     after = _file_md5s(shards_path)
     assert {p: after[p] for p in batch0_files} == batch0_files
+
+
+def test_scrambled_cum_tokens_plan_shape(spark):
+    """The factored prefix-sum helper (shared by the budget cap, both
+    shard exports, and the incremental append) must keep its scale
+    shape wherever it is reused: the row-scale window partitioned by
+    the hash-range bucket (never by a corpus-growing key alone) and
+    the tiny bucket-offsets relation joined back broadcast."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        scrambled_cum_tokens,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops import analysis as ta
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+    )
+    grouped = scrambled_cum_tokens(sized, "cap", by=("source",))
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    # row-scale window keyed by (source, _hbucket) — never source alone
+    assert any(
+        "windowspecdefinition(source" in ln and "_hbucket" in ln
+        for ln in plan.splitlines()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    glob = scrambled_cum_tokens(sized.drop("source"), "shard")
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_hbucket" in plan
+    assert "BroadcastHashJoin" in plan
+    # correctness of the factored form vs the naive global window
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_hkey"), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        sized.drop("source")
+        .withColumn(
+            "_hkey",
+            F.expr(
+                "cast(conv(substr(md5(concat('shard:', cast(doc_id as "
+                "string))), 1, 14), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    got = sorted(
+        (r.doc_id, r.cum_tokens) for r in glob.collect()
+    )
+    want = sorted(
+        (r.doc_id, r.cum_tokens) for r in naive.collect()
+    )
+    assert got == want
