@@ -298,3 +298,83 @@ def test_stream_neardup_ingest_empty_drain_returns_empty_ledger(spark, tmp_path)
         "batch_id", "n_candidates", "n_verified_dups", "is_near_dup",
         "epoch_id",
     }
+
+
+def test_stream_shard_export_epochs_fill_and_restart_resumes(spark, tmp_path):
+    """The streaming shard exporter: two document files drained as two
+    micro-batches must land as ledger batches {0, 1} with epoch 1's
+    docs continuing from epoch 0's token offset (cross-epoch shard
+    filling), and a RESTARTED drain over the same checkpoint must not
+    re-export anything (the file source's checkpoint plus the append's
+    committed-batch no-op)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.streaming.shards import (
+        stream_shard_export,
+    )
+
+    src = tmp_path / "incoming"
+    # 6-token docs, budget 10: doc 1 fills [0,6), doc 2 starts at 6 →
+    # shard 0; epoch 1's doc 3 starts at 12 → shard 1, doc 4 at 18 →
+    # shard 1 — a deterministic tiny fixture, scramble order irrelevant
+    # within epochs because assignment is by running offset either way
+    b1 = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "m n o p q r"), (4, "s t u v w x")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    b2.coalesce(1).write.parquet(str(src / "batch2"))
+    t0 = os.stat(str(src / "batch1")).st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for walk_root, _, files in os.walk(str(src / sub)):
+            for f in files:
+                os.utime(os.path.join(walk_root, f), (t0 + off, t0 + off))
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    exported = stream_shard_export(
+        spark, f"{src}/*", root, ckpt, budget=10, shuffle_partitions=2
+    )
+    rows = {r.doc_id: (r.shard_id, r.batch_seq) for r in exported.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert {bs for _, bs in rows.values()} == {0, 1}
+    # global starting offsets 0, 6, 12, 18 with budget 10 → shards
+    # 0, 0, 1, 1: epoch 1 continued from epoch 0's total, not from 0
+    assert [rows[i][0] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+
+    # restart over the same checkpoint: nothing pending → nothing new
+    _, ledger_path = shard_store_paths(root)
+    n_ledger = spark.read.parquet(ledger_path).count()
+    again = stream_shard_export(
+        spark, f"{src}/*", root, ckpt, budget=10, shuffle_partitions=2
+    )
+    assert again.count() == 4
+    assert spark.read.parquet(ledger_path).count() == n_ledger
+
+
+def test_stream_shard_export_empty_drain_returns_empty(spark, tmp_path):
+    import os
+
+    from automate_data_ingestion_project_spark.streaming.shards import (
+        stream_shard_export,
+    )
+
+    src = tmp_path / "incoming"
+    os.makedirs(src, exist_ok=True)
+    out = stream_shard_export(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "text", "n_tokens", "shard_id", "batch_seq",
+    }
