@@ -66,13 +66,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-11 ordering: (1) the three queries ADDED this
+# comes first. Round-11 ordering: (1) the four queries ADDED this
 # round; (2) the five queries whose code changed this round (DuckDB
 # path-literal escaping; roster-last append ordering), so their
 # official rows are post-change; (3) the 20-row r7-vintage tail
 # (after this round no surviving evidence predates round 8); (4) the
-# oldest 22 r8-vintage rows in their r8 check order (3 + 5 + 20 + 22
-# = 50); the remaining 24 r8 rows below the boundary marker roll to
+# oldest 21 r8-vintage rows in their r8 check order (4 + 5 + 20 + 21
+# = 50); the remaining 25 r8 rows below the boundary marker roll to
 # round 12.
 _CHECK_FIRST = [
     # (1) the two queries ADDED in round 11: the composed terminal
@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "curated_shard_export",
     "incremental_shard_export",
     "stream_shard_export",
+    "shard_manifest",
     # (2) code changed in round 11, so the official rows land
     # post-change: the DuckDB path-literal escaping (io/vendors.py)
     # touches both duckdb connector queries; the roster-last append
@@ -140,10 +141,10 @@ _CHECK_FIRST = [
     "categories",
     "orders_by_category",
     "not_null_filter",
-    "smoke_select_star",
     # ---- round-11 window boundary (positions 1-50 above) ----
-    # r12 front-load starts here: the remaining 24 r8-vintage rows in
+    # r12 front-load starts here: the remaining 25 r8-vintage rows in
     # their r8 check order.
+    "smoke_select_star",
     "nations_in_region1",
     "dedup_minhash_pairs",
     "dedup_components",

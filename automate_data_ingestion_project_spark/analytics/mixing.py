@@ -724,3 +724,95 @@ def stream_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
     )
     return _two_batch_shard_stats(exported)
+
+
+def _content_fp(dialect: str) -> str:
+    """56-bit order-insensitive content fingerprint term: the shared
+    md5-hash56 recipe over ``doc_id:text``, aggregated with ``bit_xor``
+    (XOR is commutative/associative, so the per-shard fingerprint is
+    independent of row order — comparable across engines, reruns, and
+    the incremental/streaming export layouts). Parity is exact: Spark
+    ``conv(substr(md5(x),1,14),16,10)`` equals DuckDB
+    ``CAST(concat('0x', substr(md5(x),1,14)) AS BIGINT)``."""
+    if dialect == "spark":
+        return (
+            "cast(conv(substr(md5(concat(cast(doc_id as string), ':', "
+            "text)), 1, 14), 16, 10) as bigint)"
+        )
+    return (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), "
+        "':', text)), 1, 14)) AS BIGINT)"
+    )
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           bit_xor({_content_fp("duckdb")}) AS content_fp
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: shard manifest with content fingerprints (north star)",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training dataloader consumes: one row per
+    exported shard with doc/token counts and a 56-bit order-insensitive
+    CONTENT fingerprint (bit_xor of per-doc ``md5(doc_id:text)``
+    hashes), computed from the WRITTEN shard files. The oracle
+    recomputes the fingerprint from the source table through the
+    assignment arithmetic alone — a hash match therefore proves the
+    materialized files carry exactly the right documents with exactly
+    the right bytes of text, not merely the right row counts: the
+    end-to-end integrity check a 100 TB export ships alongside its
+    shards (a loader re-hashing a downloaded shard detects corruption
+    or a stale manifest before training on it).
+
+    Plan: the export is :func:`export_token_shards`' machinery
+    (scramble-order prefix sum, shard-clustered write); the manifest is
+    one groupBy over the read-back with codegen'd hash + XOR — no new
+    shuffle beyond the per-shard aggregate."""
+    import os
+
+    from .load import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "text",
+        F.expr(ta.n_tokens("text", "spark")).alias("n_tokens"),
+    )
+    assigned = assign_token_shards(sized, "shard", SHARD_BUDGET)
+    out = os.path.join(scratch_dir("shard_manifest"), "shards")
+    (
+        assigned.select("doc_id", "text", "n_tokens", "shard_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out)
+    )
+    exported = spark.read.parquet(out)
+    return exported.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+    )

@@ -187,6 +187,7 @@ def main() -> int:
             "curated_shard_export",
             "incremental_shard_export",
             "stream_shard_export",
+            "shard_manifest",
         )
         if n in QUERIES
     ]

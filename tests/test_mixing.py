@@ -255,6 +255,7 @@ def test_export_token_shards_plan_is_bucket_partitioned(spark):
         "export_token_shards",
         "incremental_shard_export",
         "stream_shard_export",
+        "shard_manifest",
     ],
 )
 def test_oracle_parity(spark, name):

@@ -3,10 +3,10 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-11 window composition — the round's deliverable — must hold:
-the three r11 additions lead, then the five queries whose code changed
+the four r11 additions lead, then the five queries whose code changed
 this round, then the full 20-row r7-vintage tail (closing out the r7
 vintage; the oldest surviving evidence after this round is r8), then
-the oldest 22 r8-vintage rows."""
+the oldest 21 r8-vintage rows."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
@@ -15,6 +15,7 @@ R11_HEAD = [
     "curated_shard_export",  # NEW in r11
     "incremental_shard_export",  # NEW in r11
     "stream_shard_export",  # NEW in r11 (streaming twin)
+    "shard_manifest",  # NEW in r11 (content-fingerprint manifest)
     "duckdb_federated_scan",  # path-literal escaping (io/vendors.py)
     "duckdb_parquet_handoff",
     "incremental_neardup_filter",  # roster-last append (commit marker)
@@ -46,7 +47,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round11_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:8] == R11_HEAD
+    assert first50[:9] == R11_HEAD
     assert R7_VINTAGE <= set(first50)
 
 
