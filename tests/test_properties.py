@@ -585,3 +585,66 @@ def test_source_token_budget_cap_matches_python_model_on_any_corpus(
             if cum <= TOKEN_BUDGET:
                 expected.append((doc_id, source, n, cum))
     assert got == sorted(expected)
+
+
+@st.composite
+def batched_corpora(draw):
+    """(rows, n_batches, budget): corpora whose docs are split into
+    sequential append batches by doc_id % n_batches, with budgets small
+    enough that shards close mid-batch and large enough that batches
+    share shards — the boundary shapes the incremental append must
+    agree with the from-scratch model on."""
+    rows = draw(capped_corpora())
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    budget = draw(st.sampled_from([1, 3, 10, 50]))
+    return rows, n_batches, budget
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=batched_corpora())
+def test_incremental_shard_append_matches_python_model_on_any_corpus(
+    spark, case, tmp_path_factory
+):
+    """Sequential append_token_shard_batch calls over ANY corpus split
+    must land every doc in the shard the Python model assigns walking
+    (batch_seq, scramble, doc_id) order with one global running token
+    offset — including budgets smaller than one doc (every doc opens
+    its own shard region) and single-batch degenerate splits."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+
+    rows, n_batches, budget = case
+    root = str(tmp_path_factory.mktemp("incr_shards"))
+    for b in range(n_batches):
+        batch = [(d, s, t) for d, s, t in rows if d % n_batches == b]
+        df = spark.createDataFrame(
+            [(d, t) for d, s, t in batch], "doc_id long, text string"
+        )
+        append_token_shard_batch(spark, df, root, b, budget=budget)
+
+    shards_path, _ = shard_store_paths(root)
+    got = sorted(
+        (r.doc_id, int(r.shard_id), int(r.batch_seq))
+        for r in spark.read.parquet(shards_path).collect()
+    )
+
+    expected = []
+    cum = 0
+    for b in range(n_batches):
+        batch = [(d, t) for d, s, t in rows if d % n_batches == b]
+        for d, t in sorted(
+            batch, key=lambda dt: (_scramble_py("shard", dt[0]), dt[0])
+        ):
+            n = len(t.split(" "))  # Spark size(split): '' -> 1 token
+            expected.append((d, cum // budget, b))
+            cum += n
+    assert got == sorted(expected)
