@@ -816,3 +816,52 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("shard_tokens"),
         F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
     )
+
+
+def verify_shard_manifest(
+    exported: DataFrame, manifest: DataFrame
+) -> DataFrame:
+    """Consumer-side integrity check: recompute each shard's doc count,
+    token total, and 56-bit XOR content fingerprint from the shard
+    FILES (``exported``: rows with doc_id/text/n_tokens/shard_id) and
+    compare against a ``manifest`` (shard_id/n_docs/shard_tokens/
+    content_fp — :func:`shard_manifest`'s output shape). Returns one
+    row per shard with an ``ok`` verdict — a loader runs this over a
+    downloaded shard set before training on it; any corruption, a
+    missing/duplicated file, or a stale manifest flips ``ok`` false
+    (text tampering flips the XOR fingerprint, dropped or doubled rows
+    flip the counts, and a shard present on only one side shows up
+    with nulls on the other via the full outer join).
+
+    Plan: one per-shard aggregate over the files plus a tiny
+    full-outer join against the manifest relation (#shards rows) —
+    nothing corpus-scale beyond the one scan."""
+    recomputed = exported.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("got_docs"),
+        F.sum("n_tokens").alias("got_tokens"),
+        F.expr(f"bit_xor({_content_fp('spark')})").alias("got_fp"),
+    )
+    m = manifest.select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_docs").alias("want_docs"),
+        F.col("shard_tokens").alias("want_tokens"),
+        F.col("content_fp").alias("want_fp"),
+    )
+    joined = recomputed.join(m, "shard_id", "full_outer")
+    ok = (
+        F.col("got_docs").eqNullSafe(F.col("want_docs"))
+        & F.col("got_tokens").eqNullSafe(F.col("want_tokens"))
+        & F.col("got_fp").eqNullSafe(F.col("want_fp"))
+    )
+    return joined.select(
+        "shard_id",
+        "got_docs",
+        "want_docs",
+        "got_tokens",
+        "want_tokens",
+        "got_fp",
+        "want_fp",
+        ok.alias("ok"),
+    )

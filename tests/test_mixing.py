@@ -498,3 +498,62 @@ def test_scrambled_cum_tokens_plan_shape(spark):
         (r.doc_id, r.cum_tokens) for r in naive.collect()
     )
     assert got == want
+
+
+def test_verify_shard_manifest_detects_planted_corruption(spark, tmp_path):
+    """The loader-side integrity check: a healthy export verifies ok on
+    every shard; corrupting ONE document's text in one shard file flips
+    exactly that shard's fingerprint verdict (counts unchanged), and a
+    shard missing from the manifest surfaces as a not-ok row."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+        verify_shard_manifest,
+        _content_fp,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    append_token_shard_batch(spark, docs, root, 0, budget=5000)
+    shards_path, _ = shard_store_paths(root)
+    exported = spark.read.parquet(shards_path)
+    manifest = exported.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+    )
+    manifest_rows = manifest.collect()  # freeze before tampering
+    frozen = spark.createDataFrame(manifest_rows, manifest.schema)
+
+    # healthy: every shard ok
+    healthy = verify_shard_manifest(exported, frozen).collect()
+    assert healthy and all(r.ok for r in healthy)
+
+    # corrupt one doc's text (same token count, different bytes)
+    victim = exported.orderBy("doc_id").first()
+    tampered = exported.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim.doc_id,
+            F.concat(F.lit("zz"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    report = {
+        r.shard_id: r.ok
+        for r in verify_shard_manifest(tampered, frozen).collect()
+    }
+    assert report[victim.shard_id] is False
+    assert all(ok for sid, ok in report.items() if sid != victim.shard_id)
+
+    # a shard the manifest doesn't know about is flagged, not ignored
+    partial = frozen.filter(F.col("shard_id") != victim.shard_id)
+    report2 = {
+        r.shard_id: r.ok
+        for r in verify_shard_manifest(exported, partial).collect()
+    }
+    assert report2[victim.shard_id] is False
