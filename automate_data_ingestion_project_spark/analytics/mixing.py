@@ -531,20 +531,32 @@ def append_token_shard_batch(
       batches' files are never candidates for cleanup.
     - Appends are ordered: ``batch_seq`` must exceed every committed
       one (the offset arithmetic depends on it).
+    - An EMPTY batch (crawl gap, zero-row input file) commits its
+      ``(batch_seq, 0, 0)`` ledger row and writes no shard files — the
+      sequence contract holds and the store's schema is never inferred
+      from a data-less write.
+
+    Store listing and self-heal deletion go through the Hadoop
+    FileSystem API resolved from the store path, so the protocol works
+    on HDFS/S3A/GCS as written, not only on a POSIX-local filesystem.
 
     Scale shape: shard assignment is :func:`assign_token_shards` (no
     corpus-sized window); the write hash-clusters by ``shard_id``
     before ``partitionBy`` (tasks own their shards); ledger reads are
     O(#batches) rows; self-heal listing is metadata-only.
     """
-    import glob
-    import os
-    import shutil
-
     shards_path, ledger_path = shard_store_paths(root)
+    # store listing/cleanup goes through the Hadoop FileSystem API (not
+    # os.listdir/shutil), so the protocol carries unchanged to
+    # HDFS/S3A/GCS deployments — the filesystems a 100 TB store lives on
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark._jsc.hadoopConfiguration()
+    ledger_p = jpath(ledger_path)
+    fs = ledger_p.getFileSystem(hconf)
     start = 0
-    if os.path.isdir(ledger_path) and any(
-        f.endswith(".parquet") for f in os.listdir(ledger_path)
+    if fs.exists(ledger_p) and any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(ledger_p)
     ):
         committed = spark.read.parquet(ledger_path).collect()
         if any(r.batch_seq == batch_seq for r in committed):
@@ -558,11 +570,21 @@ def append_token_shard_batch(
         start = sum(r.n_tokens for r in committed)
     # self-heal: a prior attempt of THIS batch that crashed before its
     # ledger commit left orphan files under its batch_seq leaves
-    leftovers = glob.glob(
-        os.path.join(shards_path, "shard_id=*", f"batch_seq={batch_seq}")
+    leftovers = fs.globStatus(
+        jpath(f"{shards_path}/shard_id=*/batch_seq={batch_seq}")
     )
-    for d in leftovers:
-        shutil.rmtree(d)
+    for s in leftovers or []:
+        fs.delete(s.getPath(), True)
+    if docs.isEmpty():
+        # an empty batch (crawl gap, zero-row input file) is a valid
+        # epoch: commit its (batch_seq, 0, 0) ledger row so the ordered
+        # batch_seq contract holds and a replay is a no-op, but write no
+        # shard files — an empty partitionBy write would leave a
+        # schema-less shards/ dir that poisons every later read-back
+        spark.createDataFrame(
+            [(batch_seq, 0, 0)], "batch_seq int, n_docs long, n_tokens long"
+        ).coalesce(1).write.mode("append").parquet(ledger_path)
+        return
     sized = docs.select(
         "doc_id",
         "text",
@@ -578,7 +600,7 @@ def append_token_shard_batch(
         .partitionBy("shard_id", "batch_seq")
         .parquet(shards_path)
     )
-    # the rmtree above bypassed Spark's write path — drop any stale
+    # the self-heal delete above bypassed Spark's write path — drop any stale
     # FileStatusCache entries before the read-back
     spark.catalog.refreshByPath(shards_path)
     # ledger stats come from the WRITTEN files (read-back proves the

@@ -74,8 +74,9 @@ def stream_shard_export(
     )
 
     def export(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
+        # no empty-epoch guard: append_token_shard_batch commits an
+        # empty epoch as a (batch_seq, 0, 0) ledger row with no shard
+        # files, so the ledger records every drained epoch uniformly
         append_token_shard_batch(
             spark,
             batch_df.select("doc_id", "text"),

@@ -190,6 +190,62 @@ def test_ingest_loop_batch2_sees_batch1_appends(spark, tmp_path):
     assert index.bands().count() == n_before
 
 
+def test_ingest_loop_empty_inputs_everywhere(spark, tmp_path):
+    """The r12 empty-input sweep over the maintained near-dup store: an
+    EMPTY corpus build, an empty FIRST batch, and an empty MIDDLE batch
+    must all be harmless no-ops (crawl gaps and zero-row input files
+    are normal for a continuous ingester), and detection must still
+    work across them. Unlike the shard store's dynamic-partition write,
+    the index's plain/bucketed appends leave schema-carrying zero-row
+    files, so no short-circuit is needed — this pins that property."""
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    doc = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    near = spark.createDataFrame(
+        [(2, "xq the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+
+    # plain index born from an EMPTY corpus
+    index = NearDupIndex.build(spark, empty, str(tmp_path / "idx"))
+    assert index.rows().count() == 0
+    assert index.bands().count() == 0
+    assert index.hashes().count() == 0
+    # empty FIRST batch
+    assert index.ingest_batch(empty).count() == 0
+    # a real batch lands and is indexed
+    assert {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(doc).collect()
+    } == {1: False}
+    # empty MIDDLE batch leaves the index intact
+    n_bands = index.bands().count()
+    assert index.ingest_batch(empty).count() == 0
+    assert index.bands().count() == n_bands
+    # detection still works across the empty epochs
+    assert {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(near).collect()
+    } == {2: True}
+
+    # bucketed variant: same sweep through the saveAsTable append path
+    bucketed = NearDupIndex.build(
+        spark, empty, str(tmp_path / "idx_b"), bucket_bands=4
+    )
+    assert bucketed.ingest_batch(empty).count() == 0
+    assert {
+        r.batch_id: r.is_near_dup for r in bucketed.ingest_batch(doc).collect()
+    } == {1: False}
+    assert {
+        r.batch_id: r.is_near_dup
+        for r in bucketed.ingest_batch(near).collect()
+    } == {2: True}
+
+
 def test_bucketed_ingest_loop_appends_preserve_bucket_layout(spark, tmp_path):
     """The bucketed index variant must run the SAME ingestion loop:
     cross-batch detection through a saveAsTable append (Spark validates

@@ -441,6 +441,60 @@ def test_incremental_shard_append_crash_retry_self_heals(
     assert {p: after[p] for p in batch0_files} == batch0_files
 
 
+def test_incremental_shard_append_empty_batches(spark, tmp_path):
+    """Empty batches are valid epochs at any position (the r11 verdict's
+    red row: a crawl gap or zero-row input file must not kill the
+    store). An empty FIRST batch on a fresh store commits a
+    (0, 0, 0) ledger row without creating a schema-less shards/ dir; an
+    empty MIDDLE batch keeps the token offset unchanged so the next
+    real batch continues exactly where the previous one ended; a
+    replayed empty batch is a no-op."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+
+    root = str(tmp_path / "store")
+    shards_path, ledger_path = shard_store_paths(root)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    # empty FIRST batch on a fresh store: ledger row, no shard files
+    append_token_shard_batch(spark, empty, root, 0, budget=10)
+    ledger = {
+        r.batch_seq: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(ledger_path).collect()
+    }
+    assert ledger == {0: (0, 0)}
+    assert not _file_md5s(shards_path)
+
+    # real batch lands at offset 0 (the empty batch contributed none)
+    b1 = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    append_token_shard_batch(spark, b1, root, 1, budget=10)
+    before = _file_md5s(shards_path)
+    assert before
+
+    # empty MIDDLE batch: committed, files untouched
+    append_token_shard_batch(spark, empty, root, 2, budget=10)
+    assert _file_md5s(shards_path) == before
+    # replay of the committed empty batch: no-op, no duplicate row
+    append_token_shard_batch(spark, empty, root, 2, budget=10)
+    ledger_df = spark.read.parquet(ledger_path)
+    assert ledger_df.filter("batch_seq = 2").count() == 1
+
+    # the next real batch continues from batch 1's offset (12 tokens →
+    # shard 1 with budget 10), proving the empty batch added 0
+    b3 = spark.createDataFrame([(3, "m n o p q r")], "doc_id long, text string")
+    append_token_shard_batch(spark, b3, root, 3, budget=10)
+    spark.catalog.refreshByPath(shards_path)
+    got = {
+        r.doc_id: int(r.shard_id)
+        for r in spark.read.parquet(shards_path).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
 def test_scrambled_cum_tokens_plan_shape(spark):
     """The factored prefix-sum helper (shared by the budget cap, both
     shard exports, and the incremental append) must keep its scale

@@ -593,7 +593,10 @@ def batched_corpora(draw):
     sequential append batches by doc_id % n_batches, with budgets small
     enough that shards close mid-batch and large enough that batches
     share shards — the boundary shapes the incremental append must
-    agree with the from-scratch model on."""
+    agree with the from-scratch model on. Small corpora with
+    n_batches > 1 routinely leave a batch EMPTY — the shape that caught
+    the r11 fresh-store empty-batch crash — so empty first/middle
+    batches stay in the generated space by construction."""
     rows = draw(capped_corpora())
     n_batches = draw(st.integers(min_value=1, max_value=3))
     budget = draw(st.sampled_from([1, 3, 10, 50]))

@@ -359,6 +359,54 @@ def test_stream_shard_export_epochs_fill_and_restart_resumes(spark, tmp_path):
     assert spark.read.parquet(ledger_path).count() == n_ledger
 
 
+def test_stream_shard_export_empty_epoch_survives(spark, tmp_path):
+    """An empty micro-batch (a zero-row input file — a real production
+    shape for a continuous exporter) must not kill the stream on a
+    fresh store: the empty epoch commits a (0, 0, 0) ledger row and the
+    following real epoch lands its docs starting at token offset 0."""
+    import os
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.streaming.shards import (
+        stream_shard_export,
+    )
+
+    src = tmp_path / "incoming"
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    full = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    empty.coalesce(1).write.parquet(str(src / "batch0"))
+    full.coalesce(1).write.parquet(str(src / "batch1"))
+    # order the file source's epochs: empty file strictly first
+    t0 = os.stat(str(src / "batch0")).st_mtime
+    for sub, off in (("batch0", 0), ("batch1", 60)):
+        for walk_root, _, files in os.walk(str(src / sub)):
+            for f in files:
+                os.utime(os.path.join(walk_root, f), (t0 + off, t0 + off))
+
+    root = str(tmp_path / "store")
+    exported = stream_shard_export(
+        spark,
+        f"{src}/*",
+        root,
+        str(tmp_path / "ckpt"),
+        budget=10,
+        shuffle_partitions=2,
+    )
+    rows = {r.doc_id: (int(r.shard_id), r.batch_seq) for r in exported.collect()}
+    # the real epoch's docs start at offset 0 — the empty epoch added none
+    assert rows == {1: (0, 1), 2: (0, 1)}
+    _, ledger_path = shard_store_paths(root)
+    ledger = {
+        r.batch_seq: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(ledger_path).collect()
+    }
+    assert ledger == {0: (0, 0), 1: (2, 12)}
+
+
 def test_stream_shard_export_empty_drain_returns_empty(spark, tmp_path):
     import os
 
