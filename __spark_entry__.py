@@ -66,84 +66,30 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-11 ordering: (1) the four queries ADDED this
-# round; (2) the five queries whose code changed this round (DuckDB
-# path-literal escaping; roster-last append ordering), so their
-# official rows are post-change; (3) the 20-row r7-vintage tail
-# (after this round no surviving evidence predates round 8); (4) the
-# oldest 21 r8-vintage rows in their r8 check order (4 + 5 + 20 + 21
-# = 50); the remaining 25 r8 rows below the boundary marker roll to
-# round 12.
+# comes first. Round-12 ordering: (1) the query ADDED this round;
+# (2) the two queries whose code changed this round (empty-batch
+# short-circuit + Hadoop-FS self-heal in append_token_shard_batch;
+# the streaming twin's empty-epoch guard removed), so their official
+# rows are post-change; (3) the full 25-row r8-vintage tail (the r11
+# verdict's declared r12 front-load — after this round no surviving
+# evidence predates round 9); (4) the oldest 22 r9-vintage rows in
+# their r9 check order (1 + 2 + 25 + 22 = 50); the remaining 24 r9
+# rows below the boundary marker roll to round 13.
 _CHECK_FIRST = [
-    # (1) the two queries ADDED in round 11: the composed terminal
-    # path (dedup→decontaminate→sample→domain-cap→shard export as ONE
-    # oracle-checked lineage) and the incremental shard append (new
-    # batches fill the last partial shard / open new ones; closed
-    # shards byte-stable — the r10 verdict's requested capability).
-    "curated_shard_export",
+    # (1) NEW in r12: incremental IVF ingest — per-batch cell
+    # assignment against the frozen codebook, ledger commit marker,
+    # replayed batch a no-op, search over the appended store (the r11
+    # verdict's requested maintained-store capability for the ANN tier).
+    "ann_ivf_ingest_replay",
+    # (2) code changed in r12, so the official rows land post-change:
+    # the empty-batch fix + Hadoop-FS store ops touch the incremental
+    # shard append and its streaming twin. Behavior-neutral on the
+    # green path (the two-batch %3 split never produces an empty batch).
     "incremental_shard_export",
     "stream_shard_export",
-    "shard_manifest",
-    # (2) code changed in round 11, so the official rows land
-    # post-change: the DuckDB path-literal escaping (io/vendors.py)
-    # touches both duckdb connector queries; the roster-last append
-    # ordering (neardup_index._append commit marker) touches the three
-    # index-backed queries. All behavior-neutral on the green path.
-    "duckdb_federated_scan",
-    "duckdb_parquet_handoff",
-    "incremental_neardup_filter",
-    "neardup_ingest_replay",
-    "stream_neardup_ingest_replay",
-    # (3) the 20 remaining r7-vintage rows (the r10 verdict's declared
-    # r11 front-load), in their r7 check order — after this round no
-    # surviving evidence predates round 8. 2 + 5 + 20 = 27 so far.
-    "events_hypertable_rollup",
-    "lang_confusion",
-    "text_stats",
-    "top_terms_per_doc",
-    "vocab_encode",
-    "events_by_type",
-    "scd2_history",
-    "event_funnel",
-    "cohort_retention",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "event_sessions",
-    "events_json_props",
-    "lang_length_zscores",
-    "dataset_split",
-    "bigram_counts",
-    "commune_enrichment",
-    "quality_gates",
-    "stratified_sample_exact",
-    # (4) oldest r8-vintage rows in their r8 check order — the first
-    # 23 fill the window (27 + 23 = 50); the remaining 23 r8 rows
-    # below the marker roll to round 12.
-    "zorder_pruned_scan",
-    "events_value_interpolate",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "customer_value_quartiles",
-    "orders_rolling_revenue",
-    "orders_monthly_gapfill",
-    "nation_revenue_share",
-    "kmeans_step",
-    "nation_revenue_pareto",
-    "referential_integrity",
-    "events_weekly_heatmap",
-    "rest_ingest_dv3f",
-    "rest_datasource_scan",
-    "dbf_commune",
-    "model_layer_build",
-    "embedding_quantize",
-    "orders_by_month",
-    "categories",
-    "orders_by_category",
-    "not_null_filter",
-    # ---- round-11 window boundary (positions 1-50 above) ----
-    # r12 front-load starts here: the remaining 25 r8-vintage rows in
-    # their r8 check order.
+    # (3) the 25 remaining r8-vintage rows (the r11 verdict's declared
+    # r12 front-load), in their r8 check order — after this round no
+    # surviving evidence predates round 9. 1 + 2 + 25 = 28 so far.
     "smoke_select_star",
     "nations_in_region1",
     "dedup_minhash_pairs",
@@ -169,6 +115,57 @@ _CHECK_FIRST = [
     "json_roundtrip_nation",
     "leakage_safe_split",
     "pricing_summary",
+    # (4) the oldest 22 r9-vintage rows in their r9 check order —
+    # 28 + 22 = 50 fills the window.
+    "weighted_systematic_sample",
+    "source_doc_cap",
+    "source_token_budget_cap",
+    "orders_per_year",
+    "customer_order_histogram",
+    "parts_bought_together",
+    "sales_cube",
+    "events_value_histogram",
+    "cumulative_new_customers",
+    "order_priority_exists",
+    "big_ticket_orders",
+    "cheapest_supplier_per_part",
+    "customer_interarrival",
+    "promo_revenue_share",
+    "median_order_by_nation",
+    "small_qty_revenue_by_brand",
+    "important_revenue_nations",
+    "disjunctive_promo_revenue",
+    "local_supplier_revenue",
+    "table_profile_approx",
+    "pq_train_distortion",
+    "ann_pq_trained_recall_eval",
+    # ---- round-12 window boundary (positions 1-50 above) ----
+    # r13 front-load starts here: the remaining 24 r9-vintage rows in
+    # their r9 check order.
+    "shipping_priority_topk",
+    "volume_shipping_pairs",
+    "nation_market_share",
+    "returned_item_losses",
+    "lapsed_customer_balance",
+    "sales_grouping_sets",
+    "quantile_sketch_calibration",
+    "pii_redaction",
+    "multimodal_resize",
+    "stream_stream_join",
+    "peak_concurrent_sessions",
+    "discount_revenue_delta",
+    "part_supplier_variety",
+    "orders_trailing_30d_revenue",
+    "null_safe_join_semantics",
+    "stream_late_data_drop",
+    "semantic_dedup_clusters",
+    "heavy_hitters_sketch",
+    "stream_upsert_foreachbatch",
+    "pagerank_step",
+    "orc_roundtrip_supplier",
+    "xml_roundtrip_part",
+    "top_supplier_revenue",
+    "events_variant_props",
 ]
 
 

@@ -278,3 +278,236 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "score", "rnk", "n_candidates")
     )
+
+
+# ---- incremental IVF ingest (frozen codebook, ledger append) -------------
+
+
+def ivf_store_paths(root: str) -> tuple[str, str]:
+    """(vectors_dir, ledger_dir) under an incremental IVF store root.
+    The ledger sits BESIDE the cell tree so a plain parquet read of the
+    vectors never sees ledger files (same layout contract as the
+    token-shard store, ``mixing.shard_store_paths``)."""
+    return os.path.join(root, "vectors"), os.path.join(root, "ledger")
+
+
+def append_ivf_batch(
+    spark: SparkSession,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    root: str,
+    batch_seq: int,
+) -> None:
+    """Incremental ANN index maintenance: append a vector batch
+    (``vec_id``, ``embedding``) to a cell-partitioned IVF store WITHOUT
+    rebuilding it — the capability a growing 100 TB corpus needs (the
+    build-once :func:`ivf_cell_table` re-quantizes the world per
+    refresh; this appends only the new vectors' inverted-list entries).
+
+    The codebook is FROZEN: cell assignment is a pure function of
+    (vector, centroids), exactly FAISS's add-after-train contract, so —
+    unlike the token-shard store, whose offset arithmetic orders its
+    batches — IVF batches are independent and ``batch_seq`` only needs
+    to be unique, not ordered.
+
+    Durability protocol (the shard/near-dup ledger pattern):
+
+    - Files land under ``vectors/cell=K/batch_seq=B`` — the append-mode
+      dynamic-partition write only ADDS files under this batch's own
+      ``batch_seq=B`` leaves; earlier batches' inverted lists are
+      byte-untouched.
+    - The ledger row (batch_seq, n_vectors) is appended LAST — the
+      commit marker. A replayed committed batch is a no-op; a retry
+      after a mid-write crash first deletes the batch's own leaves
+      (self-heal), then rewrites them.
+    - An EMPTY batch commits its (batch_seq, 0) ledger row and writes
+      no vector files (a zero-row dynamic-partition write would leave a
+      schema-less store — the r11 shard-store crash class).
+
+    Store listing and self-heal deletion go through the Hadoop
+    FileSystem API, so the protocol carries to HDFS/S3A/GCS.
+
+    Scale shape: assignment is one broadcast join against the codebook
+    + a per-vector rank (no corpus access); the write hash-clusters by
+    ``cell`` so tasks own their cells; searches over the appended store
+    keep partition-pruned candidate scans (``PartitionFilters`` on
+    ``cell``, pinned by tests/test_plans.py) because ``cell`` stays the
+    leading partition key.
+    """
+    vectors_path, ledger_path = ivf_store_paths(root)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark._jsc.hadoopConfiguration()
+    ledger_p = jpath(ledger_path)
+    fs = ledger_p.getFileSystem(hconf)
+    if fs.exists(ledger_p) and any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(ledger_p)
+    ):
+        committed = spark.read.parquet(ledger_path).collect()
+        if any(r.batch_seq == batch_seq for r in committed):
+            return  # replay of a committed batch: no-op
+    # self-heal: wipe orphans a crashed prior attempt of THIS batch left
+    leftovers = fs.globStatus(
+        jpath(f"{vectors_path}/cell=*/batch_seq={batch_seq}")
+    )
+    for s in leftovers or []:
+        fs.delete(s.getPath(), True)
+    if vectors.isEmpty():
+        spark.createDataFrame(
+            [(batch_seq, 0)], "batch_seq int, n_vectors long"
+        ).coalesce(1).write.mode("append").parquet(ledger_path)
+        return
+    sized = vectors.select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    (
+        assign_cells(sized, centroids)
+        .withColumn("batch_seq", F.lit(batch_seq))
+        .repartition("cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("append")
+        .partitionBy("cell", "batch_seq")
+        .parquet(vectors_path)
+    )
+    # the self-heal delete bypassed Spark's write path — invalidate any
+    # stale FileStatusCache entries before the read-back
+    spark.catalog.refreshByPath(vectors_path)
+    # commit marker LAST; the count comes from the WRITTEN files
+    n = (
+        spark.read.parquet(vectors_path)
+        .filter(F.col("batch_seq") == batch_seq)
+        .count()
+    )
+    spark.createDataFrame(
+        [(batch_seq, n)], "batch_seq int, n_vectors long"
+    ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+_BATCH_EXPR = "CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END"
+
+
+@register(
+    "ann_ivf_ingest_replay",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm,
+               {_BATCH_EXPR} AS batch_seq
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM base
+        WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, batch_seq, cell FROM (
+            SELECT b.vec_id, b.embedding, b.nrm, b.batch_seq, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_sql("b.embedding", "c.c_emb", "duckdb")} DESC,
+                                c.cell
+                   ) AS _r
+            FROM base b CROSS JOIN centroids c
+        ) WHERE _r = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm, cell
+        FROM assigned WHERE vec_id IN ({_QIDS})
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id, a.batch_seq,
+               {dot_sql("q.q_emb", "a.embedding", "duckdb")} / (q.q_norm * a.nrm)
+                   AS score
+        FROM q JOIN assigned a USING (cell)
+        WHERE q.query_id != a.vec_id
+    ),
+    nb AS (
+        SELECT query_id,
+               CAST(COUNT(DISTINCT batch_seq) AS BIGINT) AS n_batches
+        FROM scored GROUP BY query_id
+    ),
+    counted AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+                      AS n_candidates
+        FROM scored
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score, n_candidates,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS INTEGER) AS rnk
+        FROM counted
+    )
+    SELECT r.query_id, r.vec_id, r.score, r.rnk, r.n_candidates,
+           nb.n_batches
+    FROM ranked r JOIN nb USING (query_id)
+    WHERE r.rnk <= {TOP_K}
+    """,
+    survey_ref="similarity search: incremental IVF ingest (frozen codebook, ledger append, replay-idempotent)",
+)
+def ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental IVF build, then a search over the APPENDED
+    store: batch 0 (vec_id % 3 != 0) seeds the cell tree, batch 1 (the
+    rest — including every query vector) is appended against the frozen
+    codebook, and batch 0 is REPLAYED (a committed-batch no-op, proved
+    by the hash match: a double-append would double every candidate
+    list). The from-scratch oracle quantizes the whole corpus in one
+    pass — a hash match proves append-then-search ≡ build-then-search,
+    the maintained-index equivalence the shard and near-dup stores
+    already carry. ``n_batches = 2`` rows prove candidate lists span
+    both appends (cross-batch inverted lists, not two disjoint
+    indexes)."""
+    from .load import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    root = scratch_dir("ann_ivf_ingest_replay")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    append_ivf_batch(spark, b0, centroids, root, 0)
+    append_ivf_batch(spark, b1, centroids, root, 1)
+    append_ivf_batch(spark, b0, centroids, root, 0)  # replay: must no-op
+
+    vectors_path, _ = ivf_store_paths(root)
+    assigned = spark.read.parquet(vectors_path)
+    q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    # candidate scan prunes to the probed cells' directories — the
+    # partition layout survives appends because cell leads batch_seq
+    c = assigned.filter(F.col("cell").isin(_probed_cells(q))).select(
+        "vec_id",
+        F.col("embedding").alias("c_emb2"),
+        F.col("nrm").alias("c_norm"),
+        "batch_seq",
+        "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "score",
+            F.expr(dot_sql("q_emb", "c_emb2")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    scored = tracked_persist(scored)
+    # distinct batch_seq per query: countDistinct is not a window
+    # function in either engine — tiny per-query aggregate, broadcast back
+    nb = scored.groupBy("query_id").agg(
+        F.countDistinct("batch_seq").alias("n_batches")
+    )
+    wq = Window.partitionBy("query_id")
+    counted = scored.withColumn(
+        "n_candidates", F.count("*").over(wq).cast("long")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .join(F.broadcast(nb), "query_id")
+        .select("query_id", "vec_id", "score", "rnk", "n_candidates", "n_batches")
+    )

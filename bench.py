@@ -188,6 +188,8 @@ def main() -> int:
             "incremental_shard_export",
             "stream_shard_export",
             "shard_manifest",
+            # round 12 additions
+            "ann_ivf_ingest_replay",
         )
         if n in QUERIES
     ]

@@ -851,3 +851,28 @@ def test_aqe_splits_planted_skew_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_ann_ivf_ingest_replay_scan_prunes_on_appended_store(spark, sf_dir):
+    """The incremental IVF store must keep the build-once layout's
+    search property: because `cell` leads `batch_seq` in the partition
+    spec, the candidate scan over the APPENDED store carries the same
+    literal PartitionFilters IN-list on `cell` (a strict subset of the
+    N_CELLS cells) — appends never degrade a probe to a corpus scan."""
+    import re
+
+    from automate_data_ingestion_project_spark.analytics.ivf import N_CELLS
+
+    df = entrymod.queries()["ann_ivf_ingest_replay"](spark, sf_dir)
+    plan = _formatted(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln and " IN (" in ln
+    ]
+    assert pf_lines, "no literal cell pruning in the appended-store scan"
+    in_list = sorted(
+        int(x)
+        for x in re.search(r" IN \(([0-9,]+)\)", pf_lines[0]).group(1).split(",")
+    )
+    assert 0 < len(in_list) < N_CELLS

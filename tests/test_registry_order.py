@@ -2,35 +2,30 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-11 window composition — the round's deliverable — must hold:
-the four r11 additions lead, then the five queries whose code changed
-this round, then the full 20-row r7-vintage tail (closing out the r7
-vintage; the oldest surviving evidence after this round is r8), then
-the oldest 21 r8-vintage rows."""
+the round-12 window composition — the round's deliverable — must hold:
+the r12 addition leads, then the two queries whose code changed this
+round, then the full 25-row r8-vintage tail (closing out the r8
+vintage; the oldest surviving evidence after this round is r9), then
+the oldest 22 r9-vintage rows."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R11_HEAD = [
-    "curated_shard_export",  # NEW in r11
-    "incremental_shard_export",  # NEW in r11
-    "stream_shard_export",  # NEW in r11 (streaming twin)
-    "shard_manifest",  # NEW in r11 (content-fingerprint manifest)
-    "duckdb_federated_scan",  # path-literal escaping (io/vendors.py)
-    "duckdb_parquet_handoff",
-    "incremental_neardup_filter",  # roster-last append (commit marker)
-    "neardup_ingest_replay",
-    "stream_neardup_ingest_replay",
+R12_HEAD = [
+    "ann_ivf_ingest_replay",  # NEW in r12 (incremental IVF ingest)
+    "incremental_shard_export",  # empty-batch fix + Hadoop-FS store ops
+    "stream_shard_export",  # streaming twin (empty-epoch guard removed)
 ]
 
-R7_VINTAGE = {
-    "events_hypertable_rollup", "lang_confusion", "text_stats",
-    "top_terms_per_doc", "vocab_encode", "events_by_type",
-    "scd2_history", "event_funnel", "cohort_retention",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "event_sessions", "events_json_props",
-    "lang_length_zscores", "dataset_split", "bigram_counts",
-    "commune_enrichment", "quality_gates", "stratified_sample_exact",
+R8_VINTAGE = {
+    "smoke_select_star", "nations_in_region1", "dedup_minhash_pairs",
+    "dedup_components", "dedup_canonical_keep", "minhash_estimate_error",
+    "upsert_idempotent", "incremental_daily_rollup", "pipeline_etl_replay",
+    "multimodal_manifest", "multimodal_features", "multimodal_chunks",
+    "ann_topk_cosine", "ann_lsh_topk", "ann_recall_eval", "ann_pq_topk",
+    "ann_ivfpq_topk", "ann_pq_recall_eval", "skew_salted_agg",
+    "skew_salted_join", "source_registry_sql", "csv_roundtrip_region",
+    "json_roundtrip_nation", "leakage_safe_split", "pricing_summary",
 }
 
 
@@ -45,10 +40,10 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round11_window_composition():
+def test_round12_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:9] == R11_HEAD
-    assert R7_VINTAGE <= set(first50)
+    assert first50[:3] == R12_HEAD
+    assert R8_VINTAGE <= set(first50)
 
 
 def test_oracles_cover_every_query():

@@ -68,3 +68,117 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.0
     # buckets must actually partition: no query scans everything
     assert all(r.n_candidates < emb.count() for r in approx)
+
+
+def _ivf_file_md5s(root):
+    """{relative parquet path: md5} under the vectors tree."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_ivf_append_protocol(spark, sf_dir, tmp_path):
+    """The incremental IVF store's ledger protocol: appends only ADD
+    files under the batch's own batch_seq leaves (earlier inverted
+    lists byte-stable), a replayed committed batch is a no-op, batches
+    are UNORDERED (frozen codebook ⇒ independent assignment — unlike
+    the token-shard store), an empty batch commits (batch_seq, 0) with
+    no vector files, and a crash before the ledger commit self-heals on
+    retry with no duplicated vectors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        N_CELLS,
+        append_ivf_batch,
+        ivf_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops.similarity import norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    root = str(tmp_path / "ivf")
+    vectors_path, ledger_path = ivf_store_paths(root)
+
+    b0 = emb.filter(F.col("vec_id") % 3 == 1)
+    b1 = emb.filter(F.col("vec_id") % 3 == 2)
+    b2 = emb.filter(F.col("vec_id") % 3 == 0)
+
+    # out-of-order batch_seq is legal: 5 before 2
+    append_ivf_batch(spark, b0, centroids, root, 5)
+    before = _ivf_file_md5s(vectors_path)
+    assert before and all("batch_seq=5" in p for p in before)
+
+    append_ivf_batch(spark, b1, centroids, root, 2)
+    after = _ivf_file_md5s(vectors_path)
+    assert {p: after[p] for p in before} == before  # batch-5 files untouched
+    assert all("batch_seq=2" in p for p in set(after) - set(before))
+
+    # replay of committed batch 5: nothing changes
+    append_ivf_batch(spark, b0, centroids, root, 5)
+    assert _ivf_file_md5s(vectors_path) == after
+
+    # empty batch: ledger row, no files
+    empty = spark.createDataFrame([], b0.schema)
+    append_ivf_batch(spark, empty, centroids, root, 7)
+    assert _ivf_file_md5s(vectors_path) == after
+    ledger = {
+        r.batch_seq: r.n_vectors
+        for r in spark.read.parquet(ledger_path).collect()
+    }
+    assert ledger[7] == 0 and set(ledger) == {2, 5, 7}
+
+    # crash before the ledger commit, then retry: self-heal, no dupes
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_ledger(self, path, *args, **kwargs):
+        if path == ledger_path:
+            raise RuntimeError("injected crash before ledger commit")
+        return real_parquet(self, path, *args, **kwargs)
+
+    import pytest as _pytest
+
+    try:
+        DataFrameWriter.parquet = crash_on_ledger
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            append_ivf_batch(spark, b2, centroids, root, 9)
+    finally:
+        DataFrameWriter.parquet = real_parquet
+    # orphans exist, ledger has no batch-9 row
+    assert any("batch_seq=9" in p for p in _ivf_file_md5s(vectors_path))
+    assert 9 not in {
+        r.batch_seq for r in spark.read.parquet(ledger_path).collect()
+    }
+    append_ivf_batch(spark, b2, centroids, root, 9)
+    spark.catalog.refreshByPath(vectors_path)
+    stored = spark.read.parquet(vectors_path)
+    assert stored.count() == stored.select("vec_id").distinct().count()
+    assert stored.count() == emb.count()
+    # assignment over the appended store matches a from-scratch pass:
+    # every vector's stored cell equals its nearest frozen centroid
+    from automate_data_ingestion_project_spark.analytics.ivf import assign_cells
+
+    fresh = assign_cells(
+        emb.select(
+            "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+        ),
+        centroids,
+    )
+    mismatch = (
+        stored.select("vec_id", F.col("cell").alias("got"))
+        .join(fresh.select("vec_id", F.col("cell").alias("want")), "vec_id")
+        .filter("got != want")
+    )
+    assert mismatch.count() == 0
