@@ -385,10 +385,11 @@ def append_ivf_batch(
 
 _BATCH_EXPR = "CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END"
 
-
-@register(
-    "ann_ivf_ingest_replay",
-    oracle=f"""
+# the two-batch (vec_id % 3) incremental IVF ingest and its streaming
+# twin hash-match this SAME from-scratch oracle: one whole-corpus
+# quantization pass, so a match proves append-then-search ≡
+# build-then-search regardless of how the appends were driven
+_TWO_BATCH_IVF_ORACLE = f"""
     WITH base AS (
         SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm,
                {_BATCH_EXPR} AS batch_seq
@@ -441,35 +442,14 @@ _BATCH_EXPR = "CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END"
            nb.n_batches
     FROM ranked r JOIN nb USING (query_id)
     WHERE r.rnk <= {TOP_K}
-    """,
-    survey_ref="similarity search: incremental IVF ingest (frozen codebook, ledger append, replay-idempotent)",
-)
-def ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-batch incremental IVF build, then a search over the APPENDED
-    store: batch 0 (vec_id % 3 != 0) seeds the cell tree, batch 1 (the
-    rest — including every query vector) is appended against the frozen
-    codebook, and batch 0 is REPLAYED (a committed-batch no-op, proved
-    by the hash match: a double-append would double every candidate
-    list). The from-scratch oracle quantizes the whole corpus in one
-    pass — a hash match proves append-then-search ≡ build-then-search,
-    the maintained-index equivalence the shard and near-dup stores
-    already carry. ``n_batches = 2`` rows prove candidate lists span
-    both appends (cross-batch inverted lists, not two disjoint
-    indexes)."""
-    from .load import scratch_dir
+    """
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    root = scratch_dir("ann_ivf_ingest_replay")
-    b0 = emb.filter(F.col("vec_id") % 3 != 0)
-    b1 = emb.filter(F.col("vec_id") % 3 == 0)
-    append_ivf_batch(spark, b0, centroids, root, 0)
-    append_ivf_batch(spark, b1, centroids, root, 1)
-    append_ivf_batch(spark, b0, centroids, root, 0)  # replay: must no-op
 
-    vectors_path, _ = ivf_store_paths(root)
+def _search_appended_ivf(spark: SparkSession, vectors_path: str) -> DataFrame:
+    """IVF top-k over an APPENDED store (the shared output shape of the
+    batch ingest replay and its streaming twin): probe-cell discovery,
+    partition-pruned candidate scan, cosine top-k, plus per-query
+    ``n_batches`` proving candidate lists span the appends."""
     assigned = spark.read.parquet(vectors_path)
     q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
@@ -511,3 +491,94 @@ def ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "query_id")
         .select("query_id", "vec_id", "score", "rnk", "n_candidates", "n_batches")
     )
+
+
+def _frozen_codebook(emb: DataFrame) -> DataFrame:
+    """The deterministic frozen codebook both ingest forms quantize
+    against (first N_CELLS fixture vectors; production k-means once and
+    freezes — FAISS's train-then-add contract)."""
+    return emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+
+
+@register(
+    "ann_ivf_ingest_replay",
+    oracle=_TWO_BATCH_IVF_ORACLE,
+    survey_ref="similarity search: incremental IVF ingest (frozen codebook, ledger append, replay-idempotent)",
+)
+def ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental IVF build, then a search over the APPENDED
+    store: batch 0 (vec_id % 3 != 0) seeds the cell tree, batch 1 (the
+    rest — including every query vector) is appended against the frozen
+    codebook, and batch 0 is REPLAYED (a committed-batch no-op, proved
+    by the hash match: a double-append would double every candidate
+    list). The from-scratch oracle quantizes the whole corpus in one
+    pass — a hash match proves append-then-search ≡ build-then-search,
+    the maintained-index equivalence the shard and near-dup stores
+    already carry. ``n_batches = 2`` rows prove candidate lists span
+    both appends (cross-batch inverted lists, not two disjoint
+    indexes)."""
+    from .load import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _frozen_codebook(emb)
+    root = scratch_dir("ann_ivf_ingest_replay")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    append_ivf_batch(spark, b0, centroids, root, 0)
+    append_ivf_batch(spark, b1, centroids, root, 1)
+    append_ivf_batch(spark, b0, centroids, root, 0)  # replay: must no-op
+
+    vectors_path, _ = ivf_store_paths(root)
+    return _search_appended_ivf(spark, vectors_path)
+
+
+@register(
+    "stream_ann_ivf_ingest_replay",
+    oracle=_TWO_BATCH_IVF_ORACLE,
+    survey_ref="streaming: continuous IVF index maintenance (foreachBatch, full oracle)",
+)
+def stream_ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-batch IVF ingest, driven by Structured Streaming:
+    the batches land as embedding files, the file source drains them
+    one micro-batch each (``maxFilesPerTrigger=1``), and
+    ``foreachBatch`` runs :func:`append_ivf_batch` with the epoch id as
+    the batch sequence (:func:`..streaming.ivf.stream_ivf_ingest`) —
+    the continuous indexer a production corpus runs as encoder output
+    arrives. It hash-matches the identical DuckDB oracle as
+    :func:`ann_ivf_ingest_replay`, proving the streaming drain is
+    cell-for-cell equivalent to both the batch append AND a
+    from-scratch quantization (``n_batches = 2`` rows require epoch 0's
+    leaves and epoch 1's leaves under the same probed cells).
+
+    File order is pinned via mtimes for determinism of the store
+    layout, though — unlike the token-shard exporter — the result is
+    order-agnostic: frozen-codebook assignment makes epochs independent."""
+    from .load import scratch_dir
+    from ..streaming.ivf import stream_ivf_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _frozen_codebook(emb)
+    root = scratch_dir("stream_ann_ivf_ingest_replay")
+    src = os.path.join(root, "incoming")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b0.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    b1.coalesce(1).write.parquet(os.path.join(src, "batch2"))
+    t0 = os.stat(os.path.join(src, "batch1")).st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for walk_root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                p = os.path.join(walk_root, f)
+                os.utime(p, (t0 + off, t0 + off))
+    stream_ivf_ingest(
+        spark,
+        os.path.join(src, "*"),
+        centroids,
+        os.path.join(root, "store"),
+        os.path.join(root, "ckpt"),
+        shuffle_partitions=8,
+    )
+    vectors_path, _ = ivf_store_paths(os.path.join(root, "store"))
+    return _search_appended_ivf(spark, vectors_path)

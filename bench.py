@@ -190,6 +190,7 @@ def main() -> int:
             "shard_manifest",
             # round 12 additions
             "ann_ivf_ingest_replay",
+            "stream_ann_ivf_ingest_replay",
         )
         if n in QUERIES
     ]

@@ -13,6 +13,7 @@ from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R12_HEAD = [
     "ann_ivf_ingest_replay",  # NEW in r12 (incremental IVF ingest)
+    "stream_ann_ivf_ingest_replay",  # NEW in r12 (streaming twin)
     "incremental_shard_export",  # empty-batch fix + Hadoop-FS store ops
     "stream_shard_export",  # streaming twin (empty-epoch guard removed)
 ]
@@ -42,7 +43,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round12_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:3] == R12_HEAD
+    assert first50[:4] == R12_HEAD
     assert R8_VINTAGE <= set(first50)
 
 

@@ -426,3 +426,63 @@ def test_stream_shard_export_empty_drain_returns_empty(spark, tmp_path):
     assert set(out.columns) == {
         "doc_id", "text", "n_tokens", "shard_id", "batch_seq",
     }
+
+
+def test_stream_ivf_ingest_empty_epoch_and_restart(spark, sf_dir, tmp_path):
+    """The streaming IVF indexer: an empty first epoch (zero-row
+    embedding file) commits a (0, 0) ledger row and the store survives;
+    the real epochs land their vectors; a restarted drain over the same
+    checkpoint re-indexes nothing (checkpoint + committed-epoch no-op)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        N_CELLS,
+        ivf_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.streaming.ivf import (
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    src = tmp_path / "incoming"
+    empty = spark.createDataFrame([], emb.schema)
+    empty.coalesce(1).write.parquet(str(src / "batch0"))
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+    t0 = os.stat(str(src / "batch0")).st_mtime
+    for sub, off in (("batch0", 0), ("batch1", 60), ("batch2", 120)):
+        for walk_root, _, files in os.walk(str(src / sub)):
+            for f in files:
+                os.utime(os.path.join(walk_root, f), (t0 + off, t0 + off))
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stored = stream_ivf_ingest(
+        spark, f"{src}/*", centroids, root, ckpt, shuffle_partitions=2
+    )
+    assert stored.count() == emb.count()
+    assert stored.select("vec_id").distinct().count() == emb.count()
+    vectors_path, ledger_path = ivf_store_paths(root)
+    ledger = {
+        r.batch_seq: r.n_vectors
+        for r in spark.read.parquet(ledger_path).collect()
+    }
+    assert set(ledger) == {0, 1, 2} and ledger[0] == 0
+    assert ledger[1] + ledger[2] == emb.count()
+
+    # restart over the same checkpoint: nothing pending → nothing new
+    again = stream_ivf_ingest(
+        spark, f"{src}/*", centroids, root, ckpt, shuffle_partitions=2
+    )
+    assert again.count() == emb.count()
+    assert spark.read.parquet(ledger_path).count() == 3
