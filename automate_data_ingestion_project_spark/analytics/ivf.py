@@ -582,3 +582,41 @@ def stream_ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vectors_path, _ = ivf_store_paths(os.path.join(root, "store"))
     return _search_appended_ivf(spark, vectors_path)
+
+
+@register(
+    "ivf_store_compaction",
+    # post-compaction every candidate row lives in the single reserved
+    # batch_seq=-1 generation, so per-query n_batches is the literal 1
+    oracle=_TWO_BATCH_IVF_ORACLE.replace("COUNT(DISTINCT batch_seq)", "1"),
+    survey_ref="similarity search: IVF store compaction (OPTIMIZE counterpart, pruning preserved)",
+)
+def ivf_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of the incremental IVF store, search-checked: the
+    two-batch append leaves every cell's inverted list split across
+    per-epoch files; :func:`..io.maintenance.compact_store_tree`
+    rewrites the tree to ONE file per cell in the reserved
+    ``batch_seq = -1`` generation, and the SAME search then runs over
+    the compacted store. Scores, ranks, and candidate counts hash-match
+    the from-scratch oracle (content preserved exactly); ``n_batches``
+    drops to 1 for every query — the compacted generation — which the
+    oracle states as a literal. Partition pruning survives because
+    ``cell`` still leads the partition spec (pinned by
+    ``tests/test_plans.py``); the ledger is untouched, so committed
+    epochs still no-op on replay and new epochs append beside the
+    compacted generation."""
+    from .load import scratch_dir
+    from ..io.maintenance import compact_store_tree
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _frozen_codebook(emb)
+    root = scratch_dir("ivf_store_compaction")
+    append_ivf_batch(
+        spark, emb.filter(F.col("vec_id") % 3 != 0), centroids, root, 0
+    )
+    append_ivf_batch(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), centroids, root, 1
+    )
+    vectors_path, _ = ivf_store_paths(root)
+    compact_store_tree(spark, vectors_path, "cell", "vec_id")
+    return _search_appended_ivf(spark, vectors_path)

@@ -887,3 +887,73 @@ def verify_shard_manifest(
         "want_fp",
         ok.alias("ok"),
     )
+
+
+@register(
+    "shard_store_compaction",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           bit_xor({_content_fp("duckdb")}) AS content_fp
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: shard-store compaction (OPTIMIZE counterpart, content-preserving)",
+)
+def shard_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction of the incremental shard store, content-checked: the
+    two-batch append (as :func:`incremental_shard_export`) leaves every
+    shard split across per-batch files; :func:`..io.maintenance.
+    compact_store_tree` rewrites the tree to ONE file per shard in the
+    reserved ``batch_seq = -1`` generation, and the output manifests the
+    COMPACTED files — per-shard doc/token counts plus the 56-bit
+    order-insensitive content fingerprint. The oracle recomputes all
+    three from the source table through the two-batch assignment
+    arithmetic alone, so a hash match proves compaction preserved every
+    document byte-for-byte while collapsing the small files the ledger
+    protocol accumulates (one per shard per epoch → one per shard; at
+    10k epochs that is the difference between an object-store listing
+    problem and a clean scan). The ledger is untouched: committed
+    batch_seqs still no-op on replay and the token-offset chain still
+    sums ledger rows, so appends continue correctly after compaction —
+    pinned by ``tests/test_mixing.py``."""
+    import os
+
+    from .load import scratch_dir
+    from ..io.maintenance import compact_store_tree
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_compaction")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, _ = shard_store_paths(root)
+    compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+    return (
+        spark.read.parquet(shards_path)
+        .groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+        )
+    )

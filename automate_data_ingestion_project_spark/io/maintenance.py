@@ -1,0 +1,115 @@
+"""Maintained-store maintenance: small-file compaction for the
+ledger-appended stores (token shards, IVF inverted lists).
+
+Every incremental append lands one-or-more files under the batch's own
+``batch_seq=B`` partition leaves. That is the durability protocol's
+strength — closed batches are never rewritten — and its long-run cost:
+after 10k epochs a shard/cell directory holds 10k small files, and at
+100 TB the NameNode/object-store listing and per-file open overhead
+dominate the scan. Compaction is the OPTIMIZE counterpart (Delta's
+``OPTIMIZE``, Iceberg's ``rewrite_data_files``): rewrite the tree with
+one file per leading partition value, byte-identical content, without
+breaking the ledger's replay guard.
+
+Design decisions, in terms of the append protocol:
+
+- Compacted rows keep the store's partition SCHEMA but move to the
+  reserved generation ``batch_seq = -1``: live appends only ever write
+  ``batch_seq >= 0`` leaves, and their self-heal globs target
+  ``batch_seq=<their own seq>``, so compacted files are never cleanup
+  candidates. Mixing partition depths (dropping ``batch_seq``) would
+  break parquet partition discovery instead.
+- The LEDGER is untouched. Replay idempotency consults only the ledger
+  (a committed ``batch_seq`` no-ops regardless of which generation now
+  holds its rows), and the token-shard offset chain sums ledger rows,
+  not files — so appends continue correctly after any number of
+  compactions.
+- The rewrite is a crash-safe whole-tree swap: build the compacted
+  tree beside the live one, then ``live -> live.old``,
+  ``tmp -> live``, drop ``live.old``. Every call first runs recovery
+  (restore a half-swapped tree, drop stale tmp), so a crashed
+  compaction is repaired by the next one. Compaction is a single-writer
+  maintenance operation — run it when no appender is active, exactly
+  like OPTIMIZE.
+- All listing/rename/delete goes through the Hadoop FileSystem API, so
+  the protocol carries to HDFS as written. On S3A a rename is a copy;
+  an object-store deployment would swap a manifest pointer instead —
+  the one documented seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMPACTED_BATCH_SEQ = -1
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = jpath(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def compact_store_tree(
+    spark: SparkSession,
+    live_path: str,
+    key_col: str,
+    sort_col: str,
+) -> int:
+    """Compact a ``(key_col, batch_seq)``-partitioned store tree to one
+    file per ``key_col`` value (hash-clustering by ``key_col`` puts each
+    key's rows in exactly one task, so the dynamic-partition write emits
+    exactly one file per key — the token-shard exporter's layout trick).
+
+    Returns the number of rows rewritten (0 = store empty or absent,
+    nothing done). Content is preserved exactly; tests fingerprint it.
+    """
+    fs, jpath = _fs(spark, live_path)
+    live = jpath(live_path)
+    old = jpath(live_path + ".old")
+    tmp = jpath(live_path + ".compact")
+
+    # recovery from a crashed prior compaction, in swap order
+    if not fs.exists(live) and fs.exists(old):
+        fs.rename(old, live)  # crashed between the two renames
+    if fs.exists(tmp):
+        fs.delete(tmp, True)  # stale build, never swapped in
+    if fs.exists(old):
+        fs.delete(old, True)  # crashed after the swap, before cleanup
+
+    if not fs.exists(live):
+        return 0
+    df = spark.read.parquet(live_path)
+    n = df.count()
+    if n == 0:
+        return 0
+    (
+        df.withColumn("batch_seq", F.lit(COMPACTED_BATCH_SEQ))
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, sort_col)
+        .write.mode("overwrite")
+        .partitionBy(key_col, "batch_seq")
+        .parquet(live_path + ".compact")
+    )
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, True)
+    # the swap bypassed Spark's write path for the live location
+    spark.catalog.refreshByPath(live_path)
+    return n
+
+
+def data_file_count(spark: SparkSession, path: str) -> int:
+    """Number of parquet data files under a store tree (metadata-only
+    recursive listing through the Hadoop FileSystem API)."""
+    fs, jpath = _fs(spark, path)
+    p = jpath(path)
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    count = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            count += 1
+    return count

@@ -611,3 +611,134 @@ def test_verify_shard_manifest_detects_planted_corruption(spark, tmp_path):
         for r in verify_shard_manifest(exported, partial).collect()
     }
     assert report2[victim.shard_id] is False
+
+
+def test_shard_store_compaction_preserves_content_and_append_path(
+    spark, tmp_path
+):
+    """Compaction collapses the per-epoch small files to ONE file per
+    shard (reserved batch_seq=-1 generation), preserves every document
+    (content fingerprint per shard unchanged), leaves the ledger's
+    replay guard working, and a post-compaction append lands at the
+    correct token offset beside the compacted generation."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+        data_file_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    budget = 5000
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 1"), root, 0, budget=budget
+    )
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 2"), root, 1, budget=budget
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+
+    def fingerprints():
+        return {
+            r.shard_id: (r.n, r.fp)
+            for r in spark.read.parquet(shards_path)
+            .groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "bit_xor(cast(conv(substr(md5(concat(cast(doc_id as "
+                    "string), ':', text)), 1, 14), 16, 10) as bigint))"
+                ).alias("fp"),
+            )
+            .collect()
+        }
+
+    before = fingerprints()
+    n_shards = len(before)
+    assert data_file_count(spark, shards_path) > n_shards  # split files
+
+    n = compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+    assert n == sum(c for c, _ in before.values())
+    # one file per shard, all in the compacted generation
+    assert data_file_count(spark, shards_path) == n_shards
+    compacted = spark.read.parquet(shards_path)
+    assert {r.batch_seq for r in compacted.select("batch_seq").distinct().collect()} == {-1}
+    assert fingerprints() == before
+
+    # ledger untouched: a replay of committed batch 1 is still a no-op
+    files_now = data_file_count(spark, shards_path)
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 2"), root, 1, budget=budget
+    )
+    assert data_file_count(spark, shards_path) == files_now
+
+    # a NEW batch appends beside the compacted generation at the right
+    # offset: total per-shard assignment equals a never-compacted store
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 0"), root, 2, budget=budget
+    )
+    spark.catalog.refreshByPath(shards_path)
+    got = {
+        r.doc_id: int(r.shard_id)
+        for r in spark.read.parquet(shards_path).collect()
+    }
+
+    root2 = str(tmp_path / "store_nocompact")
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 1"), root2, 0, budget=budget
+    )
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 2"), root2, 1, budget=budget
+    )
+    append_token_shard_batch(
+        spark, docs.filter("doc_id % 3 = 0"), root2, 2, budget=budget
+    )
+    shards2, _ = shard_store_paths(root2)
+    want = {
+        r.doc_id: int(r.shard_id)
+        for r in spark.read.parquet(shards2).collect()
+    }
+    assert got == want
+
+
+def test_compaction_swap_crash_recovery(spark, tmp_path):
+    """A compaction that crashed between the two swap renames leaves
+    live missing and live.old intact; the next compaction call must
+    restore and complete (content preserved)."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+        data_file_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 1)
+    shards_path, _ = shard_store_paths(root)
+    n_total = spark.read.parquet(shards_path).count()
+
+    # simulate the crash window: live renamed away, tmp half-built
+    import os
+    import shutil
+
+    os.rename(shards_path, shards_path + ".old")
+    os.makedirs(shards_path + ".compact")
+
+    n = compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+    assert n == n_total
+    spark.catalog.refreshByPath(shards_path)
+    after = spark.read.parquet(shards_path)
+    assert after.count() == n_total
+    assert not os.path.exists(shards_path + ".old")
+    assert not os.path.exists(shards_path + ".compact")

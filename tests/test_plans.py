@@ -876,3 +876,27 @@ def test_ann_ivf_ingest_replay_scan_prunes_on_appended_store(spark, sf_dir):
         for x in re.search(r" IN \(([0-9,]+)\)", pf_lines[0]).group(1).split(",")
     )
     assert 0 < len(in_list) < N_CELLS
+
+
+def test_ivf_compacted_store_keeps_partition_pruning(spark, sf_dir):
+    """Compaction must not cost the store its search property: the
+    candidate scan over the COMPACTED tree still carries the literal
+    PartitionFilters IN-list on `cell` (cell leads the partition spec in
+    the batch_seq=-1 generation exactly as in the per-epoch leaves)."""
+    import re
+
+    from automate_data_ingestion_project_spark.analytics.ivf import N_CELLS
+
+    df = entrymod.queries()["ivf_store_compaction"](spark, sf_dir)
+    plan = _formatted(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln and " IN (" in ln
+    ]
+    assert pf_lines, "no literal cell pruning in the compacted-store scan"
+    in_list = sorted(
+        int(x)
+        for x in re.search(r" IN \(([0-9,]+)\)", pf_lines[0]).group(1).split(",")
+    )
+    assert 0 < len(in_list) < N_CELLS
