@@ -957,3 +957,62 @@ def shard_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
         )
     )
+
+
+@register(
+    "shard_store_asof",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(1 AS BIGINT) AS n_batches,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: shard-store time travel (as-of generation read, partition-pruned)",
+)
+def shard_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the incremental shard store: after the SAME
+    two-batch append as :func:`incremental_shard_export`, read the
+    store AS OF batch 0 — the exact shard set the store held before
+    batch 1 committed. Because every batch owns its ``batch_seq=B``
+    partition leaves and closed batches are never rewritten, the as-of
+    read is a pure partition filter (the scan prunes to the
+    generations' directories — ``PartitionFilters`` on ``batch_seq``,
+    pinned by ``tests/test_plans.py``) at zero extra storage: Delta's
+    VERSION AS OF, priced into the append protocol itself. The oracle
+    recomputes batch 0's export from scratch (batch-0 docs only, walked
+    in (scramble, doc_id) order), so a hash match proves the historical
+    generation is byte-recoverable, not merely that a filter ran. The
+    trade is stated, not silent: compaction collapses history, and
+    :func:`..io.maintenance.read_store_asof` raises on a compacted
+    store."""
+    from .load import scratch_dir
+    from ..io.maintenance import read_store_asof
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_asof")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, _ = shard_store_paths(root)
+    return _two_batch_shard_stats(read_store_asof(spark, shards_path, 0))

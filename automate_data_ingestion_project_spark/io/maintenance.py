@@ -113,3 +113,71 @@ def data_file_count(spark: SparkSession, path: str) -> int:
         if it.next().getPath().getName().endswith(".parquet"):
             count += 1
     return count
+
+
+def read_store_asof(
+    spark: SparkSession, data_path: str, batch_seq: int
+) -> DataFrame:
+    """Time-travel read of a ledger-appended store: the rows as they
+    stood after batch ``batch_seq`` committed — i.e. the generations
+    ``0..batch_seq``. Because every batch owns its ``batch_seq=B``
+    partition leaves and closed batches are never rewritten, an as-of
+    read is a pure partition filter: the scan prunes to the wanted
+    generations' directories and never opens a newer file (the poor
+    man's Delta time travel, priced at zero extra storage).
+
+    Compaction trades this away: the ``batch_seq = -1`` generation
+    collapses history, so an as-of read on a compacted store is
+    ill-defined and raises — retention policy is "as-of works until
+    you compact", stated rather than silently wrong.
+    """
+    fs, jpath = _fs(spark, data_path)
+    compacted = fs.globStatus(
+        jpath(f"{data_path}/*/batch_seq={COMPACTED_BATCH_SEQ}")
+    )
+    if compacted is not None and len(compacted) > 0:
+        raise ValueError(
+            "as-of read unavailable: this store has a compacted "
+            f"generation (batch_seq={COMPACTED_BATCH_SEQ}) that collapsed "
+            "its per-batch history"
+        )
+    return spark.read.parquet(data_path).filter(
+        F.col("batch_seq").between(0, batch_seq)
+    )
+
+
+def vacuum_store(
+    spark: SparkSession, data_path: str, ledger_path: str
+) -> int:
+    """Remove orphan partition leaves whose ``batch_seq`` never
+    committed — the global form of the append's per-batch self-heal
+    (which only cleans the batch being retried). A crashed writer that
+    is never retried leaves its files stranded forever otherwise; at
+    100 TB that is paid storage and scan-planning noise. Committed
+    generations and the compacted generation are never candidates.
+
+    Returns the number of leaves deleted. Safe to run concurrently with
+    READERS (their snapshot listed files before the delete) but, like
+    compaction, it is a single-writer maintenance op: an appender
+    mid-write looks exactly like a crashed one.
+    """
+    fs, jpath = _fs(spark, data_path)
+    ledger_p = jpath(ledger_path)
+    committed: set[int] = {COMPACTED_BATCH_SEQ}
+    if fs.exists(ledger_p) and any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(ledger_p)
+    ):
+        committed |= {
+            r.batch_seq for r in spark.read.parquet(ledger_path).collect()
+        }
+    leaves = fs.globStatus(jpath(f"{data_path}/*/batch_seq=*")) or []
+    dropped = 0
+    for s in leaves:
+        seq = int(s.getPath().getName().split("=", 1)[1])
+        if seq not in committed:
+            fs.delete(s.getPath(), True)
+            dropped += 1
+    if dropped:
+        spark.catalog.refreshByPath(data_path)
+    return dropped

@@ -193,6 +193,7 @@ def main() -> int:
             "stream_ann_ivf_ingest_replay",
             "shard_store_compaction",
             "ivf_store_compaction",
+            "shard_store_asof",
         )
         if n in QUERIES
     ]

@@ -742,3 +742,82 @@ def test_compaction_swap_crash_recovery(spark, tmp_path):
     assert after.count() == n_total
     assert not os.path.exists(shards_path + ".old")
     assert not os.path.exists(shards_path + ".compact")
+
+
+def test_vacuum_drops_only_uncommitted_leaves(spark, tmp_path, monkeypatch):
+    """vacuum_store: after a crashed append that was never retried, the
+    orphan batch_seq leaves are deleted; committed generations (and a
+    compacted generation) are never candidates."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        vacuum_store,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    shards_path, ledger_path = shard_store_paths(root)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_ledger(self, path, *args, **kwargs):
+        if path == ledger_path:
+            raise RuntimeError("injected crash before ledger commit")
+        return real_parquet(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_ledger)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 1)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    before = _file_md5s(shards_path)
+    assert any("batch_seq=1" in p for p in before)  # orphans present
+
+    dropped = vacuum_store(spark, shards_path, ledger_path)
+    assert dropped > 0
+    after = _file_md5s(shards_path)
+    assert not any("batch_seq=1" in p for p in after)
+    # committed batch-0 files byte-untouched
+    assert after == {p: h for p, h in before.items() if "batch_seq=0" in p}
+    # a second vacuum is a no-op
+    assert vacuum_store(spark, shards_path, ledger_path) == 0
+
+
+def test_asof_read_raises_on_compacted_store(spark, tmp_path):
+    """read_store_asof: correct per-generation content on a live store;
+    an explicit error once compaction collapsed history."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+        read_store_asof,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "store")
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 1)
+    shards_path, _ = shard_store_paths(root)
+
+    asof0 = read_store_asof(spark, shards_path, 0)
+    want0 = docs.filter("doc_id % 3 = 1").count()
+    assert asof0.count() == want0
+    assert read_store_asof(spark, shards_path, 1).count() == docs.filter(
+        "doc_id % 3 != 0"
+    ).count()
+
+    compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+    with pytest.raises(ValueError, match="compacted"):
+        read_store_asof(spark, shards_path, 0)

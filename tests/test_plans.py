@@ -900,3 +900,17 @@ def test_ivf_compacted_store_keeps_partition_pruning(spark, sf_dir):
         for x in re.search(r" IN \(([0-9,]+)\)", pf_lines[0]).group(1).split(",")
     )
     assert 0 < len(in_list) < N_CELLS
+
+
+def test_shard_store_asof_scan_prunes_generations(spark, sf_dir):
+    """The as-of read is a partition filter: the scan over the shard
+    store must carry a PartitionFilters entry on batch_seq, so a
+    time-travel read never opens newer generations' files."""
+    df = entrymod.queries()["shard_store_asof"](spark, sf_dir)
+    plan = _formatted(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "batch_seq" in ln
+    ]
+    assert pf_lines, "no batch_seq partition pruning in the as-of scan"
