@@ -1002,3 +1002,37 @@ def stream_neardup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_verified_dups",
         "is_near_dup",
     )
+
+
+@register(
+    "neardup_compacted_ingest_replay",
+    oracle=_ingest_replay_oracle_sql(),
+    survey_ref="fuzzy dedup: ingest loop with mid-loop index compaction (decisions invariant)",
+)
+def neardup_compacted_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-batch ingestion replay with an index COMPACTION between
+    the batches: after batch 1's appends, :meth:`..textops.
+    neardup_index.NearDupIndex.compact` rewrites the rows/bands/roster
+    trees (each ingest otherwise accumulates one small file set per
+    table per epoch — the long-running loop's object-store listing
+    problem), then batch 2 probes the compacted index. It hash-matches
+    the identical DuckDB oracle as :func:`neardup_ingest_replay`:
+    batch 2 still detects near-dups OF BATCH-1 DOCS (the appended
+    bands survived the rewrite byte-for-meaning), the replay guard
+    still sees batch-1's roster rows, and candidate/verify counts are
+    unchanged — compaction is invisible to the loop's semantics, which
+    is the whole contract of a maintenance op."""
+    index = _clone_replay_index(spark, sf_dir, "neardup_compacted_replay")
+    b1, b2 = _replay_batches(load_table(spark, sf_dir, "documents"))
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
+        index.compact()
+        d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
+    finally:
+        spark.conf.set(conf_key, prior)
+    return d1.unionByName(d2).select(
+        "batch_no", "batch_id", "n_candidates", "n_verified_dups", "is_near_dup"
+    )

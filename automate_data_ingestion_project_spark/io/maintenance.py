@@ -181,3 +181,58 @@ def vacuum_store(
     if dropped:
         spark.catalog.refreshByPath(data_path)
     return dropped
+
+
+def compact_flat_tree(
+    spark: SparkSession,
+    live_path: str,
+    sort_cols: list[str],
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Compact an UNPARTITIONED parquet tree (the near-dup index's
+    rows/bands/roster dirs, which grow one file set per ingest) down to
+    ``ceil(total_bytes / target_bytes)`` sorted files, via the same
+    crash-safe swap as :func:`compact_store_tree`. Returns the file
+    count after compaction (0 = tree absent/empty, nothing done).
+
+    ``target_bytes`` defaults to the classic 128 MiB split size;
+    production passes its ``spark.sql.files.maxPartitionBytes`` so one
+    compacted file feeds one scan task.
+    """
+    import math
+
+    fs, jpath = _fs(spark, live_path)
+    live = jpath(live_path)
+    old = jpath(live_path + ".old")
+    tmp = jpath(live_path + ".compact")
+
+    if not fs.exists(live) and fs.exists(old):
+        fs.rename(old, live)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+    if not fs.exists(live):
+        return 0
+    total = 0
+    it = fs.listFiles(live, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    if total == 0:
+        return 0
+    n_files = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(live_path)
+        .repartition(n_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(live_path + ".compact")
+    )
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, True)
+    spark.catalog.refreshByPath(live_path)
+    return n_files

@@ -468,3 +468,41 @@ class NearDupIndex:
             new_bands.write.mode("append").parquet(self.bands_path)
         if new_hashes is not None:
             new_hashes.write.mode("append").parquet(self.hashes_path)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, target_bytes: int = 128 << 20) -> None:
+        """Small-file compaction of the index's plain-parquet trees
+        (rows, bands, roster) — each ingest appends a file set, so a
+        long-running loop accumulates one small file per table per
+        epoch; this rewrites each tree to size-targeted sorted files
+        via the crash-safe swap in :func:`..io.maintenance.
+        compact_flat_tree`. Decisions are unchanged by construction
+        (candidate generation ``.distinct()``s and the verify uses
+        set-ops), and the roster keeps covering every indexed doc, so
+        the replay guard is unaffected — the registered
+        ``neardup_compacted_ingest_replay`` query hash-proves both.
+
+        Ordering note: the roster is compacted FIRST. Compaction is a
+        content-preserving rewrite, so the roster-last APPEND invariant
+        is not at stake; compacting roster first means a crash mid-way
+        leaves the roster (the commit marker) intact-or-older, never
+        newer than the band/row trees.
+
+        The bucketed variant's band table is a catalog table whose
+        bucket layout already hash-clusters appends; its file-count
+        maintenance is the catalog's INSERT OVERWRITE (not done here —
+        the rows/roster trees still compact).
+        """
+        from ..io.maintenance import compact_flat_tree
+
+        compact_flat_tree(
+            self.spark, self.hashes_path, ["doc_id"], target_bytes
+        )
+        compact_flat_tree(
+            self.spark, self.rows_path, ["doc_id"], target_bytes
+        )
+        if not self.bands_table:
+            compact_flat_tree(
+                self.spark, self.bands_path, ["band_key", "doc_id"], target_bytes
+            )

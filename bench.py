@@ -194,6 +194,7 @@ def main() -> int:
             "shard_store_compaction",
             "ivf_store_compaction",
             "shard_store_asof",
+            "neardup_compacted_ingest_replay",
         )
         if n in QUERIES
     ]

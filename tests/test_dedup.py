@@ -563,3 +563,69 @@ def test_bucketed_build_releases_its_persist(spark, tmp_path):
         assert _persisted_ids() <= ids_before
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {index.bands_table}")
+
+
+def test_index_compaction_collapses_files_and_preserves_reads(spark, tmp_path):
+    """NearDupIndex.compact(): after several ingests each tree holds
+    one file set per epoch; compaction collapses each to a single
+    size-targeted file, preserves every row, and detection still works
+    over the compacted index."""
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        data_file_count,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    for i, text in enumerate(
+        (
+            "completely different words about distributed query engines here",
+            "yet another novel document about stream processing semantics",
+            "third novel document concerning columnar storage formats",
+        )
+    ):
+        b = spark.createDataFrame(
+            [(10 + i, text)], "doc_id long, text string"
+        )
+        index.ingest_batch(b)
+
+    before = {
+        p: (
+            spark.read.parquet(p).count(),
+            data_file_count(spark, p),
+        )
+        for p in (index.rows_path, index.bands_path, index.hashes_path)
+    }
+    assert all(files > 1 for _, files in before.values())
+
+    index.compact()
+
+    for p, (n_rows, _) in before.items():
+        assert spark.read.parquet(p).count() == n_rows
+        assert data_file_count(spark, p) == 1
+
+    # detection still works over the compacted trees, and the replay
+    # guard still sees the compacted roster
+    near = spark.createDataFrame(
+        [(20, "zz completely different words about distributed query engines here")],
+        "doc_id long, text string",
+    )
+    assert {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(near).collect()
+    } == {20: True}
+    n_bands = index.bands().count()
+    index.ingest_batch(
+        spark.createDataFrame(
+            [(10, "completely different words about distributed query engines here")],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert index.bands().count() == n_bands  # replay appended nothing

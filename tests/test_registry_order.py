@@ -3,10 +3,10 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-12 window composition — the round's deliverable — must hold:
-the five r12 additions lead, then the two queries whose code changed
+the six r12 additions lead, then the two queries whose code changed
 this round, then the full 25-row r8-vintage tail (closing out the r8
 vintage; the oldest surviving evidence after this round is r9), then
-the oldest 18 r9-vintage rows."""
+the oldest 17 r9-vintage rows."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
@@ -17,6 +17,7 @@ R12_HEAD = [
     "shard_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
     "ivf_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
     "shard_store_asof",  # NEW in r12 (time-travel generation read)
+    "neardup_compacted_ingest_replay",  # NEW in r12 (mid-loop compaction)
     "incremental_shard_export",  # empty-batch fix + Hadoop-FS store ops
     "stream_shard_export",  # streaming twin (empty-epoch guard removed)
 ]
@@ -46,7 +47,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round12_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:7] == R12_HEAD
+    assert first50[:8] == R12_HEAD
     assert R8_VINTAGE <= set(first50)
 
 
