@@ -651,3 +651,60 @@ def test_incremental_shard_append_matches_python_model_on_any_corpus(
             expected.append((d, cum // budget, b))
             cum += n
     assert got == sorted(expected)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=batched_corpora(), data=st.data())
+def test_compaction_at_any_point_preserves_shard_assignment(
+    spark, case, data, tmp_path_factory
+):
+    """Running compact_store_tree after ANY prefix of the append
+    sequence (including after an empty batch, and possibly repeatedly)
+    must leave the final per-doc shard assignment identical to the
+    never-compacted model — compaction is semantically invisible to
+    the append protocol at every interleaving point."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+    )
+
+    rows, n_batches, budget = case
+    compact_after = data.draw(
+        st.integers(min_value=0, max_value=n_batches - 1),
+        label="compact_after_batch",
+    )
+    root = str(tmp_path_factory.mktemp("compact_shards"))
+    shards_path, _ = shard_store_paths(root)
+    for b in range(n_batches):
+        batch = [(d, t) for d, s, t in rows if d % n_batches == b]
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        append_token_shard_batch(spark, df, root, b, budget=budget)
+        if b == compact_after:
+            compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+
+    got = sorted(
+        (r.doc_id, int(r.shard_id))
+        for r in spark.read.parquet(shards_path).collect()
+    )
+
+    expected = []
+    cum = 0
+    for b in range(n_batches):
+        batch = [(d, t) for d, s, t in rows if d % n_batches == b]
+        for d, t in sorted(
+            batch, key=lambda dt: (_scramble_py("shard", dt[0]), dt[0])
+        ):
+            n = len(t.split(" "))  # Spark size(split): '' -> 1 token
+            expected.append((d, cum // budget))
+            cum += n
+    assert got == sorted(expected)
