@@ -708,3 +708,84 @@ def test_compaction_at_any_point_preserves_shard_assignment(
             expected.append((d, cum // budget))
             cum += n
     assert got == sorted(expected)
+
+
+@st.composite
+def vector_corpora(draw):
+    """(vec_id, embedding) corpora with duplicate directions, zero-ish
+    vectors avoided (norm>0 for cosine), split into append batches —
+    the shapes frozen-codebook assignment must be invariant under."""
+    n = draw(st.integers(min_value=9, max_value=24))  # ≥ n_cells + 1
+    dim = 4
+    rows = []
+    for vec_id in range(n):
+        vec = [
+            float(draw(st.integers(min_value=-5, max_value=5))) for _ in range(dim)
+        ]
+        if all(v == 0.0 for v in vec):
+            vec[0] = 1.0
+        rows.append((vec_id, vec))
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    return rows, n_batches
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=vector_corpora())
+def test_ivf_append_matches_from_scratch_assignment_on_any_corpus(
+    spark, case, tmp_path_factory
+):
+    """Sequential append_ivf_batch calls over ANY corpus split (batches
+    by vec_id % n_batches, so empty and singleton batches occur) must
+    land every vector in the cell a from-scratch assignment over the
+    same frozen codebook gives it — including replayed batches, which
+    must change nothing."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        append_ivf_batch,
+        ivf_store_paths,
+    )
+
+    rows, n_batches = case
+    schema = "vec_id long, embedding array<float>"
+    emb = spark.createDataFrame(rows, schema)
+    n_cells = 4
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    root = str(tmp_path_factory.mktemp("ivf_prop"))
+    for b in range(n_batches):
+        batch = emb.filter(F.col("vec_id") % n_batches == b)
+        append_ivf_batch(spark, batch, centroids, root, b)
+    # replay the first batch: committed no-op
+    append_ivf_batch(
+        spark, emb.filter(F.col("vec_id") % n_batches == 0), centroids, root, 0
+    )
+
+    vectors_path, _ = ivf_store_paths(root)
+    got = {
+        r.vec_id: int(r.cell)
+        for r in spark.read.parquet(vectors_path).collect()
+    }
+
+    # python model: nearest centroid by dot product, ties to lower cell
+    cents = {i: rows[i][1] for i in range(n_cells)}
+    expected = {}
+    for vec_id, vec in rows:
+        best = max(
+            cents,
+            key=lambda c: (
+                sum(a * b for a, b in zip(vec, cents[c])),
+                -c,
+            ),
+        )
+        expected[vec_id] = best
+    assert got == expected
+    assert len(got) == len(rows)  # replay added nothing, nothing lost

@@ -182,3 +182,40 @@ def test_ivf_append_protocol(spark, sf_dir, tmp_path):
         .filter("got != want")
     )
     assert mismatch.count() == 0
+
+
+def test_ivf_store_asof_reads_generations(spark, sf_dir, tmp_path):
+    """read_store_asof is store-agnostic: on the IVF store it returns
+    exactly the generations up to the asked batch, and raises once
+    compaction collapsed history — the same contract the shard store
+    registers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        N_CELLS,
+        append_ivf_batch,
+        ivf_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+        read_store_asof,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    root = str(tmp_path / "ivf")
+    b0, b1 = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    append_ivf_batch(spark, b0, centroids, root, 0)
+    append_ivf_batch(spark, b1, centroids, root, 1)
+    vectors_path, _ = ivf_store_paths(root)
+
+    assert read_store_asof(spark, vectors_path, 0).count() == b0.count()
+    assert read_store_asof(spark, vectors_path, 1).count() == emb.count()
+
+    compact_store_tree(spark, vectors_path, "cell", "vec_id")
+    with pytest.raises(ValueError, match="compacted"):
+        read_store_asof(spark, vectors_path, 0)
