@@ -334,53 +334,22 @@ def append_ivf_batch(
     ``cell``, pinned by tests/test_plans.py) because ``cell`` stays the
     leading partition key.
     """
+    from ..io.maintenance import append_store_batch
+
     vectors_path, ledger_path = ivf_store_paths(root)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    hconf = spark._jsc.hadoopConfiguration()
-    ledger_p = jpath(ledger_path)
-    fs = ledger_p.getFileSystem(hconf)
-    if fs.exists(ledger_p) and any(
-        s.getPath().getName().endswith(".parquet")
-        for s in fs.listStatus(ledger_p)
-    ):
-        committed = spark.read.parquet(ledger_path).collect()
-        if any(r.batch_seq == batch_seq for r in committed):
-            return  # replay of a committed batch: no-op
-    # self-heal: wipe orphans a crashed prior attempt of THIS batch left
-    leftovers = fs.globStatus(
-        jpath(f"{vectors_path}/cell=*/batch_seq={batch_seq}")
-    )
-    for s in leftovers or []:
-        fs.delete(s.getPath(), True)
-    if vectors.isEmpty():
-        spark.createDataFrame(
-            [(batch_seq, 0)], "batch_seq int, n_vectors long"
-        ).coalesce(1).write.mode("append").parquet(ledger_path)
-        return
     sized = vectors.select(
         "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
     )
-    (
-        assign_cells(sized, centroids)
-        .withColumn("batch_seq", F.lit(batch_seq))
-        .repartition("cell")
-        .sortWithinPartitions("cell", "vec_id")
-        .write.mode("append")
-        .partitionBy("cell", "batch_seq")
-        .parquet(vectors_path)
+    append_store_batch(
+        spark,
+        vectors_path,
+        ledger_path,
+        assign_cells(sized, centroids),
+        batch_seq,
+        key_col="cell",
+        sort_col="vec_id",
+        count_col="n_vectors",
     )
-    # the self-heal delete bypassed Spark's write path — invalidate any
-    # stale FileStatusCache entries before the read-back
-    spark.catalog.refreshByPath(vectors_path)
-    # commit marker LAST; the count comes from the WRITTEN files
-    n = (
-        spark.read.parquet(vectors_path)
-        .filter(F.col("batch_seq") == batch_seq)
-        .count()
-    )
-    spark.createDataFrame(
-        [(batch_seq, n)], "batch_seq int, n_vectors long"
-    ).coalesce(1).write.mode("append").parquet(ledger_path)
 
 
 _BATCH_EXPR = "CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END"

@@ -461,3 +461,238 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---- incremental IVF-PQ ingest (frozen coarse + PQ codebooks) -------------
+
+
+def ivfpq_store_paths(root: str) -> tuple[str, str]:
+    """(codes_dir, ledger_dir) under an incremental IVF-PQ store root —
+    the same beside-the-data ledger layout every maintained store here
+    uses."""
+    import os
+
+    return os.path.join(root, "codes"), os.path.join(root, "ledger")
+
+
+def _codebook_subs(emb: DataFrame) -> DataFrame:
+    """(s, j, cvec): the frozen PQ codebook's per-subspace centroids —
+    derived once from the codebook sample rows; batches encode against
+    THIS relation, never against their own rows (a batch need not
+    contain any codebook id)."""
+    return (
+        emb.filter(F.col("vec_id").isin(CODEBOOK_IDS))
+        .select(
+            F.col("vec_id").cast("int").alias("j"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", s * SUBDIM + 1, SUBDIM)
+                        for s in range(M)
+                    ]
+                )
+            ).alias("s", "cvec"),
+        )
+        .select("s", "j", "cvec")
+    )
+
+
+def encode_pq_batch(batch: DataFrame, codebook_subs: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>): PQ-encode a vector batch against the
+    frozen codebook — per-subspace squared-L2 argmin under the (d, j)
+    total order, codes packed positionally (codes[s] = nearest centroid
+    of subspace s). One broadcast join + one aggregate; M·K rows per
+    vector in flight, M ints per vector at rest — the 100 TB trade PQ
+    exists for (64 float dims → 4 bytes here; real deployments M=64+)."""
+    subs = batch.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", s * SUBDIM + 1, SUBDIM)
+                    for s in range(M)
+                ]
+            )
+        ).alias("s", "subvec"),
+    )
+    dists = subs.join(F.broadcast(codebook_subs), "s").select(
+        "vec_id", "s", "j", F.expr(_sqdist_sql("subvec", "cvec")).alias("d")
+    )
+    per_sub = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "j")).alias("m"))
+        .select("vec_id", "s", F.col("m.j").alias("code"))
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x.code,
+        ).alias("codes")
+    )
+
+
+def append_ivfpq_batch(
+    spark: SparkSession,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook_subs: DataFrame,
+    root: str,
+    batch_seq: int,
+) -> None:
+    """Incremental IVF-PQ index maintenance — FAISS's ``add()`` on a
+    trained IVFPQ index, relationally: each batch's vectors are
+    coarse-quantized against the frozen IVF centroids AND PQ-encoded
+    against the frozen subspace codebooks, and ONLY ``(vec_id, codes,
+    cell)`` rows land in the store — the raw embeddings are never
+    stored, which is the point of the composed index at 100 TB (M
+    small ints per vector instead of D floats; the store IS the codes).
+
+    Durability: the generic unordered ledger protocol
+    (:func:`..io.maintenance.append_store_batch`) — batches are
+    independent because both quantizers are frozen, a replayed
+    committed batch is a no-op, an empty batch commits ``(batch_seq,
+    0)``, crash retries self-heal their own leaves, and ``cell`` leads
+    the partition spec so ADC candidate scans stay partition-pruned
+    over the growing store."""
+    from ..io.maintenance import append_store_batch
+    from ..textops.similarity import norm_sql
+    from .ivf import assign_cells
+
+    codes_path, ledger_path = ivfpq_store_paths(root)
+    sized = vectors.select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    cells = assign_cells(sized, centroids).select("vec_id", "cell")
+    rows = encode_pq_batch(vectors, codebook_subs).join(cells, "vec_id")
+    append_store_batch(
+        spark,
+        codes_path,
+        ledger_path,
+        rows,
+        batch_seq,
+        key_col="cell",
+        sort_col="vec_id",
+        count_col="n_vectors",
+    )
+
+
+def _ivfpq_ingest_oracle() -> str:
+    """The IVF-PQ oracle extended with per-query n_batches over the
+    candidate set (batch membership = the vec_id % 3 split) — derived
+    from :func:`_ivfpq_oracle` so the ADC arithmetic can never drift
+    between the build-once and ingest forms."""
+    base = _ivfpq_oracle()
+    nb_cte = """    nb AS (
+        SELECT query_id,
+               CAST(COUNT(DISTINCT CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_batches
+        FROM cand GROUP BY 1
+    ),
+    subs AS ("""
+    assert "    subs AS (" in base
+    out = base.replace("    subs AS (", nb_cte, 1)
+    old_final = f"""    SELECT query_id, vec_id, adist, rnk, n_candidates
+    FROM ranked WHERE rnk <= {TOP_K}"""
+    new_final = f"""    SELECT r.query_id, r.vec_id, r.adist, r.rnk, r.n_candidates,
+           nb.n_batches
+    FROM ranked r JOIN nb USING (query_id)
+    WHERE r.rnk <= {TOP_K}"""
+    assert old_final in out
+    return out.replace(old_final, new_final, 1)
+
+
+def pq_query_lut(query_emb: DataFrame, codebook_subs: DataFrame) -> DataFrame:
+    """(query_id, s, j, qd): the per-query ADC lookup table computed
+    directly from the query vectors against the frozen codebook —
+    Q·M·K rows, always broadcast; never touches the corpus (the codes
+    store holds no raw embeddings to recompute from)."""
+    subs = query_emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", s * SUBDIM + 1, SUBDIM)
+                    for s in range(M)
+                ]
+            )
+        ).alias("s", "subvec"),
+    )
+    return subs.join(F.broadcast(codebook_subs), "s").select(
+        "query_id", "s", "j", F.expr(_sqdist_sql("subvec", "cvec")).alias("qd")
+    )
+
+
+@register(
+    "ann_ivfpq_ingest_replay",
+    oracle=_ivfpq_ingest_oracle(),
+    survey_ref="similarity search: incremental IVF-PQ ingest (codes-only store, frozen quantizers)",
+)
+def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental IVF-PQ build, then ADC search over the
+    APPENDED codes-only store — FAISS's train-once / add-forever
+    contract end-to-end: batch 0 (vec_id % 3 != 0) seeds the store,
+    batch 1 is appended against the SAME frozen coarse centroids and PQ
+    codebooks, batch 0 is replayed (no-op), and the search reads ONLY
+    (vec_id, codes, cell) rows — the store never holds a raw embedding,
+    which is the composed index's reason to exist at 100 TB (M ints per
+    vector at rest; the query's own vectors supply the LUT). The
+    candidate scan partition-prunes on the probed cells; ADC hash-
+    matches the from-scratch oracle, and ``n_batches = 2`` rows prove
+    the inverted lists span both appends."""
+    from .ivf import N_CELLS, _probed_cells
+    from .load import scratch_dir
+    from ..operators.caching import tracked_persist
+    from ..textops.similarity import norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cb_subs = tracked_persist(_codebook_subs(emb))
+    root = scratch_dir("ann_ivfpq_ingest_replay")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)
+    append_ivfpq_batch(spark, b1, centroids, cb_subs, root, 1)
+    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)  # replay
+
+    codes_path, _ = ivfpq_store_paths(root)
+    store = spark.read.parquet(codes_path)
+    qcell = store.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = store.filter(F.col("cell").isin(_probed_cells(qcell))).select(
+        "vec_id", "codes", "batch_seq", "cell"
+    )
+    pairs = tracked_persist(
+        qcell.join(cand, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    )
+    ncand = pairs.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    nb = pairs.groupBy("query_id").agg(
+        F.countDistinct("batch_seq").alias("n_batches")
+    )
+    exploded = pairs.select(
+        "query_id",
+        "vec_id",
+        F.posexplode("codes").alias("s", "code"),
+    )
+    lut = (
+        pq_query_lut(emb.filter(F.col("vec_id").isin(QUERY_IDS)), cb_subs)
+        .withColumnRenamed("query_id", "l_qid")
+        .withColumnRenamed("s", "l_s")
+        .withColumnRenamed("j", "l_j")
+    )
+    joined = exploded.join(
+        F.broadcast(lut),
+        (F.col("query_id") == F.col("l_qid"))
+        & (F.col("s") == F.col("l_s"))
+        & (F.col("code") == F.col("l_j")),
+    ).select("vec_id", "query_id", "s", "qd")
+    scored = (
+        _adc_from_joined(joined)
+        .join(F.broadcast(ncand), "query_id")
+        .join(F.broadcast(nb), "query_id")
+    )
+    return _rank_adc(scored, extra_cols=["n_candidates", "n_batches"])

@@ -236,3 +236,71 @@ def compact_flat_tree(
     fs.delete(old, True)
     spark.catalog.refreshByPath(live_path)
     return n_files
+
+
+def append_store_batch(
+    spark: SparkSession,
+    data_path: str,
+    ledger_path: str,
+    rows: DataFrame,
+    batch_seq: int,
+    key_col: str,
+    sort_col: str,
+    count_col: str = "n_rows",
+) -> None:
+    """The UNORDERED ledger-append protocol, generically: append
+    ``rows`` (already derived; no ``batch_seq`` column) under
+    ``data_path``'s ``{key_col}=K/batch_seq={batch_seq}`` leaves with
+    the ledger row as the commit marker. Shared by every maintained
+    store whose batches are independent (IVF cells, IVF-PQ codes —
+    any store whose row derivation is a pure function of a frozen
+    artifact); the token-shard store keeps its own ordered variant
+    because its offset arithmetic chains batches.
+
+    Protocol legs (same as ``mixing.append_token_shard_batch``):
+    replayed committed batch → no-op; crash retry → self-heal of this
+    batch's own leaves only; empty batch → ``(batch_seq, 0)`` ledger
+    row, no data write (a zero-row dynamic-partition write leaves a
+    schema-less tree); ledger row written LAST from the read-back of
+    the written files. All filesystem ops via the Hadoop FileSystem
+    API.
+    """
+    fs, jpath = _fs(spark, data_path)
+    ledger_p = jpath(ledger_path)
+    if fs.exists(ledger_p) and any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(ledger_p)
+    ):
+        committed = spark.read.parquet(ledger_path).collect()
+        if any(r.batch_seq == batch_seq for r in committed):
+            return  # replay of a committed batch: no-op
+    leftovers = fs.globStatus(
+        jpath(f"{data_path}/{key_col}=*/batch_seq={batch_seq}")
+    )
+    for s in leftovers or []:
+        fs.delete(s.getPath(), True)
+    ledger_schema = f"batch_seq int, {count_col} long"
+    if rows.isEmpty():
+        spark.createDataFrame(
+            [(batch_seq, 0)], ledger_schema
+        ).coalesce(1).write.mode("append").parquet(ledger_path)
+        return
+    (
+        rows.withColumn("batch_seq", F.lit(batch_seq))
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, sort_col)
+        .write.mode("append")
+        .partitionBy(key_col, "batch_seq")
+        .parquet(data_path)
+    )
+    # the self-heal delete bypassed Spark's write path — invalidate any
+    # stale FileStatusCache entries before the read-back
+    spark.catalog.refreshByPath(data_path)
+    n = (
+        spark.read.parquet(data_path)
+        .filter(F.col("batch_seq") == batch_seq)
+        .count()
+    )
+    spark.createDataFrame(
+        [(batch_seq, n)], ledger_schema
+    ).coalesce(1).write.mode("append").parquet(ledger_path)

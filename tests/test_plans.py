@@ -914,3 +914,42 @@ def test_shard_store_asof_scan_prunes_generations(spark, sf_dir):
         if "PartitionFilters" in ln and "batch_seq" in ln
     ]
     assert pf_lines, "no batch_seq partition pruning in the as-of scan"
+
+
+def test_ann_ivfpq_ingest_store_is_codes_only_and_prunes(spark, sf_dir):
+    """The incremental IVF-PQ store must hold codes, not vectors (the
+    composed index's 100 TB contract), and the ADC candidate scan over
+    the appended store must partition-prune on the probed cells."""
+    import re
+
+    from automate_data_ingestion_project_spark.analytics.ivf import N_CELLS
+    from automate_data_ingestion_project_spark.analytics.load import (
+        scratch_path,
+    )
+    from automate_data_ingestion_project_spark.analytics.pq import (
+        M,
+        ivfpq_store_paths,
+    )
+
+    df = entrymod.queries()["ann_ivfpq_ingest_replay"](spark, sf_dir)
+    plan = _formatted(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln and " IN (" in ln
+    ]
+    assert pf_lines, "no literal cell pruning in the codes-store scan"
+    in_list = sorted(
+        int(x)
+        for x in re.search(r" IN \(([0-9,]+)\)", pf_lines[0]).group(1).split(",")
+    )
+    assert 0 < len(in_list) < N_CELLS
+
+    # the store schema is (vec_id, codes[M], cell, batch_seq) — no
+    # raw embedding column anywhere at rest
+    codes_path, _ = ivfpq_store_paths(scratch_path("ann_ivfpq_ingest_replay"))
+    store = spark.read.parquet(codes_path)
+    assert "embedding" not in store.columns
+    assert set(store.columns) == {"vec_id", "codes", "cell", "batch_seq"}
+    row = store.limit(1).collect()[0]
+    assert len(row.codes) == M
