@@ -622,42 +622,17 @@ def pq_query_lut(query_emb: DataFrame, codebook_subs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_ingest_replay",
-    oracle=_ivfpq_ingest_oracle(),
-    survey_ref="similarity search: incremental IVF-PQ ingest (codes-only store, frozen quantizers)",
-)
-def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-batch incremental IVF-PQ build, then ADC search over the
-    APPENDED codes-only store — FAISS's train-once / add-forever
-    contract end-to-end: batch 0 (vec_id % 3 != 0) seeds the store,
-    batch 1 is appended against the SAME frozen coarse centroids and PQ
-    codebooks, batch 0 is replayed (no-op), and the search reads ONLY
-    (vec_id, codes, cell) rows — the store never holds a raw embedding,
-    which is the composed index's reason to exist at 100 TB (M ints per
-    vector at rest; the query's own vectors supply the LUT). The
-    candidate scan partition-prunes on the probed cells; ADC hash-
-    matches the from-scratch oracle, and ``n_batches = 2`` rows prove
-    the inverted lists span both appends."""
-    from .ivf import N_CELLS, _probed_cells
-    from .load import scratch_dir
+def _search_codes_store(
+    store: DataFrame, emb: DataFrame, cb_subs: DataFrame
+) -> DataFrame:
+    """ADC top-k over an appended codes-only store (the shared output
+    shape of the batch IVF-PQ ingest replay and its streaming twin):
+    probe-cell discovery, partition-pruned candidate scan, positional
+    code explode, LUT from the query vectors, pivot-ordered ADC, plus
+    per-query n_batches proving candidate lists span the appends."""
+    from .ivf import _probed_cells
     from ..operators.caching import tracked_persist
-    from ..textops.similarity import norm_sql
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
-    )
-    cb_subs = tracked_persist(_codebook_subs(emb))
-    root = scratch_dir("ann_ivfpq_ingest_replay")
-    b0 = emb.filter(F.col("vec_id") % 3 != 0)
-    b1 = emb.filter(F.col("vec_id") % 3 == 0)
-    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)
-    append_ivfpq_batch(spark, b1, centroids, cb_subs, root, 1)
-    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)  # replay
-
-    codes_path, _ = ivfpq_store_paths(root)
-    store = spark.read.parquet(codes_path)
     qcell = store.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -674,9 +649,7 @@ def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("batch_seq").alias("n_batches")
     )
     exploded = pairs.select(
-        "query_id",
-        "vec_id",
-        F.posexplode("codes").alias("s", "code"),
+        "query_id", "vec_id", F.posexplode("codes").alias("s", "code")
     )
     lut = (
         pq_query_lut(emb.filter(F.col("vec_id").isin(QUERY_IDS)), cb_subs)
@@ -696,3 +669,92 @@ def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "query_id")
     )
     return _rank_adc(scored, extra_cols=["n_candidates", "n_batches"])
+
+
+@register(
+    "ann_ivfpq_ingest_replay",
+    oracle=_ivfpq_ingest_oracle(),
+    survey_ref="similarity search: incremental IVF-PQ ingest (codes-only store, frozen quantizers)",
+)
+def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental IVF-PQ build, then ADC search over the
+    APPENDED codes-only store — FAISS's train-once / add-forever
+    contract end-to-end: batch 0 (vec_id % 3 != 0) seeds the store,
+    batch 1 is appended against the SAME frozen coarse centroids and PQ
+    codebooks, batch 0 is replayed (no-op), and the search reads ONLY
+    (vec_id, codes, cell) rows — the store never holds a raw embedding,
+    which is the composed index's reason to exist at 100 TB (M ints per
+    vector at rest; the query's own vectors supply the LUT). The
+    candidate scan partition-prunes on the probed cells; ADC hash-
+    matches the from-scratch oracle, and ``n_batches = 2`` rows prove
+    the inverted lists span both appends."""
+    from .ivf import N_CELLS
+    from .load import scratch_dir
+    from ..operators.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cb_subs = tracked_persist(_codebook_subs(emb))
+    root = scratch_dir("ann_ivfpq_ingest_replay")
+    b0 = emb.filter(F.col("vec_id") % 3 != 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)
+    append_ivfpq_batch(spark, b1, centroids, cb_subs, root, 1)
+    append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)  # replay
+
+    codes_path, _ = ivfpq_store_paths(root)
+    return _search_codes_store(spark.read.parquet(codes_path), emb, cb_subs)
+
+
+@register(
+    "stream_ann_ivfpq_ingest_replay",
+    oracle=_ivfpq_ingest_oracle(),
+    survey_ref="streaming: continuous IVF-PQ index maintenance (foreachBatch, full oracle)",
+)
+def stream_ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-batch IVF-PQ ingest, driven by Structured
+    Streaming: the batches land as embedding files, drained one
+    micro-batch each, ``foreachBatch`` running :func:`append_ivfpq_batch`
+    with the epoch id as the batch sequence
+    (:func:`..streaming.ivf.stream_ivfpq_ingest`). Hash-matches the
+    identical oracle as :func:`ann_ivfpq_ingest_replay` — the streaming
+    drain is code-for-code equivalent to the batch append and to a
+    from-scratch encode."""
+    import os
+
+    from .ivf import N_CELLS
+    from .load import scratch_dir
+    from ..operators.caching import tracked_persist
+    from ..streaming.ivf import stream_ivfpq_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cb_subs = tracked_persist(_codebook_subs(emb))
+    root = scratch_dir("stream_ann_ivfpq_ingest_replay")
+    src = os.path.join(root, "incoming")
+    emb.filter(F.col("vec_id") % 3 != 0).coalesce(1).write.parquet(
+        os.path.join(src, "batch1")
+    )
+    emb.filter(F.col("vec_id") % 3 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "batch2")
+    )
+    t0 = os.stat(os.path.join(src, "batch1")).st_mtime
+    for sub, off in (("batch1", 0), ("batch2", 60)):
+        for walk_root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                p = os.path.join(walk_root, f)
+                os.utime(p, (t0 + off, t0 + off))
+    store = stream_ivfpq_ingest(
+        spark,
+        os.path.join(src, "*"),
+        centroids,
+        cb_subs,
+        os.path.join(root, "store"),
+        os.path.join(root, "ckpt"),
+        shuffle_partitions=8,
+    )
+    return _search_codes_store(store, emb, cb_subs)

@@ -100,3 +100,60 @@ def stream_ivf_ingest(
         # nothing pending is a normal state for a continuous indexer
         return spark.createDataFrame([], _STORE_SCHEMA)
     return spark.read.parquet(vectors_path)
+
+
+def stream_ivfpq_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    centroids: DataFrame,
+    codebook_subs: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """The IVF-PQ form of :func:`stream_ivf_ingest`: drain pending
+    embedding files into the codes-only IVF-PQ store
+    (``analytics/pq.append_ivfpq_batch``), epoch id as batch sequence.
+    Same exactly-once shape — both quantizers are frozen, so epochs are
+    independent and a replayed committed epoch is a ledger no-op.
+    Returns the stored code rows."""
+    from ..analytics.pq import append_ivfpq_batch, ivfpq_store_paths
+
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        append_ivfpq_batch(
+            spark,
+            batch_df.select("vec_id", "embedding"),
+            centroids,
+            codebook_subs,
+            root,
+            int(epoch_id),
+        )
+
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, prior)
+    codes_path, _ = ivfpq_store_paths(root)
+    if not os.path.isdir(codes_path):
+        return spark.createDataFrame(
+            [], "vec_id long, codes array<int>, cell int, batch_seq int"
+        )
+    return spark.read.parquet(codes_path)

@@ -192,6 +192,7 @@ def main() -> int:
             "ann_ivf_ingest_replay",
             "stream_ann_ivf_ingest_replay",
             "ann_ivfpq_ingest_replay",
+            "stream_ann_ivfpq_ingest_replay",
             "shard_store_compaction",
             "ivf_store_compaction",
             "shard_store_asof",

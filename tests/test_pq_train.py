@@ -59,3 +59,34 @@ def test_training_plan_broadcasts_codebook(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_batch_encoding_equals_whole_corpus_codes(spark, sf_dir):
+    """encode_pq_batch against the frozen codebook must give every
+    vector the SAME codes whether encoded in one pass or in arbitrary
+    batches — the invariance the incremental IVF-PQ store rests on."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.pq import (
+        _codebook_subs,
+        encode_pq_batch,
+        pq_codes,
+        pq_dists,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _codebook_subs(emb)
+
+    whole = {
+        (r.vec_id, r.s): r.code for r in pq_codes(pq_dists(emb)).collect()
+    }
+    batched = {}
+    for b in range(3):
+        got = encode_pq_batch(
+            emb.filter(F.col("vec_id") % 3 == b), cb
+        ).collect()
+        for r in got:
+            for s, code in enumerate(r.codes):
+                batched[(r.vec_id, s)] = code
+    assert batched == whole
