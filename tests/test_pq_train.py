@@ -90,3 +90,58 @@ def test_batch_encoding_equals_whole_corpus_codes(spark, sf_dir):
             for s, code in enumerate(r.codes):
                 batched[(r.vec_id, s)] = code
     assert batched == whole
+
+
+def test_ivfpq_store_compaction_preserves_codes(spark, sf_dir, tmp_path):
+    """compact_store_tree applies unchanged to the codes-only IVF-PQ
+    store: one file per cell afterwards, every (vec_id, codes, cell)
+    row preserved, new appends still land beside the compacted
+    generation."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.ivf import N_CELLS
+    from automate_data_ingestion_project_spark.analytics.pq import (
+        _codebook_subs,
+        append_ivfpq_batch,
+        ivfpq_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        compact_store_tree,
+        data_file_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cb = _codebook_subs(emb)
+    root = str(tmp_path / "store")
+    append_ivfpq_batch(
+        spark, emb.filter("vec_id % 3 = 1"), centroids, cb, root, 0
+    )
+    append_ivfpq_batch(
+        spark, emb.filter("vec_id % 3 = 2"), centroids, cb, root, 1
+    )
+    codes_path, _ = ivfpq_store_paths(root)
+
+    def snapshot():
+        return {
+            r.vec_id: (tuple(r.codes), int(r.cell))
+            for r in spark.read.parquet(codes_path).collect()
+        }
+
+    before = snapshot()
+    n_cells_used = len({c for _, c in before.values()})
+    assert data_file_count(spark, codes_path) > n_cells_used
+
+    n = compact_store_tree(spark, codes_path, "cell", "vec_id")
+    assert n == len(before)
+    assert data_file_count(spark, codes_path) == n_cells_used
+    assert snapshot() == before
+
+    append_ivfpq_batch(
+        spark, emb.filter("vec_id % 3 = 0"), centroids, cb, root, 2
+    )
+    spark.catalog.refreshByPath(codes_path)
+    assert spark.read.parquet(codes_path).count() == emb.count()
