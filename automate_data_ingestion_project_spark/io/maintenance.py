@@ -304,3 +304,36 @@ def append_store_batch(
     spark.createDataFrame(
         [(batch_seq, n)], ledger_schema
     ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Small-file compaction for a bucketed catalog table (the near-dup
+    index's band table accumulates one file set per bucket per ingest):
+    rewrite through a staging table with the SAME bucket spec, so the
+    compacted table still joins exchange-free on ``bucket_col``.
+
+    The staging hop exists because Spark refuses to overwrite a table
+    it is reading from; it also means the data is written twice — fine
+    for a maintenance window, and the honest local stand-in for what a
+    production deployment does with one metadata swap (Delta/Iceberg
+    ``REPLACE TABLE`` / ``rewrite_data_files``, the documented seam for
+    every catalog-table mutation in this repo).
+    """
+    from .sink import write_bucketed_table
+
+    staging = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed_table(
+        spark.table(table), staging, bucket_col, n_buckets, sort_col=sort_col
+    )
+    write_bucketed_table(
+        spark.table(staging), table, bucket_col, n_buckets,
+        sort_col=sort_col, mode="overwrite",
+    )
+    spark.sql(f"DROP TABLE {staging}")

@@ -489,12 +489,12 @@ class NearDupIndex:
         leaves the roster (the commit marker) intact-or-older, never
         newer than the band/row trees.
 
-        The bucketed variant's band table is a catalog table whose
-        bucket layout already hash-clusters appends; its file-count
-        maintenance is the catalog's INSERT OVERWRITE (not done here —
-        the rows/roster trees still compact).
+        The bucketed variant's band table compacts through
+        :func:`..io.maintenance.compact_bucketed_table` (a staging-table
+        rewrite preserving the bucket spec, so probes stay
+        exchange-free afterwards).
         """
-        from ..io.maintenance import compact_flat_tree
+        from ..io.maintenance import compact_bucketed_table, compact_flat_tree
 
         compact_flat_tree(
             self.spark, self.hashes_path, ["doc_id"], target_bytes
@@ -502,7 +502,15 @@ class NearDupIndex:
         compact_flat_tree(
             self.spark, self.rows_path, ["doc_id"], target_bytes
         )
-        if not self.bands_table:
+        if self.bands_table:
+            compact_bucketed_table(
+                self.spark,
+                self.bands_table,
+                "band_key",
+                self.bucket_bands,
+                sort_col="band_key",
+            )
+        else:
             compact_flat_tree(
                 self.spark, self.bands_path, ["band_key", "doc_id"], target_bytes
             )

@@ -629,3 +629,49 @@ def test_index_compaction_collapses_files_and_preserves_reads(spark, tmp_path):
         )
     ).collect()
     assert index.bands().count() == n_bands  # replay appended nothing
+
+
+def test_bucketed_index_compaction_keeps_exchange_free_probe(spark, tmp_path):
+    """The bucketed variant's compaction must preserve the bucket spec:
+    after several ingests + compact(), the band table reads back whole,
+    detection still works, and the probe join against the bucketed side
+    stays exchange-free (no shuffle of the corpus index)."""
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(
+        spark, corpus, str(tmp_path / "idx"), bucket_bands=4
+    )
+    for i, text in enumerate(
+        (
+            "completely different words about distributed query engines here",
+            "yet another novel document about stream processing semantics",
+        )
+    ):
+        index.ingest_batch(
+            spark.createDataFrame([(10 + i, text)], "doc_id long, text string")
+        )
+    n_before = index.bands().count()
+
+    index.compact()
+
+    assert index.bands().count() == n_before
+    # bucket layout preserved in the catalog
+    ddl = spark.sql(f"SHOW CREATE TABLE {index.bands_table}").collect()[0][0]
+    assert "CLUSTERED BY" in ddl and "band_key" in ddl
+    # detection over the compacted table, including a batch-1 near-dup
+    near = spark.createDataFrame(
+        [(20, "zz completely different words about distributed query engines here")],
+        "doc_id long, text string",
+    )
+    assert {
+        r.batch_id: r.is_near_dup for r in index.ingest_batch(near).collect()
+    } == {20: True}
