@@ -758,3 +758,113 @@ def stream_ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFram
         shuffle_partitions=8,
     )
     return _search_codes_store(store, emb, cb_subs)
+
+
+SHORTLIST = 20  # ADC shortlist size feeding the exact refine stage
+
+
+@register(
+    "ann_pq_refined_topk",
+    oracle=f"""
+    WITH subs AS (
+        SELECT vec_id, CAST(s AS INTEGER) AS s,
+               list_slice(embedding, s * {SUBDIM} + 1, (s + 1) * {SUBDIM})
+                   AS subvec
+        FROM embeddings, (SELECT unnest(range(0, {M})) AS s)
+    ),
+    cb AS (
+        SELECT s, CAST(vec_id AS INTEGER) AS j, subvec AS cvec
+        FROM subs WHERE vec_id IN ({_CBIDS})
+    ),
+    dists AS (
+        SELECT c.vec_id, c.s, b.j,
+               {_sqdist_sql('c.subvec', 'b.cvec', 'duckdb')} AS d
+        FROM subs c JOIN cb b USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code
+        FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT vec_id AS query_id, s, j, d AS qd
+        FROM dists WHERE vec_id IN ({_QIDS})
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id,
+               {" + ".join(f"MAX(CASE WHEN c.s = {s} THEN l.qd END)" for s in range(M))}
+                   AS adist
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+        GROUP BY l.query_id, c.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id, adist FROM (
+            SELECT query_id, vec_id, adist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adist, vec_id
+                   ) AS arnk
+            FROM adc WHERE query_id != vec_id
+        ) WHERE arnk <= {SHORTLIST}
+    ),
+    refined AS (
+        SELECT s.query_id, s.vec_id, s.adist,
+               {_sqdist_sql('q.embedding', 'c.embedding', 'duckdb')} AS l2_dist
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, adist, l2_dist, rnk FROM (
+        SELECT query_id, vec_id, adist, l2_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY l2_dist, vec_id
+               ) AS INTEGER) AS rnk
+        FROM refined
+    ) WHERE rnk <= {TOP_K}
+    """,
+    survey_ref="similarity search: ADC shortlist + exact refine (FAISS IndexRefineFlat)",
+)
+def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search — PQ/ADC produces a SHORTLIST (top-20 by
+    approximate distance), then the EXACT squared-L2 is recomputed for
+    shortlist members only and the final top-k is ranked by it: FAISS's
+    ``IndexRefineFlat``, the standard production recall repair (ADC's
+    quantization error re-orders near-ties; the refine step fixes the
+    head of the list at the cost of Q·SHORTLIST full-precision
+    distances instead of Q·N).
+
+    Scale shape: the shortlist is Q·SHORTLIST rows — broadcast — so the
+    refine join-back to the corpus is a semi-join point-lookup on
+    ``vec_id`` (at 100 TB: a row-group-pruned scan of only the
+    shortlisted vectors, never a corpus pass), and the ADC stage is the
+    already-audited :func:`ann_pq_topk` machinery."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dists = pq_dists(emb)
+    codes = pq_codes(dists)
+    lut = pq_lut(dists)
+    scored = adc_scores(codes, lut)
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    shortlist = (
+        scored.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= SHORTLIST)
+        .select("query_id", "vec_id", "adist")
+    )
+    q_emb = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).filter(F.col("query_id").isin(QUERY_IDS))
+    refined = (
+        F.broadcast(shortlist)
+        .join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn("l2_dist", F.expr(_sqdist_sql("q_emb", "embedding")))
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "adist", "l2_dist", "rnk")
+    )

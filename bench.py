@@ -193,6 +193,7 @@ def main() -> int:
             "stream_ann_ivf_ingest_replay",
             "ann_ivfpq_ingest_replay",
             "stream_ann_ivfpq_ingest_replay",
+            "ann_pq_refined_topk",
             "shard_store_compaction",
             "ivf_store_compaction",
             "shard_store_asof",

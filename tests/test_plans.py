@@ -953,3 +953,16 @@ def test_ann_ivfpq_ingest_store_is_codes_only_and_prunes(spark, sf_dir):
     assert set(store.columns) == {"vec_id", "codes", "cell", "batch_seq"}
     row = store.limit(1).collect()[0]
     assert len(row.codes) == M
+
+
+def test_pq_refine_broadcasts_shortlist_no_corpus_shuffle(spark, sf_dir):
+    """The refine stage's join-back to full-precision vectors must
+    broadcast the Q·SHORTLIST shortlist — the corpus side is never
+    shuffled for the refine (at 100 TB it is a row-group-pruned
+    point-lookup scan, not an exchange)."""
+    df = entrymod.queries()["ann_pq_refined_topk"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the refine tail: the only
+    # corpus-wide exchanges belong to the ADC stage's aggregates
+    assert "SortMergeJoin" not in plan
