@@ -66,14 +66,14 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-12 ordering: (1) the nine queries ADDED this round;
+# comes first. Round-12 ordering: (1) the ten queries ADDED this round;
 # (2) the two queries whose code changed this round (empty-batch
 # short-circuit + Hadoop-FS self-heal in append_token_shard_batch;
 # the streaming twin's empty-epoch guard removed), so their official
 # rows are post-change; (3) the full 25-row r8-vintage tail (the r11
 # verdict's declared r12 front-load — after this round no surviving
-# evidence predates round 9); (4) the oldest 14 r9-vintage rows in
-# their r9 check order (9 + 2 + 25 + 14 = 50); the remaining 32 r9
+# evidence predates round 9); (4) the oldest 13 r9-vintage rows in
+# their r9 check order (10 + 2 + 25 + 13 = 50); the remaining 33 r9
 # rows below the boundary marker roll to round 13.
 _CHECK_FIRST = [
     # (1) NEW in r12: incremental IVF ingest (per-batch cell assignment
@@ -90,6 +90,7 @@ _CHECK_FIRST = [
     "ann_ivfpq_ingest_replay",
     "stream_ann_ivfpq_ingest_replay",
     "ann_pq_refined_topk",
+    "ann_refined_recall_eval",
     "shard_store_compaction",
     "ivf_store_compaction",
     "shard_store_asof",
@@ -143,10 +144,10 @@ _CHECK_FIRST = [
     "big_ticket_orders",
     "cheapest_supplier_per_part",
     "customer_interarrival",
-    "promo_revenue_share",
     # ---- round-12 window boundary (positions 1-50 above) ----
-    # r13 front-load starts here: the remaining 32 r9-vintage rows in
+    # r13 front-load starts here: the remaining 33 r9-vintage rows in
     # their r9 check order.
+    "promo_revenue_share",
     "median_order_by_nation",
     "small_qty_revenue_by_brand",
     "important_revenue_nations",

@@ -763,9 +763,8 @@ def stream_ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFram
 SHORTLIST = 20  # ADC shortlist size feeding the exact refine stage
 
 
-@register(
-    "ann_pq_refined_topk",
-    oracle=f"""
+def _refined_oracle() -> str:
+    return f"""
     WITH subs AS (
         SELECT vec_id, CAST(s AS INTEGER) AS s,
                list_slice(embedding, s * {SUBDIM} + 1, (s + 1) * {SUBDIM})
@@ -824,7 +823,12 @@ SHORTLIST = 20  # ADC shortlist size feeding the exact refine stage
                ) AS INTEGER) AS rnk
         FROM refined
     ) WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_pq_refined_topk",
+    oracle=_refined_oracle(),
     survey_ref="similarity search: ADC shortlist + exact refine (FAISS IndexRefineFlat)",
 )
 def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,4 +871,90 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "adist", "l2_dist", "rnk")
+    )
+
+
+@register(
+    "ann_refined_recall_eval",
+    oracle=f"""
+    WITH ex AS ({_exact_l2_oracle()}),
+    pq AS (SELECT query_id, vec_id FROM ({_pq_oracle()}) p),
+    rf AS (SELECT query_id, vec_id FROM ({_refined_oracle()}) r),
+    hit_pq AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex JOIN pq ON ex.query_id = pq.query_id
+                       AND ex.vec_id = pq.vec_id
+        GROUP BY 1
+    ),
+    hit_rf AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex JOIN rf ON ex.query_id = rf.query_id
+                       AND ex.vec_id = rf.vec_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n, 0) AS DOUBLE) / {TOP_K} AS recall_pq,
+           CAST(COALESCE(r.n, 0) AS DOUBLE) / {TOP_K} AS recall_refined
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit_pq p USING (query_id)
+    LEFT JOIN hit_rf r USING (query_id)
+    """,
+    survey_ref="similarity search: recall@k of refine vs plain ADC (the refine stage's value, measured)",
+)
+def ann_refined_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the plain ADC top-k AND the
+    shortlist+refine top-k against the exact-L2 ground truth, side by
+    side — the eval that justifies paying Q·SHORTLIST exact distances:
+    refine can only help (its candidate pool contains the ADC top-k and
+    it ranks by the true metric), and this row quantifies by how much
+    on the fixture. Ground truth is one brute-force pass per eval
+    batch; the comparison itself operates on Q·k relations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(_sqdist_sql("q_emb", "c_emb")).alias("l2d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("l2d", "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    from ..operators.caching import tracked_persist
+
+    exact = tracked_persist(exact)
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            approx.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    h_pq = hits(ann_pq_topk(spark, sf_dir), "n_pq")
+    h_rf = hits(ann_pq_refined_topk(spark, sf_dir), "n_rf")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(h_pq, "query_id", "left")
+        .join(h_rf, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_pq", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_pq"
+            ),
+            (F.coalesce("n_rf", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_refined"
+            ),
+        )
     )

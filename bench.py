@@ -194,6 +194,7 @@ def main() -> int:
             "ann_ivfpq_ingest_replay",
             "stream_ann_ivfpq_ingest_replay",
             "ann_pq_refined_topk",
+            "ann_refined_recall_eval",
             "shard_store_compaction",
             "ivf_store_compaction",
             "shard_store_asof",

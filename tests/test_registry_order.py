@@ -3,10 +3,10 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-12 window composition — the round's deliverable — must hold:
-the nine r12 additions lead, then the two queries whose code changed
+the ten r12 additions lead, then the two queries whose code changed
 this round, then the full 25-row r8-vintage tail (closing out the r8
 vintage; the oldest surviving evidence after this round is r9), then
-the oldest 14 r9-vintage rows."""
+the oldest 13 r9-vintage rows."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
@@ -17,6 +17,7 @@ R12_HEAD = [
     "ann_ivfpq_ingest_replay",  # NEW in r12 (codes-only IVF-PQ ingest)
     "stream_ann_ivfpq_ingest_replay",  # NEW in r12 (streaming twin)
     "ann_pq_refined_topk",  # NEW in r12 (ADC shortlist + exact refine)
+    "ann_refined_recall_eval",  # NEW in r12 (refine vs ADC, measured)
     "shard_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
     "ivf_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
     "shard_store_asof",  # NEW in r12 (time-travel generation read)
@@ -50,7 +51,7 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round12_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:11] == R12_HEAD
+    assert first50[:12] == R12_HEAD
     assert R8_VINTAGE <= set(first50)
 
 
