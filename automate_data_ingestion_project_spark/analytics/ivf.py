@@ -414,12 +414,37 @@ _TWO_BATCH_IVF_ORACLE = f"""
     """
 
 
-def _search_appended_ivf(spark: SparkSession, vectors_path: str) -> DataFrame:
+def _search_appended_ivf(
+    spark: SparkSession,
+    vectors_path: str,
+    ledger_path: str | None = None,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+) -> DataFrame:
     """IVF top-k over an APPENDED store (the shared output shape of the
     batch ingest replay and its streaming twin): probe-cell discovery,
     partition-pruned candidate scan, cosine top-k, plus per-query
-    ``n_batches`` proving candidate lists span the appends."""
-    assigned = spark.read.parquet(vectors_path)
+    ``n_batches`` proving candidate lists span the appends.
+
+    With ``ledger_path`` the scan is COMMITTED-READ isolated
+    (:func:`..io.maintenance.read_committed`): only ledger-committed
+    generations are visible, so a reader racing a crashed appender
+    never sees its orphan leaves — a pure extra ``PartitionFilters``
+    term on ``batch_seq``, zero scan cost. ``tombstones_path`` applies
+    the store's deletion mask (broadcast anti-join on ``vec_id``)."""
+    if ledger_path is not None:
+        from ..io.maintenance import read_committed
+
+        assigned = read_committed(
+            spark,
+            vectors_path,
+            ledger_path,
+            tombstones_path=tombstones_path,
+            tombstone_ledger_path=tombstone_ledger_path,
+            id_col="vec_id",
+        )
+    else:
+        assigned = spark.read.parquet(vectors_path)
     q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -499,8 +524,8 @@ def ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivf_batch(spark, b1, centroids, root, 1)
     append_ivf_batch(spark, b0, centroids, root, 0)  # replay: must no-op
 
-    vectors_path, _ = ivf_store_paths(root)
-    return _search_appended_ivf(spark, vectors_path)
+    vectors_path, ledger_path = ivf_store_paths(root)
+    return _search_appended_ivf(spark, vectors_path, ledger_path)
 
 
 @register(
@@ -549,8 +574,8 @@ def stream_ann_ivf_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "ckpt"),
         shuffle_partitions=8,
     )
-    vectors_path, _ = ivf_store_paths(os.path.join(root, "store"))
-    return _search_appended_ivf(spark, vectors_path)
+    vectors_path, ledger_path = ivf_store_paths(os.path.join(root, "store"))
+    return _search_appended_ivf(spark, vectors_path, ledger_path)
 
 
 @register(
@@ -586,6 +611,6 @@ def ivf_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivf_batch(
         spark, emb.filter(F.col("vec_id") % 3 == 0), centroids, root, 1
     )
-    vectors_path, _ = ivf_store_paths(root)
+    vectors_path, ledger_path = ivf_store_paths(root)
     compact_store_tree(spark, vectors_path, "cell", "vec_id")
-    return _search_appended_ivf(spark, vectors_path)
+    return _search_appended_ivf(spark, vectors_path, ledger_path)

@@ -545,6 +545,13 @@ def append_token_shard_batch(
     before ``partitionBy`` (tasks own their shards); ledger reads are
     O(#batches) rows; self-heal listing is metadata-only.
     """
+    if batch_seq < 0:
+        raise ValueError(
+            f"batch_seq must be >= 0 (got {batch_seq}): negative "
+            "sequences are reserved for the compacted generation — an "
+            "append into it would make its leaves self-heal candidates "
+            "and corrupt vacuum/as-of classification"
+        )
     shards_path, ledger_path = shard_store_paths(root)
     # store listing/cleanup goes through the Hadoop FileSystem API (not
     # os.listdir/shutil), so the protocol carries unchanged to
@@ -694,8 +701,15 @@ def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_token_shard_batch(
         spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
     )
-    shards_path, _ = shard_store_paths(root)
-    return _two_batch_shard_stats(spark.read.parquet(shards_path))
+    shards_path, ledger_path = shard_store_paths(root)
+    # committed-read isolation: only ledger-committed generations are
+    # visible (a pure PartitionFilters prune on batch_seq), so a reader
+    # racing a crashed appender never sees its orphan leaves
+    from ..io.maintenance import read_committed
+
+    return _two_batch_shard_stats(
+        read_committed(spark, shards_path, ledger_path)
+    )
 
 
 @register(
@@ -1014,5 +1028,11 @@ def shard_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_token_shard_batch(
         spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
     )
-    shards_path, _ = shard_store_paths(root)
-    return _two_batch_shard_stats(read_store_asof(spark, shards_path, 0))
+    shards_path, ledger_path = shard_store_paths(root)
+    # ledger_path engages the ordered-commit validation: the temporal
+    # reading of "as of batch 0" is only sound because this store's
+    # appends commit in batch_seq order (the token-shard chain enforces
+    # it); an unordered store would be refused here
+    return _two_batch_shard_stats(
+        read_store_asof(spark, shards_path, 0, ledger_path=ledger_path)
+    )

@@ -704,8 +704,15 @@ def ann_ivfpq_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivfpq_batch(spark, b1, centroids, cb_subs, root, 1)
     append_ivfpq_batch(spark, b0, centroids, cb_subs, root, 0)  # replay
 
-    codes_path, _ = ivfpq_store_paths(root)
-    return _search_codes_store(spark.read.parquet(codes_path), emb, cb_subs)
+    codes_path, ledger_path = ivfpq_store_paths(root)
+    # committed-read isolation: only ledger-committed generations are
+    # visible (pure PartitionFilters prune), so a racing crashed
+    # appender's orphan leaves can never leak into the candidate scan
+    from ..io.maintenance import read_committed
+
+    return _search_codes_store(
+        read_committed(spark, codes_path, ledger_path), emb, cb_subs
+    )
 
 
 @register(

@@ -1,4 +1,5 @@
-"""Maintained-store maintenance: small-file compaction for the
+"""Maintained-store maintenance: small-file compaction, committed-read
+isolation, time travel, vacuum, and tombstone deletion for the
 ledger-appended stores (token shards, IVF inverted lists).
 
 Every incremental append lands one-or-more files under the batch's own
@@ -15,10 +16,19 @@ Design decisions, in terms of the append protocol:
 
 - Compacted rows keep the store's partition SCHEMA but move to the
   reserved generation ``batch_seq = -1``: live appends only ever write
-  ``batch_seq >= 0`` leaves, and their self-heal globs target
+  ``batch_seq >= 0`` leaves (enforced — the append entry points reject
+  negative sequences), and their self-heal globs target
   ``batch_seq=<their own seq>``, so compacted files are never cleanup
   candidates. Mixing partition depths (dropping ``batch_seq``) would
   break parquet partition discovery instead.
+- Compaction records a WATERMARK (``_compaction_watermark``, an
+  underscore-named file inside the tree, invisible to parquet reads
+  and swapped atomically with the data): the highest real batch_seq
+  collapsed into the ``-1`` generation. Time travel stays available
+  ABOVE the watermark — Delta's retention-window trade, priced
+  explicitly: ``read_store_asof(N)`` answers for ``N >= watermark``
+  (the compacted generation IS generations ``0..watermark``) and
+  raises below it.
 - The LEDGER is untouched. Replay idempotency consults only the ledger
   (a committed ``batch_seq`` no-ops regardless of which generation now
   holds its rows), and the token-shard offset chain sums ledger rows,
@@ -26,15 +36,34 @@ Design decisions, in terms of the append protocol:
   compactions.
 - The rewrite is a crash-safe whole-tree swap: build the compacted
   tree beside the live one, then ``live -> live.old``,
-  ``tmp -> live``, drop ``live.old``. Every call first runs recovery
-  (restore a half-swapped tree, drop stale tmp), so a crashed
-  compaction is repaired by the next one. Compaction is a single-writer
-  maintenance operation — run it when no appender is active, exactly
-  like OPTIMIZE.
+  ``tmp -> live``, drop ``live.old``. Hadoop's ``rename`` signals
+  failure by RETURNING FALSE (it does not throw), so every swap leg is
+  checked and a failed second leg restores the original tree before
+  raising — the old copy is only deleted once the new tree is verified
+  in place. Every call first runs recovery (restore a half-swapped
+  tree, drop stale tmp), so a crashed compaction is repaired by the
+  next one. Compaction is a single-writer maintenance operation — run
+  it when no appender is active, exactly like OPTIMIZE.
 - All listing/rename/delete goes through the Hadoop FileSystem API, so
   the protocol carries to HDFS as written. On S3A a rename is a copy;
   an object-store deployment would swap a manifest pointer instead —
   the one documented seam.
+
+Read isolation: a reader racing a crashed (or in-flight) appender sees
+that batch's orphan leaves if it scans the directory raw — the files
+land before the ledger commit marker. :func:`read_committed` closes
+that window as a PURE partition filter (``batch_seq IN (committed ∪
+{-1})`` prunes at scan planning, zero per-row cost), giving the store
+snapshot-isolation semantics: only ledger-committed generations are
+visible, whatever half-written state the tree is in.
+
+Deletion (takedown / right-to-erasure): :func:`append_tombstones`
+records doc/vector ids to delete under the same ledger protocol
+(replay-idempotent, commit marker last). Readers apply tombstones as a
+broadcast anti-join (the takedown set is small by nature);
+:func:`compact_store_tree` applies them PHYSICALLY during a full
+collapse — the erasure completes when the rewrite drops the bytes,
+exactly Delta's DELETE-then-VACUUM story.
 """
 
 from __future__ import annotations
@@ -43,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 COMPACTED_BATCH_SEQ = -1
+_WATERMARK_NAME = "_compaction_watermark"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -51,26 +81,133 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def compact_store_tree(
+def store_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe for a store directory — the portable
+    form of ``os.path.isdir`` (which is always false on HDFS/S3A)."""
+    fs, jpath = _fs(spark, path)
+    return bool(fs.exists(jpath(path)))
+
+
+def _ledger_rows(spark: SparkSession, ledger_path: str):
+    """Committed ledger rows, or None if the ledger is absent/empty.
+    O(#batches) rows — the ledger is metadata, never data-sized."""
+    fs, jpath = _fs(spark, ledger_path)
+    p = jpath(ledger_path)
+    if not fs.exists(p) or not any(
+        s.getPath().getName().endswith(".parquet")
+        for s in fs.listStatus(p)
+    ):
+        return None
+    return spark.read.parquet(ledger_path).collect()
+
+
+def committed_batch_seqs(spark: SparkSession, ledger_path: str) -> set[int]:
+    """The set of ledger-committed batch sequences (empty if no ledger)."""
+    rows = _ledger_rows(spark, ledger_path)
+    return {r.batch_seq for r in rows} if rows else set()
+
+
+def read_committed(
     spark: SparkSession,
-    live_path: str,
-    key_col: str,
-    sort_col: str,
-) -> int:
-    """Compact a ``(key_col, batch_seq)``-partitioned store tree to one
-    file per ``key_col`` value (hash-clustering by ``key_col`` puts each
-    key's rows in exactly one task, so the dynamic-partition write emits
-    exactly one file per key — the token-shard exporter's layout trick).
+    data_path: str,
+    ledger_path: str,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read of a ledger-appended store: only rows in
+    ledger-COMMITTED generations (plus the compacted ``-1`` generation)
+    are visible. A crashed appender's orphan leaves — files written
+    before the ledger commit marker — are filtered out at scan PLANNING
+    time: ``batch_seq`` is a partition column, so the ``isin`` filter
+    is a pure ``PartitionFilters`` prune and the orphan files are never
+    opened. Zero cost relative to a raw read; this is the reader-side
+    half of the append protocol's crash-safety (the writer-side half is
+    retry self-heal / :func:`vacuum_store`).
 
-    Returns the number of rows rewritten (0 = store empty or absent,
-    nothing done). Content is preserved exactly; tests fingerprint it.
+    With ``tombstones_path`` set, committed tombstones are applied as a
+    broadcast LEFT ANTI join on ``id_col`` — the takedown set is small
+    by nature, so the corpus is never reshuffled for a deletion mask.
     """
-    fs, jpath = _fs(spark, live_path)
-    live = jpath(live_path)
-    old = jpath(live_path + ".old")
-    tmp = jpath(live_path + ".compact")
+    committed = sorted(
+        committed_batch_seqs(spark, ledger_path) | {COMPACTED_BATCH_SEQ}
+    )
+    df = spark.read.parquet(data_path).filter(
+        F.col("batch_seq").isin(committed)
+    )
+    if tombstones_path is not None and store_exists(spark, tombstones_path):
+        if tombstone_ledger_path is None or id_col is None:
+            raise ValueError(
+                "tombstones_path requires tombstone_ledger_path and id_col"
+            )
+        dead = (
+            read_committed(spark, tombstones_path, tombstone_ledger_path)
+            .select(id_col)
+            .distinct()
+        )
+        df = df.join(F.broadcast(dead), id_col, "left_anti")
+    return df
 
-    # recovery from a crashed prior compaction, in swap order
+
+def _read_watermark(spark: SparkSession, live_path: str) -> int | None:
+    """The compaction watermark recorded inside the tree, or None if
+    the store was never compacted by the watermark-aware path."""
+    fs, jpath = _fs(spark, live_path)
+    p = jpath(f"{live_path}/{_WATERMARK_NAME}")
+    if not fs.exists(p):
+        return None
+    # Hadoop's FSDataInputStream is awkward byte-at-a-time from py4j;
+    # the commons-io whole-stream utility (bundled with Hadoop) reads
+    # the few-byte marker in one call.
+    util = spark._jvm.org.apache.commons.io.IOUtils
+    stream = fs.open(p)
+    try:
+        txt = util.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(txt.strip())
+
+
+def _write_watermark(spark: SparkSession, tmp_path: str, value: int) -> None:
+    fs, jpath = _fs(spark, tmp_path)
+    out = fs.create(jpath(f"{tmp_path}/{_WATERMARK_NAME}"), True)
+    try:
+        out.write(str(value).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _checked_swap(fs, live, old, tmp) -> None:
+    """The crash-safe whole-tree swap with every rename leg CHECKED:
+    Hadoop ``rename`` reports failure by returning false, so an
+    unchecked swap that lost its second leg would go on to delete the
+    only intact copy of the store. The old tree is deleted only after
+    the new tree is verified in place."""
+    if not fs.rename(live, old):
+        raise IOError(
+            f"compaction swap failed: could not move {live} aside to {old}"
+        )
+    if not fs.rename(tmp, live):
+        restored = fs.rename(old, live)
+        raise IOError(
+            f"compaction swap failed: could not move {tmp} into place at "
+            f"{live}"
+            + (
+                ""
+                if restored
+                else f"; RESTORE ALSO FAILED — intact store left at {old}"
+            )
+        )
+    if not fs.exists(live):  # paranoia before the destructive leg
+        raise IOError(
+            f"compaction swap failed: {live} absent after rename; intact "
+            f"store left at {old}"
+        )
+    fs.delete(old, True)
+
+
+def _swap_recovery(fs, live, old, tmp) -> None:
+    """Entry-time repair of a crashed prior swap, in swap order."""
     if not fs.exists(live) and fs.exists(old):
         fs.rename(old, live)  # crashed between the two renames
     if fs.exists(tmp):
@@ -78,23 +215,125 @@ def compact_store_tree(
     if fs.exists(old):
         fs.delete(old, True)  # crashed after the swap, before cleanup
 
+
+def compact_store_tree(
+    spark: SparkSession,
+    live_path: str,
+    key_col: str,
+    sort_col: str,
+    upto_seq: int | None = None,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
+) -> int:
+    """Compact a ``(key_col, batch_seq)``-partitioned store tree
+    (hash-clustering by ``key_col`` puts each key's rows in exactly one
+    task, so the dynamic-partition write emits exactly one file per
+    compacted leaf — the token-shard exporter's layout trick).
+
+    Two modes, both recording the watermark that keeps
+    :func:`read_store_asof` honest:
+
+    - ``upto_seq=None`` (full collapse): every generation folds into
+      ``batch_seq = -1`` — one file per key. Watermark = the highest
+      real batch_seq observed, so as-of stays answerable only AT or
+      above the head (i.e. the present). This is also the only mode
+      that may apply tombstones physically (see below) — erasure must
+      drop every copy, and partial collapse would leave masked rows in
+      the untouched upper generations.
+    - ``upto_seq=K`` (retention compaction): generations ``0..K`` (and
+      any prior ``-1``) fold into ``batch_seq = -1``; generations above
+      K are preserved byte-identically. Small files collapse
+      epochs-fold below the watermark while time travel survives above
+      it — Delta's OPTIMIZE-within-retention.
+
+    With ``tombstones_path`` set (full collapse only), committed
+    tombstones are applied PHYSICALLY: masked rows are dropped from the
+    rewrite and the tombstone data files are deleted afterwards (their
+    ledger survives, so a replayed tombstone batch still no-ops).
+
+    Returns the number of rows rewritten (0 = store empty or absent,
+    nothing done). Content is preserved exactly (minus applied
+    tombstones); tests fingerprint it.
+    """
+    if upto_seq is not None and upto_seq < 0:
+        raise ValueError(f"upto_seq must be >= 0, got {upto_seq}")
+    if tombstones_path is not None and upto_seq is not None:
+        raise ValueError(
+            "physical tombstone apply requires a full collapse "
+            "(upto_seq=None): a partial compaction would leave masked "
+            "rows in the preserved upper generations"
+        )
+    fs, jpath = _fs(spark, live_path)
+    live = jpath(live_path)
+    old = jpath(live_path + ".old")
+    tmp = jpath(live_path + ".compact")
+    _swap_recovery(fs, live, old, tmp)
+
     if not fs.exists(live):
         return 0
     df = spark.read.parquet(live_path)
-    n = df.count()
+    prior_wm = _read_watermark(spark, live_path)
+    # head of the REAL generations (the compacted -1 generation's
+    # position in history is the watermark, not its partition value)
+    stats = df.agg(
+        F.max(F.when(F.col("batch_seq") >= 0, F.col("batch_seq"))).alias(
+            "head"
+        ),
+        F.count("*").alias("n_live"),
+    ).first()
+    if stats.n_live == 0:
+        return 0
+    head = stats.head
+    if tombstones_path is not None and store_exists(spark, tombstones_path):
+        if tombstone_ledger_path is None or id_col is None:
+            raise ValueError(
+                "tombstones_path requires tombstone_ledger_path and id_col"
+            )
+        dead = (
+            read_committed(spark, tombstones_path, tombstone_ledger_path)
+            .select(id_col)
+            .distinct()
+        )
+        df = df.join(F.broadcast(dead), id_col, "left_anti")
+    if upto_seq is None:
+        folded = df.withColumn("batch_seq", F.lit(COMPACTED_BATCH_SEQ))
+        candidates = [
+            x for x in (head, prior_wm) if x is not None
+        ]
+        # candidates empty only for a LEGACY store (compacted before
+        # watermarks existed, nothing but -1 rows): its true head is
+        # unknowable, so write no watermark rather than a wrong one
+        watermark = max(int(x) for x in candidates) if candidates else None
+    else:
+        fold_mask = F.col("batch_seq") <= F.lit(upto_seq)
+        folded = df.withColumn(
+            "batch_seq",
+            F.when(fold_mask, F.lit(COMPACTED_BATCH_SEQ)).otherwise(
+                F.col("batch_seq")
+            ),
+        )
+        watermark = max(
+            int(upto_seq), prior_wm if prior_wm is not None else -1
+        )
+    n = folded.count()
     if n == 0:
         return 0
     (
-        df.withColumn("batch_seq", F.lit(COMPACTED_BATCH_SEQ))
-        .repartition(key_col)
+        folded.repartition(key_col, "batch_seq")
         .sortWithinPartitions(key_col, sort_col)
         .write.mode("overwrite")
         .partitionBy(key_col, "batch_seq")
         .parquet(live_path + ".compact")
     )
-    fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, True)
+    if watermark is not None:
+        _write_watermark(spark, live_path + ".compact", watermark)
+    _checked_swap(fs, live, old, tmp)
+    if tombstones_path is not None and store_exists(spark, tombstones_path):
+        # erasure completed: the rewrite dropped the bytes; the
+        # tombstone LEDGER survives so replayed tombstone batches no-op
+        fs.delete(jpath(tombstones_path), True)
+        spark.catalog.refreshByPath(tombstones_path)
     # the swap bypassed Spark's write path for the live location
     spark.catalog.refreshByPath(live_path)
     return n
@@ -115,8 +354,42 @@ def data_file_count(spark: SparkSession, path: str) -> int:
     return count
 
 
+def assert_ordered_commits(spark: SparkSession, ledger_path: str) -> None:
+    """Validate that the ledger's COMMIT order matches its batch_seq
+    order — the precondition under which an as-of read is a temporal
+    snapshot. Each ledger commit is its own parquet file (the appenders
+    write one ``coalesce(1)`` file per batch), so the hidden
+    ``_metadata.file_modification_time`` column dates each commit; a
+    strict inversion (a higher batch_seq committed strictly earlier
+    than a lower one) proves the store is UNORDERED — IVF-style stores
+    allow that by design, and ``batch_seq <= N`` is then a set filter,
+    not a point in time. Ties in mtime are tolerated (same-instant
+    commits carry no ordering evidence either way). O(#batches) rows.
+    """
+    rows = (
+        spark.read.parquet(ledger_path)
+        .select(
+            "batch_seq",
+            F.col("_metadata.file_modification_time").alias("mt"),
+        )
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r.mt, r.batch_seq))
+    for a, b in zip(ordered, ordered[1:]):
+        if a.mt < b.mt and a.batch_seq > b.batch_seq:
+            raise ValueError(
+                "as-of read refused: ledger shows batch_seq "
+                f"{b.batch_seq} committed AFTER batch_seq {a.batch_seq} "
+                "— this store's batches are unordered, so a batch_seq "
+                "range is not a temporal snapshot"
+            )
+
+
 def read_store_asof(
-    spark: SparkSession, data_path: str, batch_seq: int
+    spark: SparkSession,
+    data_path: str,
+    batch_seq: int,
+    ledger_path: str | None = None,
 ) -> DataFrame:
     """Time-travel read of a ledger-appended store: the rows as they
     stood after batch ``batch_seq`` committed — i.e. the generations
@@ -126,20 +399,48 @@ def read_store_asof(
     generations' directories and never opens a newer file (the poor
     man's Delta time travel, priced at zero extra storage).
 
-    Compaction trades this away: the ``batch_seq = -1`` generation
-    collapses history, so an as-of read on a compacted store is
-    ill-defined and raises — retention policy is "as-of works until
-    you compact", stated rather than silently wrong.
+    TEMPORAL semantics require an ORDERED store (the token-shard
+    chain, whose appends enforce increasing batch_seq). On an
+    unordered store (IVF/IVF-PQ, where batches are independent and may
+    commit in any order) the same filter is still a well-defined SET
+    read — "the union of generations 0..N" — but not "the store at the
+    time batch N committed". Pass ``ledger_path`` to VALIDATE ordering
+    (:func:`assert_ordered_commits`) before trusting the temporal
+    reading.
+
+    Compaction narrows, but no longer destroys, this window: the
+    watermark-aware :func:`compact_store_tree` records the highest
+    batch_seq folded into the ``-1`` generation, so an as-of read AT or
+    above the watermark serves the compacted generation (which IS
+    generations ``0..watermark``) plus the preserved generations up to
+    ``batch_seq``; below the watermark the history is gone and the read
+    raises — Delta's retention window, stated rather than silently
+    wrong. Legacy stores compacted before watermarks existed raise for
+    every as-of.
     """
+    if ledger_path is not None:
+        assert_ordered_commits(spark, ledger_path)
     fs, jpath = _fs(spark, data_path)
     compacted = fs.globStatus(
         jpath(f"{data_path}/*/batch_seq={COMPACTED_BATCH_SEQ}")
     )
     if compacted is not None and len(compacted) > 0:
-        raise ValueError(
-            "as-of read unavailable: this store has a compacted "
-            f"generation (batch_seq={COMPACTED_BATCH_SEQ}) that collapsed "
-            "its per-batch history"
+        wm = _read_watermark(spark, data_path)
+        if wm is None:
+            raise ValueError(
+                "as-of read unavailable: this store has a compacted "
+                f"generation (batch_seq={COMPACTED_BATCH_SEQ}) with no "
+                "watermark — its per-batch history is collapsed"
+            )
+        if batch_seq < wm:
+            raise ValueError(
+                f"as-of read unavailable: batch_seq {batch_seq} predates "
+                f"the compaction watermark {wm} — history below the "
+                "watermark is collapsed into the compacted generation"
+            )
+        return spark.read.parquet(data_path).filter(
+            (F.col("batch_seq") == COMPACTED_BATCH_SEQ)
+            | F.col("batch_seq").between(wm + 1, batch_seq)
         )
     return spark.read.parquet(data_path).filter(
         F.col("batch_seq").between(0, batch_seq)
@@ -162,15 +463,9 @@ def vacuum_store(
     mid-write looks exactly like a crashed one.
     """
     fs, jpath = _fs(spark, data_path)
-    ledger_p = jpath(ledger_path)
-    committed: set[int] = {COMPACTED_BATCH_SEQ}
-    if fs.exists(ledger_p) and any(
-        s.getPath().getName().endswith(".parquet")
-        for s in fs.listStatus(ledger_p)
-    ):
-        committed |= {
-            r.batch_seq for r in spark.read.parquet(ledger_path).collect()
-        }
+    committed = {COMPACTED_BATCH_SEQ} | committed_batch_seqs(
+        spark, ledger_path
+    )
     leaves = fs.globStatus(jpath(f"{data_path}/*/batch_seq=*")) or []
     dropped = 0
     for s in leaves:
@@ -192,8 +487,8 @@ def compact_flat_tree(
     """Compact an UNPARTITIONED parquet tree (the near-dup index's
     rows/bands/roster dirs, which grow one file set per ingest) down to
     ``ceil(total_bytes / target_bytes)`` sorted files, via the same
-    crash-safe swap as :func:`compact_store_tree`. Returns the file
-    count after compaction (0 = tree absent/empty, nothing done).
+    crash-safe checked swap as :func:`compact_store_tree`. Returns the
+    file count after compaction (0 = tree absent/empty, nothing done).
 
     ``target_bytes`` defaults to the classic 128 MiB split size;
     production passes its ``spark.sql.files.maxPartitionBytes`` so one
@@ -205,13 +500,7 @@ def compact_flat_tree(
     live = jpath(live_path)
     old = jpath(live_path + ".old")
     tmp = jpath(live_path + ".compact")
-
-    if not fs.exists(live) and fs.exists(old):
-        fs.rename(old, live)
-    if fs.exists(tmp):
-        fs.delete(tmp, True)
-    if fs.exists(old):
-        fs.delete(old, True)
+    _swap_recovery(fs, live, old, tmp)
 
     if not fs.exists(live):
         return 0
@@ -231,9 +520,7 @@ def compact_flat_tree(
         .write.mode("overwrite")
         .parquet(live_path + ".compact")
     )
-    fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, True)
+    _checked_swap(fs, live, old, tmp)
     spark.catalog.refreshByPath(live_path)
     return n_files
 
@@ -263,17 +550,29 @@ def append_store_batch(
     row, no data write (a zero-row dynamic-partition write leaves a
     schema-less tree); ledger row written LAST from the read-back of
     the written files. All filesystem ops via the Hadoop FileSystem
-    API.
+    API. Negative sequences are rejected — ``batch_seq = -1`` is the
+    compacted generation, and an append into it would make its leaves
+    self-heal candidates and corrupt vacuum/as-of classification.
+
+    Racing appenders on the SAME batch_seq (a retried job whose
+    predecessor is still alive, two schedulers double-firing an epoch):
+    the protocol's contract is FIRST LEDGER COMMIT WINS. A later
+    attempt of a committed sequence no-ops at the guard; an attempt
+    interleaving with an uncommitted one self-heals the other's
+    partial leaves and lands its own rows, and whichever reaches the
+    ledger first becomes the committed content — pinned by
+    ``tests/test_properties.py``. Appenders on DIFFERENT sequences
+    are independent by construction (each owns its own leaves).
     """
+    if batch_seq < 0:
+        raise ValueError(
+            f"batch_seq must be >= 0 (got {batch_seq}): negative "
+            "sequences are reserved for the compacted generation"
+        )
     fs, jpath = _fs(spark, data_path)
-    ledger_p = jpath(ledger_path)
-    if fs.exists(ledger_p) and any(
-        s.getPath().getName().endswith(".parquet")
-        for s in fs.listStatus(ledger_p)
-    ):
-        committed = spark.read.parquet(ledger_path).collect()
-        if any(r.batch_seq == batch_seq for r in committed):
-            return  # replay of a committed batch: no-op
+    committed = _ledger_rows(spark, ledger_path)
+    if committed and any(r.batch_seq == batch_seq for r in committed):
+        return  # replay of a committed batch: no-op
     leftovers = fs.globStatus(
         jpath(f"{data_path}/{key_col}=*/batch_seq={batch_seq}")
     )
@@ -304,6 +603,78 @@ def append_store_batch(
     spark.createDataFrame(
         [(batch_seq, n)], ledger_schema
     ).coalesce(1).write.mode("append").parquet(ledger_path)
+
+
+def tombstone_paths(root: str) -> tuple[str, str]:
+    """(tombstones_dir, tombstone_ledger_dir) under a store root — the
+    deletion mask sits BESIDE the data tree and the append ledger, so
+    plain reads of either never see it."""
+    import os
+
+    return (
+        os.path.join(root, "tombstones"),
+        os.path.join(root, "tombstone_ledger"),
+    )
+
+
+def append_tombstones(
+    spark: SparkSession,
+    tombstones_path: str,
+    tombstone_ledger_path: str,
+    ids: DataFrame,
+    batch_seq: int,
+    id_col: str,
+) -> None:
+    """Record a deletion batch (takedown / right-to-erasure) for a
+    maintained store, under the SAME ledger protocol as the data
+    appends: the ids land under the batch's own ``batch_seq=B`` leaf,
+    the ledger row is the commit marker written LAST, a replayed
+    committed batch no-ops, and a crash retry self-heals only its own
+    leaf. Tombstone batches are unordered and independent — deletion
+    is a set union.
+
+    Readers apply the mask logically (:func:`read_committed` with
+    ``tombstones_path``: a broadcast anti-join, the corpus is never
+    reshuffled); a full-collapse :func:`compact_store_tree` applies it
+    physically and drops the tombstone files — Delta's
+    DELETE-then-VACUUM lifecycle on the ledger protocol.
+    """
+    if batch_seq < 0:
+        raise ValueError(
+            f"batch_seq must be >= 0 (got {batch_seq}): negative "
+            "sequences are reserved for the compacted generation"
+        )
+    fs, jpath = _fs(spark, tombstones_path)
+    committed = _ledger_rows(spark, tombstone_ledger_path)
+    if committed and any(r.batch_seq == batch_seq for r in committed):
+        return  # replay of a committed tombstone batch: no-op
+    leftover = jpath(f"{tombstones_path}/batch_seq={batch_seq}")
+    if fs.exists(leftover):
+        fs.delete(leftover, True)
+    ledger_schema = "batch_seq int, n_ids long"
+    if ids.isEmpty():
+        spark.createDataFrame(
+            [(batch_seq, 0)], ledger_schema
+        ).coalesce(1).write.mode("append").parquet(tombstone_ledger_path)
+        return
+    (
+        ids.select(id_col)
+        .distinct()
+        .withColumn("batch_seq", F.lit(batch_seq))
+        .coalesce(1)  # takedown sets are small by nature
+        .write.mode("append")
+        .partitionBy("batch_seq")
+        .parquet(tombstones_path)
+    )
+    spark.catalog.refreshByPath(tombstones_path)
+    n = (
+        spark.read.parquet(tombstones_path)
+        .filter(F.col("batch_seq") == batch_seq)
+        .count()
+    )
+    spark.createDataFrame(
+        [(batch_seq, n)], ledger_schema
+    ).coalesce(1).write.mode("append").parquet(tombstone_ledger_path)
 
 
 def compact_bucketed_table(

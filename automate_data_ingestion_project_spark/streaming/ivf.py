@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..analytics.ivf import append_ivf_batch, ivf_store_paths
+from ..io.maintenance import store_exists
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 _STORE_SCHEMA = (
@@ -96,7 +97,9 @@ def stream_ivf_ingest(
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
     vectors_path, _ = ivf_store_paths(root)
-    if not os.path.isdir(vectors_path):
+    # existence probe via the Hadoop FileSystem API (os.path.isdir is
+    # always false on HDFS/S3A — the filesystems this store targets)
+    if not store_exists(spark, vectors_path):
         # nothing pending is a normal state for a continuous indexer
         return spark.createDataFrame([], _STORE_SCHEMA)
     return spark.read.parquet(vectors_path)
@@ -152,7 +155,7 @@ def stream_ivfpq_ingest(
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
     codes_path, _ = ivfpq_store_paths(root)
-    if not os.path.isdir(codes_path):
+    if not store_exists(spark, codes_path):
         return spark.createDataFrame(
             [], "vec_id long, codes array<int>, cell int, batch_seq int"
         )

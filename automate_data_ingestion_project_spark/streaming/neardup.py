@@ -100,7 +100,10 @@ def stream_neardup_ingest(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
-    if not os.path.isdir(decisions_path):
+    from ..io.maintenance import store_exists
+
+    # Hadoop-FS probe: os.path.isdir is always false on HDFS/S3A
+    if not store_exists(spark, decisions_path):
         # nothing pending is a normal state for a continuous loop — an
         # empty ledger, not a read error on a never-created directory
         return spark.createDataFrame([], _LEDGER_SCHEMA)

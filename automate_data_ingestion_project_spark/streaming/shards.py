@@ -101,7 +101,10 @@ def stream_shard_export(
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
     shards_path, _ = shard_store_paths(root)
-    if not os.path.isdir(shards_path):
+    from ..io.maintenance import store_exists
+
+    # Hadoop-FS probe: os.path.isdir is always false on HDFS/S3A
+    if not store_exists(spark, shards_path):
         # nothing pending is a normal state for a continuous exporter
         return spark.createDataFrame([], _SHARD_SCHEMA)
     return spark.read.parquet(shards_path)

@@ -1,0 +1,244 @@
+"""The maintained-store maintenance layer's new guarantees: committed-
+read isolation, watermarked compaction (time travel survives OPTIMIZE),
+tombstone deletion, ordered-commit validation, and the reserved-
+generation append guard.
+
+Reference parity note: the reference repo has no maintained-store tier
+at all (its core is a run-once pandas/SQL pipeline) — this family is
+the beyond-reference LLM-pipeline surface the brief asks for, modeled
+on Delta's OPTIMIZE / VERSION AS OF / DELETE+VACUUM lifecycle."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from automate_data_ingestion_project_spark.io.maintenance import (
+    COMPACTED_BATCH_SEQ,
+    append_store_batch,
+    append_tombstones,
+    assert_ordered_commits,
+    compact_store_tree,
+    committed_batch_seqs,
+    data_file_count,
+    read_committed,
+    read_store_asof,
+    store_exists,
+    tombstone_paths,
+)
+
+
+def _mk_rows(spark, lo: int, hi: int):
+    """(vid, cell, payload) rows — a minimal keyed store batch."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vid"),
+        (F.col("id") % 4).cast("int").alias("cell"),
+        (F.col("id") * 10).alias("payload"),
+    )
+
+
+def _store(tmp_path):
+    root = str(tmp_path / "store")
+    return root + "/data", root + "/ledger"
+
+
+def _content(df):
+    return sorted(
+        (r.vid, r.cell, r.payload, r.batch_seq)
+        for r in df.select("vid", "cell", "payload", "batch_seq").collect()
+    )
+
+
+def test_read_committed_hides_orphan_leaves(spark, tmp_path):
+    """A crashed appender's orphan leaves (files present, no ledger
+    row) are invisible to read_committed — results are hash-identical
+    with and without the orphan present — while a raw directory scan
+    does see them (the crash window read_committed exists to close)."""
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 40), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 40, 60), 1, "cell", "vid"
+    )
+    clean = _content(read_committed(spark, data, ledger))
+
+    # simulate a dead appender: batch_seq=7 files, no ledger row
+    _mk_rows(spark, 900, 920).drop("cell").write.parquet(
+        f"{data}/cell=3/batch_seq=7"
+    )
+    spark.catalog.refreshByPath(data)
+    raw = spark.read.parquet(data)
+    assert raw.filter(F.col("batch_seq") == 7).count() == 20
+    assert _content(read_committed(spark, data, ledger)) == clean
+    # and the filter is partition-level: committed seqs only
+    assert committed_batch_seqs(spark, ledger) == {0, 1}
+
+
+def test_append_rejects_reserved_generation(spark, tmp_path):
+    """batch_seq < 0 is the compacted generation: every append entry
+    point refuses it (an append into -1 would make compacted files
+    self-heal candidates and corrupt vacuum/as-of classification)."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+    )
+
+    data, ledger = _store(tmp_path)
+    rows = _mk_rows(spark, 0, 10)
+    with pytest.raises(ValueError, match="reserved"):
+        append_store_batch(spark, data, ledger, rows, -1, "cell", "vid")
+    with pytest.raises(ValueError, match="reserved"):
+        append_tombstones(
+            spark, str(tmp_path / "t"), str(tmp_path / "tl"), rows, -1, "vid"
+        )
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        append_token_shard_batch(spark, docs, str(tmp_path / "s"), -2)
+
+
+def test_watermarked_compaction_keeps_time_travel(spark, tmp_path):
+    """Retention compaction (upto_seq=K) folds generations 0..K into
+    the -1 generation and records the watermark: as-of reads AT or
+    above K still answer (content-identical to the pre-compaction
+    reads), below K they raise — Delta's OPTIMIZE-within-retention."""
+    data, ledger = _store(tmp_path)
+    for seq, (lo, hi) in enumerate([(0, 40), (40, 60), (60, 90)]):
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, lo, hi), seq, "cell", "vid"
+        )
+
+    def keyed(df):
+        return sorted(
+            (r.vid, r.cell, r.payload)
+            for r in df.select("vid", "cell", "payload").collect()
+        )
+
+    asof1_before = keyed(read_store_asof(spark, data, 1))
+    asof2_before = keyed(read_store_asof(spark, data, 2))
+    files_before = data_file_count(spark, data)
+
+    n = compact_store_tree(spark, data, "cell", "vid", upto_seq=1)
+    assert n == 90
+    # generations 0 and 1 folded; generation 2 preserved byte-for-byte
+    seqs = {
+        r.batch_seq
+        for r in spark.read.parquet(data).select("batch_seq").distinct().collect()
+    }
+    assert seqs == {COMPACTED_BATCH_SEQ, 2}
+    assert data_file_count(spark, data) < files_before
+    assert keyed(read_store_asof(spark, data, 1)) == asof1_before
+    assert keyed(read_store_asof(spark, data, 2)) == asof2_before
+    with pytest.raises(ValueError, match="watermark"):
+        read_store_asof(spark, data, 0)
+
+    # appends continue after compaction, and as-of sees them
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 90, 100), 3, "cell", "vid"
+    )
+    assert len(keyed(read_store_asof(spark, data, 3))) == 100
+
+    # a later FULL collapse advances the watermark to the head
+    compact_store_tree(spark, data, "cell", "vid")
+    with pytest.raises(ValueError, match="watermark"):
+        read_store_asof(spark, data, 2)
+    assert len(keyed(read_store_asof(spark, data, 3))) == 100
+
+
+def test_tombstones_logical_then_physical(spark, tmp_path):
+    """Tombstone lifecycle: a committed tombstone batch masks rows in
+    read_committed (broadcast anti-join); a replayed tombstone batch
+    no-ops; a full-collapse compaction applies the mask PHYSICALLY
+    (bytes dropped, tombstone files gone, ledger kept) and the plain
+    read then matches the masked read exactly."""
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 50), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 50, 80), 1, "cell", "vid"
+    )
+    dead = spark.range(0, 80).filter("id % 7 = 3").select(
+        F.col("id").alias("vid")
+    )
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vid")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vid")  # replay
+    assert committed_batch_seqs(spark, t_ledger) == {0}
+
+    masked = read_committed(
+        spark,
+        data,
+        ledger,
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="vid",
+    )
+    survivors = sorted(r.vid for r in masked.select("vid").collect())
+    assert survivors == [v for v in range(80) if v % 7 != 3]
+
+    expected = _content(masked)
+    n = compact_store_tree(
+        spark,
+        data,
+        "cell",
+        "vid",
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="vid",
+    )
+    assert n == len(survivors)
+    assert not store_exists(spark, t_data)  # erasure completed
+    assert committed_batch_seqs(spark, t_ledger) == {0}  # replay guard kept
+    physical = _content(
+        spark.read.parquet(data).withColumn(
+            "batch_seq", F.col("batch_seq").cast("int")
+        )
+    )
+    assert sorted(r[:3] for r in physical) == sorted(r[:3] for r in expected)
+    assert {r[3] for r in physical} == {COMPACTED_BATCH_SEQ}
+
+    # physical apply is full-collapse only — the invariant is enforced
+    with pytest.raises(ValueError, match="full collapse"):
+        compact_store_tree(
+            spark,
+            data,
+            "cell",
+            "vid",
+            upto_seq=0,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="vid",
+        )
+
+
+def test_ordered_commit_validation(spark, tmp_path):
+    """assert_ordered_commits: an in-order ledger passes; a ledger
+    whose commits landed out of batch_seq order (the unordered IVF
+    pattern — seq 5 committed before seq 2) is refused, and an as-of
+    read that requested validation refuses with it."""
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 10), 0, "cell", "vid"
+    )
+    time.sleep(1.1)  # distinct mtimes — ties carry no ordering evidence
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 10, 20), 1, "cell", "vid"
+    )
+    assert_ordered_commits(spark, ledger)  # in order: no raise
+
+    data2, ledger2 = str(tmp_path / "u/data"), str(tmp_path / "u/ledger")
+    append_store_batch(
+        spark, data2, ledger2, _mk_rows(spark, 0, 10), 5, "cell", "vid"
+    )
+    time.sleep(1.1)
+    append_store_batch(
+        spark, data2, ledger2, _mk_rows(spark, 10, 20), 2, "cell", "vid"
+    )
+    with pytest.raises(ValueError, match="unordered"):
+        assert_ordered_commits(spark, ledger2)
+    with pytest.raises(ValueError, match="unordered"):
+        read_store_asof(spark, data2, 5, ledger_path=ledger2)
+    # without validation the same call is a well-defined SET read
+    assert read_store_asof(spark, data2, 5).count() == 20
