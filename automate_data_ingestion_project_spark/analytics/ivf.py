@@ -614,3 +614,62 @@ def ivf_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors_path, ledger_path = ivf_store_paths(root)
     compact_store_tree(spark, vectors_path, "cell", "vec_id")
     return _search_appended_ivf(spark, vectors_path, ledger_path)
+
+
+# tombstoned vectors: every 5th id, excluding the query ids (0..4 all
+# sit below N_CELLS) so each query survives its own takedown wave
+_IVF_DELETE_PRED = f"(vec_id % 5 = 2 AND vec_id >= {N_CELLS})"
+
+
+@register(
+    "ivf_store_delete",
+    # the from-scratch oracle quantizes the whole corpus, then drops
+    # the tombstoned vectors from the CANDIDATE side only (assignment
+    # is frozen — deletion removes inverted-list entries, it never
+    # re-quantizes survivors); scores, ranks, candidate counts and
+    # per-query batch spans are all recomputed over the survivors
+    oracle=_TWO_BATCH_IVF_ORACLE.replace(
+        "WHERE q.query_id != a.vec_id",
+        "WHERE q.query_id != a.vec_id AND NOT "
+        f"(a.vec_id % 5 = 2 AND a.vec_id >= {N_CELLS})",
+    ),
+    survey_ref="similarity search: takedown deletion from the maintained ANN index (tombstones)",
+)
+def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion from the maintained IVF store — the ANN face of the
+    takedown/right-to-erasure capability: after the same two-batch
+    ingest as :func:`ann_ivf_ingest_replay`, every ``vec_id % 5 = 2``
+    vector (outside the query set) is tombstoned
+    (:func:`..io.maintenance.append_tombstones`; the batch is appended
+    TWICE — the replay must no-op or doubled tombstones would still
+    anti-join clean, so the proof is the ledger staying single-row,
+    pinned by tests). The search then runs with the mask applied
+    (committed-read + broadcast anti-join on ``vec_id`` — the store is
+    never reshuffled), and hash-matches a from-scratch oracle over the
+    SURVIVING vectors: deleted vectors vanish from every candidate
+    list, every rank closes up, and ``n_candidates``/``n_batches``
+    shrink accordingly. Physical erasure is the same full-collapse
+    compaction the shard store proves (``shard_store_delete``);
+    tests/test_maintenance.py pins the lifecycle generically."""
+    from .load import scratch_dir
+    from ..io.maintenance import append_tombstones, tombstone_paths
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = _frozen_codebook(emb)
+    root = scratch_dir("ivf_store_delete")
+    append_ivf_batch(spark, emb.filter(F.col("vec_id") % 3 != 0), centroids, root, 0)
+    append_ivf_batch(spark, emb.filter(F.col("vec_id") % 3 == 0), centroids, root, 1)
+
+    t_data, t_ledger = tombstone_paths(root)
+    dead = emb.filter(F.expr(_IVF_DELETE_PRED)).select("vec_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vec_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vec_id")  # replay
+
+    vectors_path, ledger_path = ivf_store_paths(root)
+    return _search_appended_ivf(
+        spark,
+        vectors_path,
+        ledger_path,
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+    )

@@ -1036,3 +1036,195 @@ def shard_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_batch_shard_stats(
         read_store_asof(spark, shards_path, 0, ledger_path=ledger_path)
     )
+
+
+@register(
+    "shard_store_asof_compacted",
+    # identical contract to shard_store_asof: the as-of read of batch 0
+    # must still hash-match batch 0's from-scratch export — but HERE
+    # generation 0 has been folded into the compacted -1 generation
+    # first, so the n_batches column is the literal 1 (every surviving
+    # row lives in the single compacted generation)
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(1 AS BIGINT) AS n_batches,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: time travel SURVIVES retention compaction (watermarked OPTIMIZE)",
+)
+def shard_store_asof_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel AFTER compaction — the middle mode Delta calls
+    OPTIMIZE-within-retention: after the same two-batch append as
+    :func:`shard_store_asof`, generation 0 is compacted
+    (``upto_seq=0`` — its per-epoch small files fold into one file per
+    shard in the reserved ``-1`` generation, with the fold point
+    recorded as the compaction watermark), and the as-of read of batch
+    0 still answers: the compacted generation IS generations
+    ``0..watermark``, so ``read_store_asof(0)`` serves it directly and
+    hash-matches batch 0's from-scratch export. History below the
+    watermark would raise (stated retention trade); history above it —
+    generation 1 — is preserved byte-identically. At 10k epochs this is
+    the difference between keeping time travel and keeping a clean
+    file count: the store no longer has to choose."""
+    from .load import scratch_dir
+    from ..io.maintenance import compact_store_tree, read_store_asof
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_asof_compacted")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    compact_store_tree(spark, shards_path, "shard_id", "doc_id", upto_seq=0)
+    return _two_batch_shard_stats(
+        read_store_asof(spark, shards_path, 0, ledger_path=ledger_path)
+    )
+
+
+@register(
+    "shard_store_delete",
+    # both phases must land on the SAME surviving-corpus stats: shard
+    # assignment is frozen at append time (a takedown removes rows, it
+    # does not re-shard the corpus), so the oracle walks the FULL
+    # two-batch export and drops the tombstoned docs afterwards
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    ),
+    survivors AS (
+        SELECT * FROM cum WHERE doc_id % 7 <> 3
+    ),
+    stats AS (
+        SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               bit_xor({_content_fp("duckdb")}) AS content_fp
+        FROM survivors
+        GROUP BY 1
+    )
+    SELECT p.phase, s.* FROM stats s
+    CROSS JOIN (VALUES ('logical'), ('physical')) AS p(phase)
+    """,
+    survey_ref="LLM curation: takedown / right-to-erasure on the maintained shard store (tombstones)",
+)
+def shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion from the maintained shard store — the takedown /
+    right-to-erasure operation a real LLM corpus must support after the
+    fact. Two-batch append as usual, then doc_id % 7 = 3 is tombstoned
+    (:func:`..io.maintenance.append_tombstones` — same ledger protocol:
+    commit marker last, REPLAYED tombstone batch is a no-op, exercised
+    here by appending the batch twice). Two phases, both checked
+    against ONE surviving-corpus oracle:
+
+    - ``logical``: :func:`..io.maintenance.read_committed` applies the
+      mask as a broadcast anti-join — the corpus is never reshuffled
+      for a deletion; closed shards stay byte-identical on disk.
+    - ``physical``: a full-collapse compaction applies the mask in the
+      rewrite (bytes dropped, tombstone files deleted, tombstone ledger
+      kept) and a PLAIN read of the store — no mask in the plan —
+      produces the same stats, proving erasure completed.
+
+    Shard identity is preserved through deletion (rows leave, shards
+    keep their token-offset identity — a takedown must not re-shard
+    100 TB of exported data), which is exactly what the oracle states:
+    the full two-batch walk, minus the tombstoned docs. The 56-bit
+    order-insensitive content fingerprint pins the surviving bytes,
+    not just the counts."""
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        append_tombstones,
+        compact_store_tree,
+        read_committed,
+        tombstone_paths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_delete")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    t_data, t_ledger = tombstone_paths(root)
+    dead = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "doc_id")  # replay
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("shard_id").cast("bigint").alias("shard_id")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+        )
+
+    from ..operators.caching import tracked_persist
+
+    logical = tracked_persist(
+        stats(
+            read_committed(
+                spark,
+                shards_path,
+                ledger_path,
+                tombstones_path=t_data,
+                tombstone_ledger_path=t_ledger,
+                id_col="doc_id",
+            )
+        ).withColumn("phase", F.lit("logical"))
+    )
+    # materialize BEFORE the compaction swap: the logical branch's plan
+    # reads the pre-compaction files (including the tombstone store the
+    # physical apply deletes), so it must be pinned, not lazy
+    logical.count()
+    compact_store_tree(
+        spark,
+        shards_path,
+        "shard_id",
+        "doc_id",
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="doc_id",
+    )
+    physical = stats(spark.read.parquet(shards_path)).withColumn(
+        "phase", F.lit("physical")
+    )
+    return logical.unionByName(physical).select(
+        "phase", "shard_id", "n_docs", "shard_tokens", "content_fp"
+    )
