@@ -327,6 +327,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPOSITION, including `n_candidates` so the pruning factor is
     visible next to the result.
     """
+    scored = _ivfpq_adc_scores(spark, sf_dir)
+    return _rank_adc(scored, extra_cols=["n_candidates"])
+
+
+def _ivfpq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adist, n_candidates): the IVF-PQ composed
+    scoring stage — cell-pruned candidate generation + ADC — shared by
+    the plain top-k and the refined top-k."""
     from ..textops.similarity import norm_sql
     from ..operators.caching import tracked_persist
     from .ivf import N_CELLS, assign_cells
@@ -370,8 +378,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "query_id", "s", "qd")
     )
-    scored = _adc_from_joined(joined).join(F.broadcast(ncand), "query_id")
-    return _rank_adc(scored, extra_cols=["n_candidates"])
+    return _adc_from_joined(joined).join(F.broadcast(ncand), "query_id")
 
 
 def _exact_l2_oracle() -> str:
@@ -962,6 +969,168 @@ def ann_refined_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.coalesce("n_rf", F.lit(0)).cast("double") / TOP_K).alias(
                 "recall_refined"
+            ),
+        )
+    )
+
+
+def _ivfpq_refined_oracle() -> str:
+    """The IVF-PQ oracle's CTE chain up through ``adc``, then the
+    shortlist + exact-L2 refine tail — the composed production search
+    (prune cells → ADC → re-rank ≤SHORTLIST at full precision)."""
+    base = _ivfpq_oracle()
+    head, _ = base.split("    ranked AS (", 1)
+    return head + f"""    shortlist AS (
+        SELECT query_id, vec_id, adist FROM (
+            SELECT query_id, vec_id, adist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adist, vec_id
+                   ) AS arnk
+            FROM adc
+        ) WHERE arnk <= {SHORTLIST}
+    ),
+    refined AS (
+        SELECT s.query_id, s.vec_id, s.adist,
+               {_sqdist_sql('q.embedding', 'c.embedding', 'duckdb')} AS l2_dist
+        FROM shortlist s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, adist, l2_dist, rnk FROM (
+        SELECT query_id, vec_id, adist, l2_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY l2_dist, vec_id
+               ) AS INTEGER) AS rnk
+        FROM refined
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivfpq_refined_topk",
+    oracle=_ivfpq_refined_oracle(),
+    survey_ref="similarity search: IVF-PQ + exact refine (the full production ANN stack)",
+)
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production ANN stack in one query — what a 100 TB
+    vector deployment actually runs (FAISS ``IndexIVFPQ`` wrapped in
+    ``IndexRefineFlat``): the IVF coarse quantizer prunes the scan to
+    the query's cell (partition pruning at the parquet scan), PQ/ADC
+    scores the surviving cell-mates with M table lookups each, and the
+    exact squared-L2 is recomputed ONLY for the top-``SHORTLIST``
+    shortlist, which re-ranks the head of the list at full precision.
+    Cost shape: sub-linear candidate generation × memory-bound ADC ×
+    Q·SHORTLIST exact distances — never a full-precision corpus pass.
+    Each stage is oracle-checked alone (``ann_ivf_topk``,
+    ``ann_pq_topk``, ``ann_pq_refined_topk``); this row checks the
+    three-stage composition end-to-end."""
+    scored = _ivfpq_adc_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= SHORTLIST)
+        .select("query_id", "vec_id", "adist")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_emb = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).filter(F.col("query_id").isin(QUERY_IDS))
+    refined = (
+        F.broadcast(shortlist)
+        .join(emb, "vec_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .withColumn("l2_dist", F.expr(_sqdist_sql("q_emb", "embedding")))
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_dist", "vec_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "adist", "l2_dist", "rnk")
+    )
+
+
+@register(
+    "ann_ivfpq_refined_recall_eval",
+    oracle=f"""
+    WITH ex AS ({_exact_l2_oracle()}),
+    iq AS (SELECT query_id, vec_id FROM ({_ivfpq_oracle()}) p),
+    rf AS (SELECT query_id, vec_id FROM ({_ivfpq_refined_oracle()}) r),
+    hit_iq AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex JOIN iq ON ex.query_id = iq.query_id
+                       AND ex.vec_id = iq.vec_id
+        GROUP BY 1
+    ),
+    hit_rf AS (
+        SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex JOIN rf ON ex.query_id = rf.query_id
+                       AND ex.vec_id = rf.vec_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n, 0) AS DOUBLE) / {TOP_K} AS recall_ivfpq,
+           CAST(COALESCE(r.n, 0) AS DOUBLE) / {TOP_K}
+               AS recall_ivfpq_refined
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN hit_iq p USING (query_id)
+    LEFT JOIN hit_rf r USING (query_id)
+    """,
+    survey_ref="similarity search: recall@k of IVF-PQ+refine vs plain IVF-PQ (measured lift)",
+)
+def ann_ivfpq_refined_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of plain IVF-PQ and of IVF-PQ+refine against
+    the exact-L2 ground truth, side by side. Within the cell-pruned
+    candidate pool refine can only help (its shortlist contains the
+    plain top-k and it ranks by the true metric); the pool itself caps
+    both columns at the coarse quantizer's recall — so this row shows
+    exactly which stage loses what, the number a production deployment
+    tunes ``n_probe``/``SHORTLIST`` against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(_sqdist_sql("q_emb", "c_emb")).alias("l2d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("l2d", "vec_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    from ..operators.caching import tracked_persist
+
+    exact = tracked_persist(exact)
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            approx.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    h_iq = hits(ann_ivfpq_topk(spark, sf_dir), "n_iq")
+    h_rf = hits(ann_ivfpq_refined_topk(spark, sf_dir), "n_rf")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(h_iq, "query_id", "left")
+        .join(h_rf, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_iq", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_ivfpq"
+            ),
+            (F.coalesce("n_rf", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_ivfpq_refined"
             ),
         )
     )
