@@ -33,6 +33,7 @@ import automate_data_ingestion_project_spark.analytics.gates  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.grouped_pandas  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ingest_replay  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.ivf  # noqa: F401
+import automate_data_ingestion_project_spark.analytics.ivf_train  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.load  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.media  # noqa: F401
 import automate_data_ingestion_project_spark.analytics.mixing  # noqa: F401
