@@ -789,3 +789,229 @@ def test_ivf_append_matches_from_scratch_assignment_on_any_corpus(
         expected[vec_id] = best
     assert got == expected
     assert len(got) == len(rows)  # replay added nothing, nothing lost
+
+
+@st.composite
+def ledger_op_sequences(draw):
+    """Interleaved generic-ledger append attempts: (batch_seq, lo, n,
+    crash). Duplicate sequences (racing/double-fired appenders) and
+    out-of-order sequences are in the space by construction — the
+    store is UNORDERED, so any seq order is legal; duplicate seqs pin
+    the FIRST-LEDGER-COMMIT-WINS contract; crash=True attempts die at
+    the ledger write (files on disk, no commit marker); n=0 is an
+    empty batch."""
+    n_ops = draw(st.integers(min_value=2, max_value=5))
+    ops = [
+        (
+            draw(st.integers(0, 3)),
+            draw(st.integers(0, 50)),
+            draw(st.integers(0, 6)),
+            draw(st.booleans()),
+        )
+        for _ in range(n_ops)
+    ]
+    # at least one completed non-empty commit so the store exists
+    ops.append(
+        (draw(st.integers(0, 3)), draw(st.integers(0, 50)),
+         draw(st.integers(1, 6)), False)
+    )
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=ledger_op_sequences())
+def test_ledger_append_interleavings_match_model(
+    spark, ops, tmp_path_factory
+):
+    """append_store_batch under ANY interleaving of duplicate,
+    out-of-order, empty, and mid-write-crashing attempts must agree
+    with the Python model of the protocol:
+
+    - first ledger commit WINS a sequence; every later attempt of a
+      committed seq (commit or crash) is a no-op at the replay guard;
+    - a crashed attempt leaves its own orphan leaves only, and the next
+      attempt of the SAME seq self-heals them before writing;
+    - read_committed sees exactly the committed rows, whatever orphan
+      state the tree is in; vacuum_store then deletes exactly the
+      orphans of sequences that never committed."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        read_committed,
+        vacuum_store,
+    )
+
+    root = str(tmp_path_factory.mktemp("ledger_race"))
+    data, ledger = root + "/data", root + "/ledger"
+
+    def mk(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 3).cast("int").alias("cell"),
+        )
+
+    committed: dict[int, set[int]] = {}
+    orphans: dict[int, set[int]] = {}
+    real_parquet = DataFrameWriter.parquet
+    for seq, lo, n, crash in ops:
+        rows = set(range(lo, lo + n))
+        if crash:
+            def crash_on_ledger(self, path, *a, **k):
+                if path == ledger:
+                    raise RuntimeError("injected ledger crash")
+                return real_parquet(self, path, *a, **k)
+
+            DataFrameWriter.parquet = crash_on_ledger
+            try:
+                if seq in committed:
+                    append_store_batch(
+                        spark, data, ledger, mk(lo, n), seq, "cell", "vid"
+                    )  # replay guard fires before any write: no raise
+                else:
+                    with _pytest.raises(RuntimeError, match="injected"):
+                        append_store_batch(
+                            spark, data, ledger, mk(lo, n), seq, "cell", "vid"
+                        )
+                    orphans[seq] = rows  # prior orphans self-healed first
+            finally:
+                DataFrameWriter.parquet = real_parquet
+        else:
+            append_store_batch(
+                spark, data, ledger, mk(lo, n), seq, "cell", "vid"
+            )
+            if seq not in committed:
+                committed[seq] = rows
+                orphans.pop(seq, None)
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        store_exists,
+    )
+
+    want_committed = sorted(
+        (v, s) for s, vs in committed.items() for v in vs
+    )
+    if not store_exists(spark, data):
+        # every committed batch was empty and no crash got as far as a
+        # data write — a legal store state (ledger rows, no data tree)
+        assert want_committed == []
+        assert all(not vs for vs in orphans.values())
+        return
+    spark.catalog.refreshByPath(data)
+    got_committed = sorted(
+        (r.vid, r.batch_seq)
+        for r in read_committed(spark, data, ledger).collect()
+    )
+    assert got_committed == want_committed
+
+    # raw read additionally sees the surviving orphans; vacuum removes
+    # exactly those (committed generations untouched)
+    want_orphans = sorted(
+        (v, s) for s, vs in orphans.items() if s not in committed for v in vs
+    )
+    got_raw = sorted(
+        (r.vid, r.batch_seq) for r in spark.read.parquet(data).collect()
+    )
+    assert got_raw == sorted(want_committed + want_orphans)
+    vacuum_store(spark, data, ledger)
+    got_after = sorted(
+        (r.vid, r.batch_seq) for r in spark.read.parquet(data).collect()
+    )
+    assert got_after == want_committed
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=ledger_op_sequences())
+def test_tombstone_appends_are_replay_idempotent(
+    spark, ops, tmp_path_factory
+):
+    """append_tombstones under ANY interleaving of duplicate,
+    out-of-order, empty, and crashing tombstone batches: the effective
+    deletion mask is the union of the FIRST-committed id set per
+    sequence — replays and crashes never double, drop, or resurrect a
+    tombstone — and the masked read equals the Python model's
+    anti-join."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        append_tombstones,
+        read_committed,
+    )
+
+    root = str(tmp_path_factory.mktemp("tombstone_race"))
+    data, ledger = root + "/data", root + "/ledger"
+    t_data, t_ledger = root + "/tombstones", root + "/tombstone_ledger"
+    n_rows = 60
+    append_store_batch(
+        spark,
+        data,
+        ledger,
+        spark.range(0, n_rows).select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 3).cast("int").alias("cell"),
+        ),
+        0,
+        "cell",
+        "vid",
+    )
+
+    committed: dict[int, set[int]] = {}
+    real_parquet = DataFrameWriter.parquet
+    for seq, lo, n, crash in ops:
+        ids = {v % n_rows for v in range(lo, lo + n)}
+        df = spark.createDataFrame(
+            [(v,) for v in sorted(ids)] or [(None,)], "vid long"
+        ).filter(F.col("vid").isNotNull())
+        if crash:
+            def crash_on_ledger(self, path, *a, **k):
+                if path == t_ledger:
+                    raise RuntimeError("injected tombstone-ledger crash")
+                return real_parquet(self, path, *a, **k)
+
+            DataFrameWriter.parquet = crash_on_ledger
+            try:
+                if seq in committed:
+                    append_tombstones(spark, t_data, t_ledger, df, seq, "vid")
+                else:
+                    with _pytest.raises(RuntimeError, match="injected"):
+                        append_tombstones(
+                            spark, t_data, t_ledger, df, seq, "vid"
+                        )
+            finally:
+                DataFrameWriter.parquet = real_parquet
+        else:
+            append_tombstones(spark, t_data, t_ledger, df, seq, "vid")
+            committed.setdefault(seq, ids)  # first commit wins
+
+    dead = set().union(*committed.values()) if committed else set()
+    got = sorted(
+        r.vid
+        for r in read_committed(
+            spark,
+            data,
+            ledger,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="vid",
+        ).collect()
+    )
+    assert got == sorted(set(range(n_rows)) - dead)
