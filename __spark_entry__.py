@@ -67,87 +67,42 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-12 ordering: (1) the ten queries ADDED this round;
-# (2) the two queries whose code changed this round (empty-batch
-# short-circuit + Hadoop-FS self-heal in append_token_shard_batch;
-# the streaming twin's empty-epoch guard removed), so their official
-# rows are post-change; (3) the full 25-row r8-vintage tail (the r11
-# verdict's declared r12 front-load — after this round no surviving
-# evidence predates round 9); (4) the oldest 13 r9-vintage rows in
-# their r9 check order (10 + 2 + 25 + 13 = 50); the remaining 33 r9
-# rows below the boundary marker roll to round 13.
+# comes first. Round-13 ordering: (1) the seven queries ADDED this
+# round (takedown tombstones on both maintained stores, watermarked
+# time travel after retention compaction, the IVF-PQ+refine pair, and
+# the trained-vs-sampled IVF coarse-codebook pair); (2) the ten
+# queries whose code paths changed this round (committed-read
+# isolation routed through the store searches and shard readers, the
+# checked compaction swap, the as-of ordered-commit validation, the
+# _ivfpq_adc_scores refactor), so their official rows land
+# post-change; (3) the 33 remaining r9-vintage rows in their r9 check
+# order — the r12 verdict's promised final evidence front-load. After
+# this round no registry row's newest driver evidence predates r10.
+# 7 + 10 + 33 = 50 fills the window exactly.
 _CHECK_FIRST = [
-    # (1) NEW in r12: incremental IVF ingest (per-batch cell assignment
-    # against the frozen codebook, ledger commit marker, replayed batch
-    # a no-op, search over the appended store — the r11 verdict's
-    # requested maintained-store capability for the ANN tier), its
-    # Structured Streaming twin (foreachBatch, same oracle), and the
-    # content-preserving compaction of both maintained stores (the
-    # OPTIMIZE counterpart the ledger protocol needs at epoch counts)
-    # plus the partition-pruned as-of generation read (time travel)
-    # and the near-dup index's mid-loop compaction replay.
+    # (1) NEW in r13
+    "shard_store_delete",
+    "ivf_store_delete",
+    "shard_store_asof_compacted",
+    "ann_ivfpq_refined_topk",
+    "ann_ivfpq_refined_recall_eval",
+    "ivf_train_distortion",
+    "ann_ivf_trained_recall_eval",
+    # (2) code changed in r13 (isolation routing / refactor touch
+    # these queries' execution paths; behavior-proven equal locally,
+    # official rows should still postdate the change)
+    "incremental_shard_export",
+    "stream_shard_export",
+    "shard_store_asof",
+    "shard_store_compaction",
+    "ivf_store_compaction",
     "ann_ivf_ingest_replay",
     "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
     "stream_ann_ivfpq_ingest_replay",
-    "ann_pq_refined_topk",
-    "ann_refined_recall_eval",
-    "shard_store_compaction",
-    "ivf_store_compaction",
-    "shard_store_asof",
-    "neardup_compacted_ingest_replay",
-    # (2) code changed in r12, so the official rows land post-change:
-    # the empty-batch fix + Hadoop-FS store ops touch the incremental
-    # shard append and its streaming twin. Behavior-neutral on the
-    # green path (the two-batch %3 split never produces an empty batch).
-    "incremental_shard_export",
-    "stream_shard_export",
-    # (3) the 25 remaining r8-vintage rows (the r11 verdict's declared
-    # r12 front-load), in their r8 check order — after this round no
-    # surviving evidence predates round 9. 1 + 2 + 25 = 28 so far.
-    "smoke_select_star",
-    "nations_in_region1",
-    "dedup_minhash_pairs",
-    "dedup_components",
-    "dedup_canonical_keep",
-    "minhash_estimate_error",
-    "upsert_idempotent",
-    "incremental_daily_rollup",
-    "pipeline_etl_replay",
-    "multimodal_manifest",
-    "multimodal_features",
-    "multimodal_chunks",
-    "ann_topk_cosine",
-    "ann_lsh_topk",
-    "ann_recall_eval",
-    "ann_pq_topk",
     "ann_ivfpq_topk",
-    "ann_pq_recall_eval",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "source_registry_sql",
-    "csv_roundtrip_region",
-    "json_roundtrip_nation",
-    "leakage_safe_split",
-    "pricing_summary",
-    # (4) the oldest 22 r9-vintage rows in their r9 check order —
-    # 28 + 22 = 50 fills the window.
-    "weighted_systematic_sample",
-    "source_doc_cap",
-    "source_token_budget_cap",
-    "orders_per_year",
-    "customer_order_histogram",
-    "parts_bought_together",
-    "sales_cube",
-    "events_value_histogram",
-    "cumulative_new_customers",
-    "order_priority_exists",
-    "big_ticket_orders",
-    "cheapest_supplier_per_part",
-    "customer_interarrival",
-    # ---- round-12 window boundary (positions 1-50 above) ----
-    # r13 front-load starts here: the remaining 33 r9-vintage rows in
-    # their r9 check order.
+    # (3) the 33 remaining r9-vintage rows, in their r9 check order —
+    # after r13 no surviving evidence predates round 10
     "promo_revenue_share",
     "median_order_by_nation",
     "small_qty_revenue_by_brand",

@@ -199,6 +199,14 @@ def main() -> int:
             "ivf_store_compaction",
             "shard_store_asof",
             "neardup_compacted_ingest_replay",
+            # round 13 additions
+            "shard_store_asof_compacted",
+            "shard_store_delete",
+            "ivf_store_delete",
+            "ann_ivfpq_refined_topk",
+            "ann_ivfpq_refined_recall_eval",
+            "ivf_train_distortion",
+            "ann_ivf_trained_recall_eval",
         )
         if n in QUERIES
     ]

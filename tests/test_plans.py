@@ -966,3 +966,51 @@ def test_pq_refine_broadcasts_shortlist_no_corpus_shuffle(spark, sf_dir):
     # no sort-merge join anywhere in the refine tail: the only
     # corpus-wide exchanges belong to the ADC stage's aggregates
     assert "SortMergeJoin" not in plan
+
+
+def test_read_committed_is_pure_partition_prune(spark, tmp_path):
+    """read_committed's isolation must cost nothing at scan time: the
+    committed-generation filter lands as PartitionFilters on batch_seq
+    (pruned at planning — orphan files never opened), NOT as a post-read
+    row Filter. With tombstones, the mask must be a broadcast anti-join
+    (BroadcastHashJoin LeftAnti), never a shuffle of the store."""
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        append_tombstones,
+        read_committed,
+    )
+
+    data = str(tmp_path / "data")
+    ledger = str(tmp_path / "ledger")
+    rows = spark.range(0, 50).select(
+        F.col("id").alias("vid"), (F.col("id") % 4).cast("int").alias("cell")
+    )
+    append_store_batch(spark, data, ledger, rows, 0, "cell", "vid")
+    plan = _formatted(read_committed(spark, data, ledger))
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "batch_seq" in pf_line
+    # no data-column Filter node introduced by the isolation
+    data_filters = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Condition") and "vid" in ln
+    ]
+    assert not data_filters
+
+    t_data, t_ledger = str(tmp_path / "td"), str(tmp_path / "tl")
+    dead = spark.range(0, 50).filter("id % 9 = 1").select(
+        F.col("id").alias("vid")
+    )
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vid")
+    masked = read_committed(
+        spark,
+        data,
+        ledger,
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="vid",
+    )
+    mplan = _formatted(masked)
+    assert "BroadcastHashJoin" in mplan and "LeftAnti" in mplan
+    assert "SortMergeJoin" not in mplan

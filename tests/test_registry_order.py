@@ -2,39 +2,55 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-12 window composition — the round's deliverable — must hold:
-the ten r12 additions lead, then the two queries whose code changed
-this round, then the full 25-row r8-vintage tail (closing out the r8
-vintage; the oldest surviving evidence after this round is r9), then
-the oldest 13 r9-vintage rows."""
+the round-13 window composition — the round's deliverable — must hold:
+the seven r13 additions lead, then the ten queries whose code paths
+changed this round (committed-read isolation routing, the checked
+compaction swap, the _ivfpq_adc_scores refactor), then the full 33-row
+r9-vintage tail (closing out the r9 vintage; the oldest surviving
+driver evidence after this round is r10)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R12_HEAD = [
-    "ann_ivf_ingest_replay",  # NEW in r12 (incremental IVF ingest)
-    "stream_ann_ivf_ingest_replay",  # NEW in r12 (streaming twin)
-    "ann_ivfpq_ingest_replay",  # NEW in r12 (codes-only IVF-PQ ingest)
-    "stream_ann_ivfpq_ingest_replay",  # NEW in r12 (streaming twin)
-    "ann_pq_refined_topk",  # NEW in r12 (ADC shortlist + exact refine)
-    "ann_refined_recall_eval",  # NEW in r12 (refine vs ADC, measured)
-    "shard_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
-    "ivf_store_compaction",  # NEW in r12 (OPTIMIZE counterpart)
-    "shard_store_asof",  # NEW in r12 (time-travel generation read)
-    "neardup_compacted_ingest_replay",  # NEW in r12 (mid-loop compaction)
-    "incremental_shard_export",  # empty-batch fix + Hadoop-FS store ops
-    "stream_shard_export",  # streaming twin (empty-epoch guard removed)
+R13_HEAD = [
+    "shard_store_delete",  # NEW in r13 (takedown tombstones, shard store)
+    "ivf_store_delete",  # NEW in r13 (takedown tombstones, ANN store)
+    "shard_store_asof_compacted",  # NEW in r13 (watermarked time travel)
+    "ann_ivfpq_refined_topk",  # NEW in r13 (full production ANN stack)
+    "ann_ivfpq_refined_recall_eval",  # NEW in r13 (measured lift)
+    "ivf_train_distortion",  # NEW in r13 (coarse k-means, monotone)
+    "ann_ivf_trained_recall_eval",  # NEW in r13 (sampled vs trained)
+    # code changed in r13: isolation routing / refactor touch these
+    # queries' execution paths
+    "incremental_shard_export",
+    "stream_shard_export",
+    "shard_store_asof",
+    "shard_store_compaction",
+    "ivf_store_compaction",
+    "ann_ivf_ingest_replay",
+    "stream_ann_ivf_ingest_replay",
+    "ann_ivfpq_ingest_replay",
+    "stream_ann_ivfpq_ingest_replay",
+    "ann_ivfpq_topk",
 ]
 
-R8_VINTAGE = {
-    "smoke_select_star", "nations_in_region1", "dedup_minhash_pairs",
-    "dedup_components", "dedup_canonical_keep", "minhash_estimate_error",
-    "upsert_idempotent", "incremental_daily_rollup", "pipeline_etl_replay",
-    "multimodal_manifest", "multimodal_features", "multimodal_chunks",
-    "ann_topk_cosine", "ann_lsh_topk", "ann_recall_eval", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_pq_recall_eval", "skew_salted_agg",
-    "skew_salted_join", "source_registry_sql", "csv_roundtrip_region",
-    "json_roundtrip_nation", "leakage_safe_split", "pricing_summary",
+R9_VINTAGE = {
+    "promo_revenue_share", "median_order_by_nation",
+    "small_qty_revenue_by_brand", "important_revenue_nations",
+    "disjunctive_promo_revenue", "local_supplier_revenue",
+    "table_profile_approx", "pq_train_distortion",
+    "ann_pq_trained_recall_eval", "shipping_priority_topk",
+    "volume_shipping_pairs", "nation_market_share",
+    "returned_item_losses", "lapsed_customer_balance",
+    "sales_grouping_sets", "quantile_sketch_calibration",
+    "pii_redaction", "multimodal_resize", "stream_stream_join",
+    "peak_concurrent_sessions", "discount_revenue_delta",
+    "part_supplier_variety", "orders_trailing_30d_revenue",
+    "null_safe_join_semantics", "stream_late_data_drop",
+    "semantic_dedup_clusters", "heavy_hitters_sketch",
+    "stream_upsert_foreachbatch", "pagerank_step",
+    "orc_roundtrip_supplier", "xml_roundtrip_part",
+    "top_supplier_revenue", "events_variant_props",
 }
 
 
@@ -49,10 +65,11 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round12_window_composition():
+def test_round13_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:12] == R12_HEAD
-    assert R8_VINTAGE <= set(first50)
+    assert first50[:17] == R13_HEAD
+    assert R9_VINTAGE <= set(first50)
+    assert len(R9_VINTAGE) == 33 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
