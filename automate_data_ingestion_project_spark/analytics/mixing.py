@@ -561,11 +561,14 @@ def append_token_shard_batch(
     ledger_p = jpath(ledger_path)
     fs = ledger_p.getFileSystem(hconf)
     start = 0
-    if fs.exists(ledger_p) and any(
-        s.getPath().getName().endswith(".parquet")
-        for s in fs.listStatus(ledger_p)
-    ):
-        committed = spark.read.parquet(ledger_path).collect()
+    # ledger read/write is driver-side metadata IO (pyarrow over Hadoop
+    # streams — io/maintenance.append_ledger_row), not a Spark job: the
+    # Delta-transaction-log trade, saving the fixed per-job cost at
+    # every append's replay guard and commit marker
+    from ..io.maintenance import _ledger_rows, append_ledger_row
+
+    committed = _ledger_rows(spark, ledger_path)
+    if committed:
         if any(r.batch_seq == batch_seq for r in committed):
             return  # replay of a committed batch: no-op
         top = max(r.batch_seq for r in committed)
@@ -588,9 +591,9 @@ def append_token_shard_batch(
         # batch_seq contract holds and a replay is a no-op, but write no
         # shard files — an empty partitionBy write would leave a
         # schema-less shards/ dir that poisons every later read-back
-        spark.createDataFrame(
-            [(batch_seq, 0, 0)], "batch_seq int, n_docs long, n_tokens long"
-        ).coalesce(1).write.mode("append").parquet(ledger_path)
+        append_ledger_row(
+            spark, ledger_path, batch_seq, {"n_docs": 0, "n_tokens": 0}
+        )
         return
     sized = docs.select(
         "doc_id",
@@ -624,10 +627,12 @@ def append_token_shard_batch(
     )
     # commit marker LAST: a ledger row implies the batch's files are
     # all in place (see the durability protocol above)
-    spark.createDataFrame(
-        [(batch_seq, written.n_docs, written.n_tokens)],
-        "batch_seq int, n_docs long, n_tokens long",
-    ).coalesce(1).write.mode("append").parquet(ledger_path)
+    append_ledger_row(
+        spark,
+        ledger_path,
+        batch_seq,
+        {"n_docs": written.n_docs, "n_tokens": written.n_tokens},
+    )
 
 
 # the two-batch (doc_id % 3) incremental export and its streaming twin

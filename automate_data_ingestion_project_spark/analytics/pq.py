@@ -1134,3 +1134,83 @@ def ann_ivfpq_refined_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+def _ivfpq_delete_oracle() -> str:
+    """The IVF-PQ ingest oracle with the tombstoned vectors removed
+    from the CANDIDATE set (same takedown predicate as
+    ``ivf.ivf_store_delete``; queries all sit below N_CELLS and
+    survive) — derived by injecting the filter into the ``cand`` CTE so
+    every downstream relation (candidate counts, batch spans, ADC) sees
+    the deletion, exactly as the masked store read does."""
+    from .ivf import N_CELLS
+
+    base = _ivfpq_ingest_oracle()
+    old = "WHERE q.query_id != a.vec_id"
+    assert base.count(old) == 1
+    return base.replace(
+        old,
+        "WHERE q.query_id != a.vec_id AND NOT "
+        f"(a.vec_id % 5 = 2 AND a.vec_id >= {N_CELLS})",
+    )
+
+
+@register(
+    "ivfpq_store_delete",
+    oracle=_ivfpq_delete_oracle(),
+    survey_ref="similarity search: takedown deletion from the codes-only IVF-PQ store (tombstones)",
+)
+def ivfpq_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion from the maintained IVF-PQ store — the takedown
+    capability on the PRODUCTION index shape (codes-only at rest):
+    after the same two-batch ingest as :func:`ann_ivfpq_ingest_replay`,
+    every ``vec_id % 5 = 2`` vector outside the query set is tombstoned
+    (appended twice; the replay no-ops), and the ADC search runs over
+    the committed-read store with the mask applied as a broadcast
+    anti-join on ``vec_id``. Hash-matches the ingest oracle minus the
+    tombstoned candidates: deleted codes vanish from every candidate
+    list and ranks/counts close up. With :func:`..analytics.ivf.
+    ivf_store_delete` and ``mixing.shard_store_delete`` this completes
+    the takedown lifecycle across all three maintained store layouts
+    (raw vectors, codes-only, token shards)."""
+    from .ivf import N_CELLS
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        append_tombstones,
+        read_committed,
+        tombstone_paths,
+    )
+    from ..operators.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cb_subs = tracked_persist(_codebook_subs(emb))
+    root = scratch_dir("ivfpq_store_delete")
+    append_ivfpq_batch(
+        spark, emb.filter(F.col("vec_id") % 3 != 0), centroids, cb_subs, root, 0
+    )
+    append_ivfpq_batch(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), centroids, cb_subs, root, 1
+    )
+    t_data, t_ledger = tombstone_paths(root)
+    dead = emb.filter(
+        F.expr(f"vec_id % 5 = 2 AND vec_id >= {N_CELLS}")
+    ).select("vec_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vec_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "vec_id")  # replay
+
+    codes_path, ledger_path = ivfpq_store_paths(root)
+    return _search_codes_store(
+        read_committed(
+            spark,
+            codes_path,
+            ledger_path,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="vec_id",
+        ),
+        emb,
+        cb_subs,
+    )

@@ -399,7 +399,6 @@ def test_incremental_shard_append_crash_retry_self_heals(
     batches untouched."""
     import pytest
     from pyspark.sql import functions as F
-    from pyspark.sql.readwriter import DataFrameWriter
 
     from automate_data_ingestion_project_spark.analytics.mixing import (
         append_token_shard_batch,
@@ -413,17 +412,19 @@ def test_incremental_shard_append_crash_retry_self_heals(
     append_token_shard_batch(spark, docs.filter("doc_id % 3 != 0"), root, 0)
     batch0_files = _file_md5s(shards_path)
 
-    real_parquet = DataFrameWriter.parquet
+    import automate_data_ingestion_project_spark.io.maintenance as maint
 
-    def crash_on_ledger(self, path, *args, **kwargs):
-        if path == ledger_path:
+    real_append = maint.append_ledger_row
+
+    def crash_on_ledger(spark_, lp, batch_seq, counts):
+        if lp == ledger_path:
             raise RuntimeError("injected crash before ledger commit")
-        return real_parquet(self, path, *args, **kwargs)
+        return real_append(spark_, lp, batch_seq, counts)
 
-    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_ledger)
+    monkeypatch.setattr(maint, "append_ledger_row", crash_on_ledger)
     with pytest.raises(RuntimeError, match="injected crash"):
         append_token_shard_batch(spark, docs.filter("doc_id % 3 = 0"), root, 1)
-    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    monkeypatch.setattr(maint, "append_ledger_row", real_append)
 
     # orphan batch-1 files exist, but the ledger has no batch-1 row
     assert any("batch_seq=1" in p for p in _file_md5s(shards_path))
@@ -749,7 +750,6 @@ def test_vacuum_drops_only_uncommitted_leaves(spark, tmp_path, monkeypatch):
     orphan batch_seq leaves are deleted; committed generations (and a
     compacted generation) are never candidates."""
     import pytest
-    from pyspark.sql.readwriter import DataFrameWriter
 
     from automate_data_ingestion_project_spark.analytics.mixing import (
         append_token_shard_batch,
@@ -765,17 +765,19 @@ def test_vacuum_drops_only_uncommitted_leaves(spark, tmp_path, monkeypatch):
     shards_path, ledger_path = shard_store_paths(root)
     append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 0)
 
-    real_parquet = DataFrameWriter.parquet
+    import automate_data_ingestion_project_spark.io.maintenance as maint
 
-    def crash_on_ledger(self, path, *args, **kwargs):
-        if path == ledger_path:
+    real_append = maint.append_ledger_row
+
+    def crash_on_ledger(spark_, lp, batch_seq, counts):
+        if lp == ledger_path:
             raise RuntimeError("injected crash before ledger commit")
-        return real_parquet(self, path, *args, **kwargs)
+        return real_append(spark_, lp, batch_seq, counts)
 
-    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_ledger)
+    monkeypatch.setattr(maint, "append_ledger_row", crash_on_ledger)
     with pytest.raises(RuntimeError, match="injected crash"):
         append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 1)
-    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    monkeypatch.setattr(maint, "append_ledger_row", real_append)
 
     before = _file_md5s(shards_path)
     assert any("batch_seq=1" in p for p in before)  # orphans present

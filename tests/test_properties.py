@@ -843,8 +843,8 @@ def test_ledger_append_interleavings_match_model(
       orphans of sequences that never committed."""
     import pytest as _pytest
     from pyspark.sql import functions as F
-    from pyspark.sql.readwriter import DataFrameWriter
 
+    import automate_data_ingestion_project_spark.io.maintenance as maint
     from automate_data_ingestion_project_spark.io.maintenance import (
         append_store_batch,
         read_committed,
@@ -862,16 +862,16 @@ def test_ledger_append_interleavings_match_model(
 
     committed: dict[int, set[int]] = {}
     orphans: dict[int, set[int]] = {}
-    real_parquet = DataFrameWriter.parquet
+    real_append = maint.append_ledger_row
     for seq, lo, n, crash in ops:
         rows = set(range(lo, lo + n))
         if crash:
-            def crash_on_ledger(self, path, *a, **k):
-                if path == ledger:
+            def crash_on_ledger(spark_, lp, batch_seq, counts):
+                if lp == ledger:
                     raise RuntimeError("injected ledger crash")
-                return real_parquet(self, path, *a, **k)
+                return real_append(spark_, lp, batch_seq, counts)
 
-            DataFrameWriter.parquet = crash_on_ledger
+            maint.append_ledger_row = crash_on_ledger
             try:
                 if seq in committed:
                     append_store_batch(
@@ -884,7 +884,7 @@ def test_ledger_append_interleavings_match_model(
                         )
                     orphans[seq] = rows  # prior orphans self-healed first
             finally:
-                DataFrameWriter.parquet = real_parquet
+                maint.append_ledger_row = real_append
         else:
             append_store_batch(
                 spark, data, ledger, mk(lo, n), seq, "cell", "vid"
@@ -949,8 +949,8 @@ def test_tombstone_appends_are_replay_idempotent(
     anti-join."""
     import pytest as _pytest
     from pyspark.sql import functions as F
-    from pyspark.sql.readwriter import DataFrameWriter
 
+    import automate_data_ingestion_project_spark.io.maintenance as maint
     from automate_data_ingestion_project_spark.io.maintenance import (
         append_store_batch,
         append_tombstones,
@@ -975,19 +975,19 @@ def test_tombstone_appends_are_replay_idempotent(
     )
 
     committed: dict[int, set[int]] = {}
-    real_parquet = DataFrameWriter.parquet
+    real_append = maint.append_ledger_row
     for seq, lo, n, crash in ops:
         ids = {v % n_rows for v in range(lo, lo + n)}
         df = spark.createDataFrame(
             [(v,) for v in sorted(ids)] or [(None,)], "vid long"
         ).filter(F.col("vid").isNotNull())
         if crash:
-            def crash_on_ledger(self, path, *a, **k):
-                if path == t_ledger:
+            def crash_on_ledger(spark_, lp, batch_seq, counts):
+                if lp == t_ledger:
                     raise RuntimeError("injected tombstone-ledger crash")
-                return real_parquet(self, path, *a, **k)
+                return real_append(spark_, lp, batch_seq, counts)
 
-            DataFrameWriter.parquet = crash_on_ledger
+            maint.append_ledger_row = crash_on_ledger
             try:
                 if seq in committed:
                     append_tombstones(spark, t_data, t_ledger, df, seq, "vid")
@@ -997,7 +997,7 @@ def test_tombstone_appends_are_replay_idempotent(
                             spark, t_data, t_ledger, df, seq, "vid"
                         )
             finally:
-                DataFrameWriter.parquet = real_parquet
+                maint.append_ledger_row = real_append
         else:
             append_tombstones(spark, t_data, t_ledger, df, seq, "vid")
             committed.setdefault(seq, ids)  # first commit wins

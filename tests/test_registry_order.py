@@ -15,6 +15,7 @@ from automate_data_ingestion_project_spark.analytics import QUERIES
 R13_HEAD = [
     "shard_store_delete",  # NEW in r13 (takedown tombstones, shard store)
     "ivf_store_delete",  # NEW in r13 (takedown tombstones, ANN store)
+    "ivfpq_store_delete",  # NEW in r13 (takedown tombstones, codes store)
     "shard_store_asof_compacted",  # NEW in r13 (watermarked time travel)
     "ann_ivfpq_refined_topk",  # NEW in r13 (full production ANN stack)
     "ann_ivfpq_refined_recall_eval",  # NEW in r13 (measured lift)
@@ -31,7 +32,6 @@ R13_HEAD = [
     "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
     "stream_ann_ivfpq_ingest_replay",
-    "ann_ivfpq_topk",
 ]
 
 R9_VINTAGE = {

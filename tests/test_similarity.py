@@ -95,7 +95,6 @@ def test_ivf_append_protocol(spark, sf_dir, tmp_path):
     no vector files, and a crash before the ledger commit self-heals on
     retry with no duplicated vectors."""
     from pyspark.sql import functions as F
-    from pyspark.sql.readwriter import DataFrameWriter
 
     from automate_data_ingestion_project_spark.analytics.ivf import (
         N_CELLS,
@@ -141,21 +140,23 @@ def test_ivf_append_protocol(spark, sf_dir, tmp_path):
     assert ledger[7] == 0 and set(ledger) == {2, 5, 7}
 
     # crash before the ledger commit, then retry: self-heal, no dupes
-    real_parquet = DataFrameWriter.parquet
+    import automate_data_ingestion_project_spark.io.maintenance as maint
 
-    def crash_on_ledger(self, path, *args, **kwargs):
-        if path == ledger_path:
+    real_append = maint.append_ledger_row
+
+    def crash_on_ledger(spark_, lp, batch_seq, counts):
+        if lp == ledger_path:
             raise RuntimeError("injected crash before ledger commit")
-        return real_parquet(self, path, *args, **kwargs)
+        return real_append(spark_, lp, batch_seq, counts)
 
     import pytest as _pytest
 
     try:
-        DataFrameWriter.parquet = crash_on_ledger
+        maint.append_ledger_row = crash_on_ledger
         with _pytest.raises(RuntimeError, match="injected crash"):
             append_ivf_batch(spark, b2, centroids, root, 9)
     finally:
-        DataFrameWriter.parquet = real_parquet
+        maint.append_ledger_row = real_append
     # orphans exist, ledger has no batch-9 row
     assert any("batch_seq=9" in p for p in _ivf_file_md5s(vectors_path))
     assert 9 not in {
