@@ -765,7 +765,14 @@ _REPLAY_BASE_SQL = """
 """
 
 
-def _ingest_replay_oracle_sql() -> str:
+def _ingest_replay_oracle_sql(delete_pred: str | None = None) -> str:
+    """The two-batch ingest-replay oracle; ``delete_pred`` (a SQL
+    predicate over the corpus ``doc_id``) removes tombstoned documents
+    from the INITIAL index — the from-scratch mirror of a takedown
+    before the replay starts. Everything downstream (candidates,
+    verification, appends, batch-2 decisions) flows from the same CTE
+    chain, so the deletion's knock-on effects (formerly-suppressed
+    near-dups now accepted AND appended) are computed, not assumed."""
     def decisions(tag: str, batch_pred: str, index_cte: str) -> str:
         return f"""
     cand{tag} AS (
@@ -799,8 +806,12 @@ def _ingest_replay_oracle_sql() -> str:
         WHERE {batch_pred.format(col='b.doc_id')}
     )"""
 
+    idx1_filter = (
+        f" AND NOT ({delete_pred})" if delete_pred is not None else ""
+    )
     return f"""{_minhash_cte_prefix(_REPLAY_BASE_SQL)},
-    idx1 AS (SELECT doc_id, band_key FROM bands WHERE doc_id < 100000),
+    idx1 AS (SELECT doc_id, band_key FROM bands
+             WHERE doc_id < 100000{idx1_filter}),
     {decisions('1', "{col} >= 100000 AND {col} < 400000", 'idx1').lstrip()},
     acc1 AS (SELECT batch_id AS doc_id FROM dec1 WHERE NOT is_near_dup),
     idx2 AS (
@@ -1030,6 +1041,52 @@ def neardup_compacted_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFra
     try:
         d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
         index.compact()
+        d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
+    finally:
+        spark.conf.set(conf_key, prior)
+    return d1.unionByName(d2).select(
+        "batch_no", "batch_id", "n_candidates", "n_verified_dups", "is_near_dup"
+    )
+
+
+@register(
+    "neardup_store_delete",
+    # same two-batch replay oracle, with the tombstoned originals
+    # removed from the initial index: their planted near-dups flip to
+    # ACCEPTED (suppressor gone), get appended, and batch 2's
+    # cross-batch decisions reflect the enlarged index — all computed
+    # by the one CTE chain, nothing assumed
+    oracle=_ingest_replay_oracle_sql(delete_pred="doc_id % 20 = 0"),
+    survey_ref="fuzzy dedup: takedown deletion from the maintained near-dup index (tombstones)",
+)
+def neardup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown deletion from the maintained near-dup index — the
+    fourth and last maintained artifact to get the tombstone
+    lifecycle: every ``doc_id % 20 = 0`` original is deleted from the
+    cloned corpus index (:meth:`..textops.neardup_index.NearDupIndex.
+    delete_docs`, appended TWICE — the ledger replay guard must no-op),
+    then the standard two-batch replay runs. The deletion's semantics
+    are the interesting part and the oracle computes them end-to-end:
+    batch 1's ``xqzv``-prefixed near-dups of the deleted docs are now
+    ACCEPTED (a removed document must stop suppressing new ones — the
+    whole point of a takedown), they get APPENDED, and batch 2 probes
+    the enlarged index. Between the batches :meth:`~..textops.
+    neardup_index.NearDupIndex.compact` applies the mask PHYSICALLY
+    (all three trees rewritten without the masked rows, tombstone
+    files dropped, ledger kept) — so batch 2's matching decisions also
+    prove the logical mask and the physical erasure agree."""
+    index = _clone_replay_index(spark, sf_dir, "neardup_store_delete")
+    docs = load_table(spark, sf_dir, "documents")
+    dead = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    index.delete_docs(dead, 0)
+    index.delete_docs(dead, 0)  # replayed tombstone batch: no-op
+    b1, b2 = _replay_batches(docs)
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        d1 = index.ingest_batch(b1).withColumn("batch_no", F.lit(1).cast("int"))
+        index.compact()  # physical erasure between the batches
         d2 = index.ingest_batch(b2).withColumn("batch_no", F.lit(2).cast("int"))
     finally:
         spark.conf.set(conf_key, prior)

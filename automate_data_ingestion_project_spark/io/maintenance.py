@@ -550,12 +550,20 @@ def compact_flat_tree(
     live_path: str,
     sort_cols: list[str],
     target_bytes: int = 128 << 20,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
 ) -> int:
     """Compact an UNPARTITIONED parquet tree (the near-dup index's
     rows/bands/roster dirs, which grow one file set per ingest) down to
     ``ceil(total_bytes / target_bytes)`` sorted files, via the same
     crash-safe checked swap as :func:`compact_store_tree`. Returns the
     file count after compaction (0 = tree absent/empty, nothing done).
+    With ``tombstones_path`` the committed deletion mask is applied
+    PHYSICALLY in the rewrite (rows dropped before the write); unlike
+    :func:`compact_store_tree` the tombstone store is left in place —
+    the caller owns its removal, because one mask may cover several
+    trees of the same index.
 
     ``target_bytes`` defaults to the classic 128 MiB split size;
     production passes its ``spark.sql.files.maxPartitionBytes`` so one
@@ -580,9 +588,23 @@ def compact_flat_tree(
     if total == 0:
         return 0
     n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(live_path)
+    if tombstones_path is not None and store_exists(spark, tombstones_path):
+        # physical tombstone apply during the rewrite; the CALLER owns
+        # deleting the tombstone store afterwards — several trees of one
+        # index may share a single mask (the near-dup index's three)
+        if tombstone_ledger_path is None or id_col is None:
+            raise ValueError(
+                "tombstones_path requires tombstone_ledger_path and id_col"
+            )
+        dead = (
+            read_committed(spark, tombstones_path, tombstone_ledger_path)
+            .select(id_col)
+            .distinct()
+        )
+        df = df.join(F.broadcast(dead), id_col, "left_anti")
     (
-        spark.read.parquet(live_path)
-        .repartition(n_files)
+        df.repartition(n_files)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(live_path + ".compact")
@@ -742,6 +764,9 @@ def compact_bucketed_table(
     bucket_col: str,
     n_buckets: int,
     sort_col: str | None = None,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
 ) -> None:
     """Small-file compaction for a bucketed catalog table (the near-dup
     index's band table accumulates one file set per bucket per ingest):
@@ -759,8 +784,22 @@ def compact_bucketed_table(
 
     staging = f"{table}__compact"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    src = spark.table(table)
+    if tombstones_path is not None and store_exists(spark, tombstones_path):
+        # physical tombstone apply inside the staging rewrite; the
+        # caller owns deleting the tombstone store (shared mask)
+        if tombstone_ledger_path is None or id_col is None:
+            raise ValueError(
+                "tombstones_path requires tombstone_ledger_path and id_col"
+            )
+        dead = (
+            read_committed(spark, tombstones_path, tombstone_ledger_path)
+            .select(id_col)
+            .distinct()
+        )
+        src = src.join(F.broadcast(dead), id_col, "left_anti")
     write_bucketed_table(
-        spark.table(table), staging, bucket_col, n_buckets, sort_col=sort_col
+        src, staging, bucket_col, n_buckets, sort_col=sort_col
     )
     write_bucketed_table(
         spark.table(staging), table, bucket_col, n_buckets,

@@ -54,6 +54,8 @@ from .dedup import (
 BANDS_SUBDIR = "bands"
 ROWS_SUBDIR = "shingles"
 HASHES_SUBDIR = "content_hashes"
+TOMBSTONES_SUBDIR = "tombstones"
+TOMBSTONE_LEDGER_SUBDIR = "tombstone_ledger"
 
 
 def content_hashes(docs: DataFrame) -> DataFrame:
@@ -94,6 +96,10 @@ class NearDupIndex:
         self.bands_path = os.path.join(root, BANDS_SUBDIR)
         self.rows_path = os.path.join(root, ROWS_SUBDIR)
         self.hashes_path = os.path.join(root, HASHES_SUBDIR)
+        self.tombstones_path = os.path.join(root, TOMBSTONES_SUBDIR)
+        self.tombstone_ledger_path = os.path.join(
+            root, TOMBSTONE_LEDGER_SUBDIR
+        )
         self.bands_table = _bands_table_name(root) if bucket_bands else None
 
     # -- construction ------------------------------------------------------
@@ -158,13 +164,35 @@ class NearDupIndex:
 
     # -- reads (re-read per call so appends are visible) -------------------
 
+    def _mask(self, df: DataFrame) -> DataFrame:
+        """Apply the committed tombstone set (takedown deletions) to an
+        index relation as a broadcast anti-join on ``doc_id`` — the
+        index is never reshuffled for a deletion mask, and every read
+        path (probe bands, verify shingles, collision roster) flows
+        through here so a deleted document can neither suppress a new
+        one nor satisfy the id guard."""
+        from ..io.maintenance import read_committed, store_exists
+
+        if not store_exists(self.spark, self.tombstones_path):
+            return df
+        dead = (
+            read_committed(
+                self.spark,
+                self.tombstones_path,
+                self.tombstone_ledger_path,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return df.join(F.broadcast(dead), "doc_id", "left_anti")
+
     def bands(self) -> DataFrame:
         if self.bands_table:
-            return self.spark.table(self.bands_table)
-        return self.spark.read.parquet(self.bands_path)
+            return self._mask(self.spark.table(self.bands_table))
+        return self._mask(self.spark.read.parquet(self.bands_path))
 
     def rows(self) -> DataFrame:
-        return self.spark.read.parquet(self.rows_path)
+        return self._mask(self.spark.read.parquet(self.rows_path))
 
     def has_hashes(self) -> bool:
         """Whether this index carries the per-doc content-hash roster
@@ -173,7 +201,34 @@ class NearDupIndex:
         return os.path.isdir(self.hashes_path)
 
     def hashes(self) -> DataFrame:
-        return self.spark.read.parquet(self.hashes_path)
+        return self._mask(self.spark.read.parquet(self.hashes_path))
+
+    # -- deletion (takedown / right-to-erasure) ----------------------------
+
+    def delete_docs(self, ids: DataFrame, batch_seq: int = 0) -> None:
+        """Tombstone indexed documents (``doc_id`` column) under the
+        generic ledger protocol (:func:`..io.maintenance.
+        append_tombstones`): replay-idempotent, commit marker last.
+        Readers mask the deleted docs immediately (:meth:`_mask`);
+        :meth:`compact` applies the mask PHYSICALLY to all three trees
+        and then drops the tombstone files (their ledger survives for
+        the replay guard) — the Delta DELETE-then-VACUUM lifecycle.
+
+        Deletion is TERMINAL per doc_id: a tombstoned id must not be
+        re-ingested (the mask would hide the new copy too, and the
+        roster can no longer vouch for the id). Takedowns remove
+        content permanently; mint a new id for genuinely new content.
+        """
+        from ..io.maintenance import append_tombstones
+
+        append_tombstones(
+            self.spark,
+            self.tombstones_path,
+            self.tombstone_ledger_path,
+            ids,
+            batch_seq,
+            "doc_id",
+        )
 
     # -- the ingestion loop ------------------------------------------------
 
@@ -493,14 +548,28 @@ class NearDupIndex:
         :func:`..io.maintenance.compact_bucketed_table` (a staging-table
         rewrite preserving the bucket spec, so probes stay
         exchange-free afterwards).
-        """
-        from ..io.maintenance import compact_bucketed_table, compact_flat_tree
 
-        compact_flat_tree(
-            self.spark, self.hashes_path, ["doc_id"], target_bytes
+        Tombstoned documents (:meth:`delete_docs`) are applied
+        PHYSICALLY here: every tree's rewrite drops the masked rows and
+        the tombstone files are deleted afterwards (ledger kept), so
+        compaction doubles as the erasure-completion step.
+        """
+        from ..io.maintenance import (
+            compact_bucketed_table,
+            compact_flat_tree,
+            store_exists,
+        )
+
+        mask = dict(
+            tombstones_path=self.tombstones_path,
+            tombstone_ledger_path=self.tombstone_ledger_path,
+            id_col="doc_id",
         )
         compact_flat_tree(
-            self.spark, self.rows_path, ["doc_id"], target_bytes
+            self.spark, self.hashes_path, ["doc_id"], target_bytes, **mask
+        )
+        compact_flat_tree(
+            self.spark, self.rows_path, ["doc_id"], target_bytes, **mask
         )
         if self.bands_table:
             compact_bucketed_table(
@@ -509,8 +578,23 @@ class NearDupIndex:
                 "band_key",
                 self.bucket_bands,
                 sort_col="band_key",
+                **mask,
             )
         else:
             compact_flat_tree(
-                self.spark, self.bands_path, ["band_key", "doc_id"], target_bytes
+                self.spark,
+                self.bands_path,
+                ["band_key", "doc_id"],
+                target_bytes,
+                **mask,
             )
+        if store_exists(self.spark, self.tombstones_path):
+            # erasure completed across all three trees — drop the mask
+            # files; the tombstone LEDGER survives so a replayed
+            # tombstone batch still no-ops (Delta DELETE-then-VACUUM)
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+            p = jpath(self.tombstones_path)
+            p.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            ).delete(p, True)
+            self.spark.catalog.refreshByPath(self.tombstones_path)

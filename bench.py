@@ -204,6 +204,7 @@ def main() -> int:
             "shard_store_delete",
             "ivf_store_delete",
             "ivfpq_store_delete",
+            "neardup_store_delete",
             "ann_ivfpq_refined_topk",
             "ann_ivfpq_refined_recall_eval",
             "ivf_train_distortion",

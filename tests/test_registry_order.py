@@ -16,6 +16,7 @@ R13_HEAD = [
     "shard_store_delete",  # NEW in r13 (takedown tombstones, shard store)
     "ivf_store_delete",  # NEW in r13 (takedown tombstones, ANN store)
     "ivfpq_store_delete",  # NEW in r13 (takedown tombstones, codes store)
+    "neardup_store_delete",  # NEW in r13 (takedown tombstones, near-dup index)
     "shard_store_asof_compacted",  # NEW in r13 (watermarked time travel)
     "ann_ivfpq_refined_topk",  # NEW in r13 (full production ANN stack)
     "ann_ivfpq_refined_recall_eval",  # NEW in r13 (measured lift)
@@ -31,7 +32,6 @@ R13_HEAD = [
     "ann_ivf_ingest_replay",
     "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
-    "stream_ann_ivfpq_ingest_replay",
 ]
 
 R9_VINTAGE = {
