@@ -67,10 +67,10 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-13 ordering: (1) the nine queries ADDED this
+# comes first. Round-13 ordering: (1) the ten queries ADDED this
 # round (takedown tombstones on all three maintained stores, watermarked
 # time travel after retention compaction, the IVF-PQ+refine pair, and
-# the trained-vs-sampled IVF coarse-codebook pair); (2) the eight
+# the trained-vs-sampled IVF coarse-codebook pair); (2) the seven
 # queries whose code paths changed this round (committed-read
 # isolation routed through the store searches and shard readers, the
 # checked compaction swap, the as-of ordered-commit validation, the
@@ -78,13 +78,14 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # post-change; (3) the 33 remaining r9-vintage rows in their r9 check
 # order — the r12 verdict's promised final evidence front-load. After
 # this round no registry row's newest driver evidence predates r10.
-# 9 + 8 + 33 = 50 fills the window exactly.
+# 10 + 7 + 33 = 50 fills the window exactly.
 _CHECK_FIRST = [
     # (1) NEW in r13
     "shard_store_delete",
     "ivf_store_delete",
     "ivfpq_store_delete",
     "neardup_store_delete",
+    "stream_shard_store_delete",
     "shard_store_asof_compacted",
     "ann_ivfpq_refined_topk",
     "ann_ivfpq_refined_recall_eval",
@@ -99,15 +100,15 @@ _CHECK_FIRST = [
     "shard_store_compaction",
     "ivf_store_compaction",
     "ann_ivf_ingest_replay",
-    "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
-    # (stream_ann_ivfpq_ingest_replay shares its entire changed path
-    # with the batch form above plus the other streaming twin — its
-    # r12 row stands and its slot goes to neardup_store_delete;
-    # ann_ivfpq_topk also had its scoring stage refactored into
+    # (the two stream_ann_*_ingest_replay twins share their entire
+    # changed paths with the batch forms above plus the in-window
+    # streaming rows stream_shard_export / stream_shard_store_delete;
+    # their r12 rows stand and their slots went to the new deletion
+    # queries)
+    # (ann_ivfpq_topk also had its scoring stage refactored into
     # _ivfpq_adc_scores, but the refined pair above exercises the SAME
-    # helper with fresh rows, so its r12 row stands and its slot goes
-    # to the new ivfpq_store_delete — the window stays at exactly 50)
+    # helper with fresh rows, so its r12 row stands too)
     # (3) the 33 remaining r9-vintage rows, in their r9 check order —
     # after r13 no surviving evidence predates round 10
     "promo_revenue_share",

@@ -1233,3 +1233,107 @@ def shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logical.unionByName(physical).select(
         "phase", "shard_id", "n_docs", "shard_tokens", "content_fp"
     )
+
+
+@register(
+    "stream_shard_store_delete",
+    # single-phase form of shard_store_delete's oracle: the surviving-
+    # corpus stats after the takedown mask, however the tombstones
+    # arrived — the streaming drain must land the identical deletion
+    # set as the direct appends
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    ),
+    survivors AS (
+        SELECT * FROM cum WHERE doc_id % 7 <> 3
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           bit_xor({_content_fp("duckdb")}) AS content_fp
+    FROM survivors
+    GROUP BY 1
+    """,
+    survey_ref="streaming: continuous takedown ingestion (foreachBatch tombstone drain)",
+)
+def stream_shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME takedown as :func:`shard_store_delete`, but the
+    deletion requests arrive as a STREAM: the doc_id % 7 = 3 ids land
+    as two files (split by parity — a takedown feed's arrival order is
+    arbitrary, and tombstone batches are unordered by design), the file
+    source drains them one micro-batch each, and ``foreachBatch``
+    appends each epoch's ids to the tombstone store with the epoch id
+    as the batch sequence (:func:`..streaming.tombstones.
+    stream_tombstone_ingest`) — the continuous deletion loop a
+    production corpus runs against DMCA/erasure feeds. The masked read
+    then hash-matches the surviving-corpus oracle: the streamed
+    takedowns land the identical deletion set the direct appends do,
+    epoch by epoch, exactly once."""
+    import os
+
+    from .load import scratch_dir
+    from ..io.maintenance import read_committed, tombstone_paths
+    from ..streaming.tombstones import stream_tombstone_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("stream_shard_store_delete")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    t_data, t_ledger = tombstone_paths(root)
+
+    src = os.path.join(root, "takedowns")
+    dead = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    dead.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "feed1")
+    )
+    dead.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "feed2")
+    )
+    t0 = os.stat(os.path.join(src, "feed1")).st_mtime
+    for sub, off in (("feed1", 0), ("feed2", 60)):
+        for walk_root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                p = os.path.join(walk_root, f)
+                os.utime(p, (t0 + off, t0 + off))
+    stream_tombstone_ingest(
+        spark,
+        os.path.join(src, "*"),
+        t_data,
+        t_ledger,
+        os.path.join(root, "ckpt"),
+        "doc_id",
+        "doc_id long",
+    )
+    masked = read_committed(
+        spark,
+        shards_path,
+        ledger_path,
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="doc_id",
+    )
+    return masked.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+    )

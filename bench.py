@@ -205,6 +205,7 @@ def main() -> int:
             "ivf_store_delete",
             "ivfpq_store_delete",
             "neardup_store_delete",
+            "stream_shard_store_delete",
             "ann_ivfpq_refined_topk",
             "ann_ivfpq_refined_recall_eval",
             "ivf_train_distortion",

@@ -17,6 +17,7 @@ R13_HEAD = [
     "ivf_store_delete",  # NEW in r13 (takedown tombstones, ANN store)
     "ivfpq_store_delete",  # NEW in r13 (takedown tombstones, codes store)
     "neardup_store_delete",  # NEW in r13 (takedown tombstones, near-dup index)
+    "stream_shard_store_delete",  # NEW in r13 (streaming takedown drain)
     "shard_store_asof_compacted",  # NEW in r13 (watermarked time travel)
     "ann_ivfpq_refined_topk",  # NEW in r13 (full production ANN stack)
     "ann_ivfpq_refined_recall_eval",  # NEW in r13 (measured lift)
@@ -30,7 +31,6 @@ R13_HEAD = [
     "shard_store_compaction",
     "ivf_store_compaction",
     "ann_ivf_ingest_replay",
-    "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
 ]
 
