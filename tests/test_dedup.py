@@ -675,3 +675,97 @@ def test_bucketed_index_compaction_keeps_exchange_free_probe(spark, tmp_path):
     assert {
         r.batch_id: r.is_near_dup for r in index.ingest_batch(near).collect()
     } == {20: True}
+
+
+def test_index_deletion_lifecycle(spark, tmp_path):
+    """NearDupIndex takedown: a deleted document stops suppressing
+    near-dups immediately (logical mask on every read path — bands,
+    shingles, roster), a replayed tombstone batch no-ops, and compact()
+    applies the mask physically (rows gone from the trees on disk,
+    tombstone files dropped, ledger kept) with identical decisions
+    before and after."""
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        committed_batch_seqs,
+        store_exists,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(spark, corpus, str(tmp_path / "idx"))
+    probe = spark.createDataFrame(
+        [(100, "xq the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    before = index.filter_batch(probe).collect()[0]
+    assert before.is_near_dup  # suppressed by doc 1
+
+    dead = spark.createDataFrame([(1,)], "doc_id long")
+    index.delete_docs(dead, 0)
+    index.delete_docs(dead, 0)  # replay: no-op
+    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {0}
+
+    after = index.filter_batch(probe).collect()[0]
+    assert not after.is_near_dup  # suppressor taken down
+    assert after.n_candidates == 0
+    # the roster is masked too: doc 1 no longer vouches for its id
+    assert {r.doc_id for r in index.hashes().collect()} == {2}
+
+    # physical apply: rows leave the trees, mask files leave the disk
+    index.compact()
+    assert not store_exists(spark, index.tombstones_path)
+    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {0}
+    raw_bands = spark.read.parquet(index.bands_path)
+    assert raw_bands.filter("doc_id = 1").count() == 0
+    assert raw_bands.filter("doc_id = 2").count() > 0
+    final = index.filter_batch(probe).collect()[0]
+    assert not final.is_near_dup and final.n_candidates == 0
+
+
+def test_stream_tombstone_drain_matches_direct_appends(spark, tmp_path):
+    """The streaming takedown drain lands the identical committed
+    tombstone set as direct append_tombstones calls — one epoch per
+    feed file, replay-safe via the epoch id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        committed_batch_seqs,
+        read_committed,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        stream_tombstone_ingest,
+    )
+
+    root = str(tmp_path / "store")
+    src = os.path.join(root, "takedowns")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    spark.range(0, 10).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed1"))
+    spark.range(20, 25).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed2"))
+    stream_tombstone_ingest(
+        spark,
+        os.path.join(src, "*"),
+        t_data,
+        t_ledger,
+        os.path.join(root, "ckpt"),
+        "doc_id",
+        "doc_id long",
+    )
+    assert len(committed_batch_seqs(spark, t_ledger)) == 2
+    got = sorted(
+        r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == list(range(0, 10)) + list(range(20, 25))
