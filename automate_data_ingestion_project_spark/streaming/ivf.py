@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..analytics.ivf import append_ivf_batch, ivf_store_paths
-from ..io.maintenance import store_exists
+from ..io.maintenance import read_committed, store_exists
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 _STORE_SCHEMA = (
@@ -96,13 +96,15 @@ def stream_ivf_ingest(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
-    vectors_path, _ = ivf_store_paths(root)
+    vectors_path, ledger_path = ivf_store_paths(root)
     # existence probe via the Hadoop FileSystem API (os.path.isdir is
     # always false on HDFS/S3A — the filesystems this store targets)
     if not store_exists(spark, vectors_path):
         # nothing pending is a normal state for a continuous indexer
         return spark.createDataFrame([], _STORE_SCHEMA)
-    return spark.read.parquet(vectors_path)
+    # committed-read isolation: a prior crashed drain's orphan epoch
+    # leaves stay invisible
+    return read_committed(spark, vectors_path, ledger_path)
 
 
 def stream_ivfpq_ingest(
@@ -154,9 +156,9 @@ def stream_ivfpq_ingest(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
-    codes_path, _ = ivfpq_store_paths(root)
+    codes_path, ledger_path = ivfpq_store_paths(root)
     if not store_exists(spark, codes_path):
         return spark.createDataFrame(
             [], "vec_id long, codes array<int>, cell int, batch_seq int"
         )
-    return spark.read.parquet(codes_path)
+    return read_committed(spark, codes_path, ledger_path)

@@ -100,11 +100,13 @@ def stream_shard_export(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prior)
-    shards_path, _ = shard_store_paths(root)
-    from ..io.maintenance import store_exists
+    shards_path, ledger_path = shard_store_paths(root)
+    from ..io.maintenance import read_committed, store_exists
 
     # Hadoop-FS probe: os.path.isdir is always false on HDFS/S3A
     if not store_exists(spark, shards_path):
         # nothing pending is a normal state for a continuous exporter
         return spark.createDataFrame([], _SHARD_SCHEMA)
-    return spark.read.parquet(shards_path)
+    # committed-read isolation: a prior crashed drain's orphan leaves
+    # (epoch files without their ledger row) stay invisible
+    return read_committed(spark, shards_path, ledger_path)

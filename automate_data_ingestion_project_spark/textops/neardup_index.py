@@ -198,7 +198,9 @@ class NearDupIndex:
         """Whether this index carries the per-doc content-hash roster
         (indexes written before it existed don't; the collision guard
         then falls back to the resolution-limited shingle comparison)."""
-        return os.path.isdir(self.hashes_path)
+        from ..io.maintenance import store_exists
+
+        return store_exists(self.spark, self.hashes_path)
 
     def hashes(self) -> DataFrame:
         return self._mask(self.spark.read.parquet(self.hashes_path))
