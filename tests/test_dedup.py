@@ -769,3 +769,46 @@ def test_stream_tombstone_drain_matches_direct_appends(spark, tmp_path):
         r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
     )
     assert got == list(range(0, 10)) + list(range(20, 25))
+
+
+def test_bucketed_index_deletion_physical_apply(spark, tmp_path):
+    """Takedown on the BUCKETED index variant: the mask applies
+    logically through the catalog-table read, compact() rewrites the
+    band table WITHOUT the masked rows while preserving the bucket spec
+    (probes stay exchange-free), and the tombstone files are gone."""
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        store_exists,
+    )
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+        ],
+        "doc_id long, text string",
+    )
+    index = NearDupIndex.build(
+        spark, corpus, str(tmp_path / "idx"), bucket_bands=4
+    )
+    probe = spark.createDataFrame(
+        [(100, "xq the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    assert index.filter_batch(probe).collect()[0].is_near_dup
+
+    index.delete_docs(spark.createDataFrame([(1,)], "doc_id long"), 0)
+    assert not index.filter_batch(probe).collect()[0].is_near_dup
+
+    index.compact()
+    assert not store_exists(spark, index.tombstones_path)
+    # physical: the catalog table itself no longer holds doc 1
+    raw = spark.table(index.bands_table)
+    assert raw.filter("doc_id = 1").count() == 0
+    assert raw.filter("doc_id = 2").count() > 0
+    # bucket layout preserved
+    ddl = spark.sql(f"SHOW CREATE TABLE {index.bands_table}").collect()[0][0]
+    assert "CLUSTERED BY" in ddl and "band_key" in ddl
+    assert not index.filter_batch(probe).collect()[0].is_near_dup
