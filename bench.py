@@ -206,6 +206,10 @@ def main() -> int:
             "ivfpq_store_delete",
             "neardup_store_delete",
             "stream_shard_store_delete",
+            "nation_profit_by_year",
+            "late_lines_by_priority_class",
+            "promotable_part_suppliers",
+            "waiting_suppliers",
             "ann_ivfpq_refined_topk",
             "ann_ivfpq_refined_recall_eval",
             "ivf_train_distortion",

@@ -23,14 +23,14 @@ R13_HEAD = [
     "ann_ivfpq_refined_recall_eval",  # NEW in r13 (measured lift)
     "ivf_train_distortion",  # NEW in r13 (coarse k-means, monotone)
     "ann_ivf_trained_recall_eval",  # NEW in r13 (sampled vs trained)
+    "nation_profit_by_year",  # NEW in r13 (Q9 shape)
+    "late_lines_by_priority_class",  # NEW in r13 (Q12 shape)
+    "promotable_part_suppliers",  # NEW in r13 (Q20 shape)
+    "waiting_suppliers",  # NEW in r13 (Q21 shape)
     # code changed in r13: isolation routing / refactor touch these
     # queries' execution paths
     "incremental_shard_export",
-    "stream_shard_export",
     "shard_store_asof",
-    "shard_store_compaction",
-    "ivf_store_compaction",
-    "ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
 ]
 
