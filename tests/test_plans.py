@@ -1014,3 +1014,33 @@ def test_read_committed_is_pure_partition_prune(spark, tmp_path):
     mplan = _formatted(masked)
     assert "BroadcastHashJoin" in mplan and "LeftAnti" in mplan
     assert "SortMergeJoin" not in mplan
+
+
+def test_q3_wave_shapes_push_filters_and_avoid_cartesians(spark, sf_dir):
+    """The Q9/Q12/Q20/Q21 wave's load-bearing plan claims: selective
+    predicates reach their parquet scans (the widget name filter, the
+    date windows) and no shape degenerates into a cartesian product;
+    Q21's per-order supplier-cardinality pair comes from ONE aggregate
+    (two agg expressions, not two scans)."""
+    from automate_data_ingestion_project_spark.analytics.warehouse_q3 import (
+        late_lines_by_priority_class,
+        nation_profit_by_year,
+        promotable_part_suppliers,
+        waiting_suppliers,
+    )
+
+    for fn, pushed_marker in (
+        (nation_profit_by_year, "StringContains(p_name,widget)"),
+        (late_lines_by_priority_class, "GreaterThanOrEqual(o_orderdate"),
+        (promotable_part_suppliers, "GreaterThanOrEqual(l_shipdate"),
+        (waiting_suppliers, None),
+    ):
+        plan = _formatted(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        if pushed_marker is not None:
+            assert pushed_marker in plan, fn.__name__
+    # Q21: ONE aggregate computes both per-order cardinalities (the
+    # two distincts share the Expand rewrite — never two scans)
+    wplan = _formatted(waiting_suppliers(spark, sf_dir))
+    assert "count(l_suppkey" in wplan
+    assert "count(CASE WHEN is_late THEN l_suppkey END" in wplan
