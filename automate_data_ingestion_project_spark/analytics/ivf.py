@@ -621,6 +621,20 @@ def ivf_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_DELETE_PRED = f"(vec_id % 5 = 2 AND vec_id >= {N_CELLS})"
 
 
+def _ivf_delete_oracle() -> str:
+    """The two-batch ingest oracle minus the tombstoned candidates —
+    guarded string surgery like :func:`.pq._ivfpq_delete_oracle`, so a
+    reworded base oracle fails loudly at import instead of silently
+    keeping deleted vectors."""
+    old = "WHERE q.query_id != a.vec_id"
+    assert _TWO_BATCH_IVF_ORACLE.count(old) == 1
+    return _TWO_BATCH_IVF_ORACLE.replace(
+        old,
+        "WHERE q.query_id != a.vec_id AND NOT "
+        f"(a.vec_id % 5 = 2 AND a.vec_id >= {N_CELLS})",
+    )
+
+
 @register(
     "ivf_store_delete",
     # the from-scratch oracle quantizes the whole corpus, then drops
@@ -628,11 +642,7 @@ _IVF_DELETE_PRED = f"(vec_id % 5 = 2 AND vec_id >= {N_CELLS})"
     # is frozen — deletion removes inverted-list entries, it never
     # re-quantizes survivors); scores, ranks, candidate counts and
     # per-query batch spans are all recomputed over the survivors
-    oracle=_TWO_BATCH_IVF_ORACLE.replace(
-        "WHERE q.query_id != a.vec_id",
-        "WHERE q.query_id != a.vec_id AND NOT "
-        f"(a.vec_id % 5 = 2 AND a.vec_id >= {N_CELLS})",
-    ),
+    oracle=_ivf_delete_oracle(),
     survey_ref="similarity search: takedown deletion from the maintained ANN index (tombstones)",
 )
 def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,7 +263,7 @@ def _recall_oracle() -> str:
     """
 
 
-def _variant_search(fpv: DataFrame, assigned: DataFrame, exact: DataFrame, name: str) -> DataFrame:
+def _variant_search(assigned: DataFrame, exact: DataFrame, name: str) -> DataFrame:
     """Spark twin of the per-variant search: nprobe=1 same-cell
     candidates, exact code-space L2, hits against the ground truth."""
     q = assigned.filter(F.col("vec_id").isin(QUERY_IDS)).select(
@@ -318,8 +318,8 @@ def ann_ivf_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id")
     )
-    h_s = _variant_search(fpv, assignments[0], exact, "n_s")
-    h_t = _variant_search(fpv, assignments[N_IVF_ITERS], exact, "n_t")
+    h_s = _variant_search(assignments[0], exact, "n_s")
+    h_t = _variant_search(assignments[N_IVF_ITERS], exact, "n_t")
     return (
         exact.select("query_id")
         .distinct()

@@ -1200,24 +1200,27 @@ def shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
         )
 
-    from ..operators.caching import tracked_persist
-
-    logical = tracked_persist(
-        stats(
-            read_committed(
-                spark,
-                shards_path,
-                ledger_path,
-                tombstones_path=t_data,
-                tombstone_ledger_path=t_ledger,
-                id_col="doc_id",
-            )
-        ).withColumn("phase", F.lit("logical"))
+    # pin the logical phase DRIVER-SIDE before the compaction swap: its
+    # plan reads the pre-compaction files (including the tombstone
+    # store the physical apply deletes), and a mere persist is not
+    # enough — compact_store_tree's refreshByPath invalidates cache
+    # entries over those paths, which would force a recompute against
+    # the post-swap tree. The result is per-shard stats (bounded by
+    # shard count, never corpus-sized), so a collect-and-recreate is
+    # the honest pin.
+    logical_df = stats(
+        read_committed(
+            spark,
+            shards_path,
+            ledger_path,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="doc_id",
+        )
+    ).withColumn("phase", F.lit("logical"))
+    logical = spark.createDataFrame(
+        logical_df.collect(), logical_df.schema
     )
-    # materialize BEFORE the compaction swap: the logical branch's plan
-    # reads the pre-compaction files (including the tombstone store the
-    # physical apply deletes), so it must be pinned, not lazy
-    logical.count()
     compact_store_tree(
         spark,
         shards_path,

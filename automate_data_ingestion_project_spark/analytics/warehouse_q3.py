@@ -118,7 +118,7 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.{_LATE.replace('o_orderdate', 'o.o_orderdate').replace('l_shipdate', 'l_shipdate')}
+    WHERE l.{_LATE.replace('o_orderdate', 'o.o_orderdate')}
       AND o.o_orderdate >= DATE '1996-01-01'
       AND o.o_orderdate < DATE '1998-01-01'
     GROUP BY 1

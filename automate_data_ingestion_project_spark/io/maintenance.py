@@ -382,6 +382,19 @@ def compact_store_tree(
         )
     n = folded.count()
     if n == 0:
+        if tombstones_path is not None and store_exists(
+            spark, tombstones_path
+        ):
+            # the mask covered EVERY row: the correct physical state of
+            # a fully-erased store is no data tree at all — deleting
+            # the bytes here is the erasure the contract promises (an
+            # empty dynamic-partition write would leave a schema-less
+            # tree instead); the tombstone files go with it, the
+            # ledgers survive for the replay guards
+            fs.delete(live, True)
+            fs.delete(jpath(tombstones_path), True)
+            spark.catalog.refreshByPath(tombstones_path)
+            spark.catalog.refreshByPath(live_path)
         return 0
     (
         folded.repartition(key_col, "batch_seq")
@@ -587,7 +600,6 @@ def compact_flat_tree(
             total += f.getLen()
     if total == 0:
         return 0
-    n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(live_path)
     if tombstones_path is not None and store_exists(spark, tombstones_path):
         # physical tombstone apply during the rewrite; the CALLER owns
@@ -602,7 +614,19 @@ def compact_flat_tree(
             .select(id_col)
             .distinct()
         )
+        n_before = max(df.count(), 1)
         df = df.join(F.broadcast(dead), id_col, "left_anti")
+        n_after = df.count()
+        if n_after == 0:
+            # fully erased: no data tree is the correct physical state
+            fs.delete(live, True)
+            spark.catalog.refreshByPath(live_path)
+            return 0
+        # size the rewrite from the SURVIVING bytes (row-proportional
+        # estimate), or a big takedown leaves an oversplit tree of
+        # near-empty files — defeating the compaction itself
+        total = max(1, int(total * n_after / n_before))
+    n_files = max(1, math.ceil(total / target_bytes))
     (
         df.repartition(n_files)
         .sortWithinPartitions(*sort_cols)

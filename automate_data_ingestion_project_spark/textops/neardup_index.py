@@ -186,13 +186,30 @@ class NearDupIndex:
         )
         return df.join(F.broadcast(dead), "doc_id", "left_anti")
 
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Read a tree, or an empty relation if the tree is absent —
+        the legitimate state of a FULLY-ERASED index (a takedown that
+        covered every document removes the trees outright; an empty
+        index treats every future doc as novel, it does not crash)."""
+        from ..io.maintenance import store_exists
+
+        if not store_exists(self.spark, path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
     def bands(self) -> DataFrame:
         if self.bands_table:
             return self._mask(self.spark.table(self.bands_table))
-        return self._mask(self.spark.read.parquet(self.bands_path))
+        return self._mask(
+            self._read_or_empty(
+                self.bands_path, "doc_id long, band_key string"
+            )
+        )
 
     def rows(self) -> DataFrame:
-        return self._mask(self.spark.read.parquet(self.rows_path))
+        return self._mask(
+            self._read_or_empty(self.rows_path, "doc_id long, s string")
+        )
 
     def has_hashes(self) -> bool:
         """Whether this index carries the per-doc content-hash roster
@@ -203,11 +220,15 @@ class NearDupIndex:
         return store_exists(self.spark, self.hashes_path)
 
     def hashes(self) -> DataFrame:
-        return self._mask(self.spark.read.parquet(self.hashes_path))
+        return self._mask(
+            self._read_or_empty(
+                self.hashes_path, "doc_id long, content_md5 string"
+            )
+        )
 
     # -- deletion (takedown / right-to-erasure) ----------------------------
 
-    def delete_docs(self, ids: DataFrame, batch_seq: int = 0) -> None:
+    def delete_docs(self, ids: DataFrame, batch_seq: int | None = None) -> None:
         """Tombstone indexed documents (``doc_id`` column) under the
         generic ledger protocol (:func:`..io.maintenance.
         append_tombstones`): replay-idempotent, commit marker last.
@@ -216,13 +237,26 @@ class NearDupIndex:
         and then drops the tombstone files (their ledger survives for
         the replay guard) — the Delta DELETE-then-VACUUM lifecycle.
 
+        ``batch_seq=None`` (the default) AUTO-SEQUENCES: the next free
+        sequence after the highest committed one, so successive
+        takedown waves never silently collide with the replay guard (a
+        fixed default of 0 would make every wave after the first a
+        permanent no-op, since the tombstone ledger outlives even
+        compaction). Pass an explicit sequence only when the CALLER
+        owns replay semantics (a retried job must reuse ITS sequence).
+
         Deletion is TERMINAL per doc_id: a tombstoned id must not be
         re-ingested (the mask would hide the new copy too, and the
         roster can no longer vouch for the id). Takedowns remove
         content permanently; mint a new id for genuinely new content.
         """
-        from ..io.maintenance import append_tombstones
+        from ..io.maintenance import append_tombstones, committed_batch_seqs
 
+        if batch_seq is None:
+            committed = committed_batch_seqs(
+                self.spark, self.tombstone_ledger_path
+            )
+            batch_seq = (max(committed) + 1) if committed else 0
         append_tombstones(
             self.spark,
             self.tombstones_path,

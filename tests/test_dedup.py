@@ -709,22 +709,32 @@ def test_index_deletion_lifecycle(spark, tmp_path):
 
     dead = spark.createDataFrame([(1,)], "doc_id long")
     index.delete_docs(dead, 0)
-    index.delete_docs(dead, 0)  # replay: no-op
+    index.delete_docs(dead, 0)  # explicit seq replay: no-op
     assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {0}
+    # a SECOND takedown wave with the default seq must auto-sequence
+    # past the committed one instead of being swallowed by the replay
+    # guard — doc 2 really gets deleted
+    index.delete_docs(spark.createDataFrame([(2,)], "doc_id long"))
+    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {0, 1}
+    assert index.hashes().count() == 0  # both docs masked now
+    index.delete_docs(spark.createDataFrame([(1,)], "doc_id long"))
+    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {
+        0, 1, 2,
+    }
 
     after = index.filter_batch(probe).collect()[0]
     assert not after.is_near_dup  # suppressor taken down
     assert after.n_candidates == 0
-    # the roster is masked too: doc 1 no longer vouches for its id
-    assert {r.doc_id for r in index.hashes().collect()} == {2}
 
     # physical apply: rows leave the trees, mask files leave the disk
+    # (both docs are now tombstoned, so the full-erasure path removes
+    # the trees outright — no bytes survive)
     index.compact()
     assert not store_exists(spark, index.tombstones_path)
-    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {0}
-    raw_bands = spark.read.parquet(index.bands_path)
-    assert raw_bands.filter("doc_id = 1").count() == 0
-    assert raw_bands.filter("doc_id = 2").count() > 0
+    assert committed_batch_seqs(spark, index.tombstone_ledger_path) == {
+        0, 1, 2,
+    }
+    assert not store_exists(spark, index.bands_path)
     final = index.filter_batch(probe).collect()[0]
     assert not final.is_near_dup and final.n_candidates == 0
 

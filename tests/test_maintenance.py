@@ -242,3 +242,37 @@ def test_ordered_commit_validation(spark, tmp_path):
         read_store_asof(spark, data2, 5, ledger_path=ledger2)
     # without validation the same call is a well-defined SET read
     assert read_store_asof(spark, data2, 5).count() == 20
+
+
+def test_full_erasure_compaction_removes_the_tree(spark, tmp_path):
+    """When the tombstone mask covers EVERY row, a full-collapse
+    compaction must still complete the erasure: the data tree and the
+    tombstone files are deleted outright (no bytes survive anywhere),
+    while both ledgers keep their replay guards."""
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 30), 0, "cell", "vid"
+    )
+    append_tombstones(
+        spark,
+        t_data,
+        t_ledger,
+        spark.range(0, 30).selectExpr("id AS vid"),
+        0,
+        "vid",
+    )
+    n = compact_store_tree(
+        spark,
+        data,
+        "cell",
+        "vid",
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="vid",
+    )
+    assert n == 0
+    assert not store_exists(spark, data)  # no bytes survive
+    assert not store_exists(spark, t_data)
+    assert committed_batch_seqs(spark, ledger) == {0}
+    assert committed_batch_seqs(spark, t_ledger) == {0}

@@ -3,11 +3,13 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-13 window composition — the round's deliverable — must hold:
-the seven r13 additions lead, then the ten queries whose code paths
-changed this round (committed-read isolation routing, the checked
-compaction swap, the _ivfpq_adc_scores refactor), then the full 33-row
-r9-vintage tail (closing out the r9 vintage; the oldest surviving
-driver evidence after this round is r10)."""
+the fourteen r13 additions lead (deletion lifecycle, watermarked time
+travel, IVF-PQ+refine, coarse-quantizer training, the Q9/Q12/Q20/Q21
+shapes), then the three most structurally changed store rows
+(committed-read isolation routing, ordered-commit validation, the
+driver-side ledger), then the full 33-row r9-vintage tail (closing out
+the r9 vintage; the oldest surviving driver evidence after this round
+is r10)."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
