@@ -220,3 +220,74 @@ def test_ivf_store_asof_reads_generations(spark, sf_dir, tmp_path):
     compact_store_tree(spark, vectors_path, "cell", "vec_id")
     with pytest.raises(ValueError, match="compacted"):
         read_store_asof(spark, vectors_path, 0)
+
+
+def test_ivf_search_is_orphan_invariant(spark, tmp_path, sf_dir):
+    """The r12 verdict's read_committed done-criterion, verbatim at the
+    SEARCH level: write an orphan batch_seq=7 leaf (files, no ledger
+    row) into an appended IVF store and prove the registered search's
+    results are hash-identical with and without the orphan present —
+    a reader racing a dead appender can never see its vectors."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.analytics.ivf import (
+        _frozen_codebook,
+        _search_appended_ivf,
+        append_ivf_batch,
+        assign_cells,
+        ivf_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io import load_table
+    from automate_data_ingestion_project_spark.textops.similarity import (
+        norm_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = _frozen_codebook(emb)
+    root = str(tmp_path / "store")
+    append_ivf_batch(spark, emb.filter("vec_id % 3 != 0"), centroids, root, 0)
+    append_ivf_batch(spark, emb.filter("vec_id % 3 = 0"), centroids, root, 1)
+    vectors_path, ledger_path = ivf_store_paths(root)
+
+    def fingerprint():
+        return sorted(
+            tuple(r)
+            for r in _search_appended_ivf(
+                spark, vectors_path, ledger_path
+            ).collect()
+        )
+
+    clean = fingerprint()
+
+    # dead appender: perturbed copies of real vectors under batch_seq=7
+    # leaves in the PROBED cells, no ledger row — a raw scan WOULD rank
+    # them into the candidate lists
+    orphan = (
+        assign_cells(
+            emb.filter("vec_id % 3 = 1")
+            .select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                "embedding",
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(norm_sql("embedding")).alias("nrm"),
+            ),
+            centroids,
+        )
+        .withColumn("batch_seq", F.lit(7))
+    )
+    (
+        orphan.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell", "batch_seq")
+        .parquet(vectors_path)
+    )
+    spark.catalog.refreshByPath(vectors_path)
+    raw = spark.read.parquet(vectors_path)
+    assert raw.filter("batch_seq = 7").count() > 0  # orphans ARE there
+
+    assert fingerprint() == clean  # ...and the search never sees them
