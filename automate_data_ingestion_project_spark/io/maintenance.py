@@ -546,7 +546,12 @@ def vacuum_store(
     committed = {COMPACTED_BATCH_SEQ} | committed_batch_seqs(
         spark, ledger_path
     )
-    leaves = fs.globStatus(jpath(f"{data_path}/*/batch_seq=*")) or []
+    # both store layouts: keyed two-level trees ({key}=K/batch_seq=B —
+    # shards, IVF cells) and the flat tombstone layout (batch_seq=B at
+    # the root); each store matches exactly one of the globs
+    leaves = list(
+        fs.globStatus(jpath(f"{data_path}/*/batch_seq=*")) or []
+    ) + list(fs.globStatus(jpath(f"{data_path}/batch_seq=*")) or [])
     dropped = 0
     for s in leaves:
         seq = int(s.getPath().getName().split("=", 1)[1])

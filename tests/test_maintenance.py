@@ -276,3 +276,39 @@ def test_full_erasure_compaction_removes_the_tree(spark, tmp_path):
     assert not store_exists(spark, t_data)
     assert committed_batch_seqs(spark, ledger) == {0}
     assert committed_batch_seqs(spark, t_ledger) == {0}
+
+
+def test_vacuum_covers_the_flat_tombstone_layout(spark, tmp_path):
+    """A crashed tombstone append that is never retried leaves an
+    orphan batch_seq leaf at the store ROOT (the flat layout, no key
+    level); vacuum_store must reach it too — committed tombstone
+    generations stay untouched."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        vacuum_store,
+    )
+
+    t_data, t_ledger = str(tmp_path / "t"), str(tmp_path / "tl")
+    ids = spark.range(0, 10).selectExpr("id AS vid")
+    append_tombstones(spark, t_data, t_ledger, ids, 0, "vid")
+
+    real_append = maint.append_ledger_row
+
+    def crash(spark_, lp, batch_seq, counts):
+        if lp == t_ledger:
+            raise RuntimeError("injected tombstone-ledger crash")
+        return real_append(spark_, lp, batch_seq, counts)
+
+    maint.append_ledger_row = crash
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            append_tombstones(spark, t_data, t_ledger, ids, 1, "vid")
+    finally:
+        maint.append_ledger_row = real_append
+
+    assert vacuum_store(spark, t_data, t_ledger) == 1  # the orphan leaf
+    got = sorted(
+        r.vid for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == list(range(10))  # committed generation intact
+    assert vacuum_store(spark, t_data, t_ledger) == 0
