@@ -979,7 +979,15 @@ def _ivfpq_refined_oracle() -> str:
     shortlist + exact-L2 refine tail — the composed production search
     (prune cells → ADC → re-rank ≤SHORTLIST at full precision)."""
     base = _ivfpq_oracle()
-    head, _ = base.split("    ranked AS (", 1)
+    marker = "    ranked AS ("
+    # same guard as the sibling delete-oracle string surgeries: a
+    # reworded base oracle must fail loudly here, not silently produce
+    # a malformed refined oracle
+    assert base.count(marker) == 1, (
+        f"IVF-PQ base oracle changed: expected exactly one {marker!r}, "
+        f"found {base.count(marker)}"
+    )
+    head, _ = base.split(marker, 1)
     return head + f"""    shortlist AS (
         SELECT query_id, vec_id, adist FROM (
             SELECT query_id, vec_id, adist,

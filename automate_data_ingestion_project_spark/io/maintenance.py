@@ -106,7 +106,11 @@ def _ledger_rows(spark: SparkSession, ledger_path: str):
     files = [
         s.getPath()
         for s in fs.listStatus(p)
-        if s.getPath().getName().endswith(".parquet")
+        # skip zero-length files: ledgers written before the
+        # temp-then-rename commit (r14) could be left truncated by a
+        # crash mid-write; an empty husk carries no committed row and
+        # must not poison every later replay guard / read / vacuum
+        if s.getPath().getName().endswith(".parquet") and s.getLen() > 0
     ]
     if not files:
         return None
@@ -157,12 +161,26 @@ def append_ledger_row(
     buf = _io.BytesIO()
     papq.write_table(pa.Table.from_arrays(arrays, names=names), buf)
     fs, jpath = _fs(spark, ledger_path)
-    fname = f"{ledger_path}/commit-{batch_seq}-{uuid.uuid4().hex}.parquet"
-    out = fs.create(jpath(fname), True)
+    # Temp-then-rename: the final commit-*.parquet name must only ever
+    # appear COMPLETE, or a crash mid-write would leave a truncated
+    # parquet that poisons every later replay guard / committed read /
+    # vacuum (the old Spark write path got this atomicity from the
+    # output committer). The dot-prefixed temp is invisible to both
+    # readers (_ledger_rows filters on the .parquet suffix, Spark skips
+    # hidden files); rename is atomic on HDFS and the local fs.
+    token = f"{batch_seq}-{uuid.uuid4().hex}"
+    tmp = jpath(f"{ledger_path}/.commit-{token}.parquet.inprogress")
+    final = jpath(f"{ledger_path}/commit-{token}.parquet")
+    out = fs.create(tmp, True)
     try:
         out.write(buf.getvalue())
     finally:
         out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, True)
+        raise IOError(
+            f"ledger commit failed: could not rename {tmp} into place"
+        )
 
 
 def committed_batch_seqs(spark: SparkSession, ledger_path: str) -> set[int]:
@@ -345,10 +363,30 @@ def compact_store_tree(
             "head"
         ),
         F.count("*").alias("n_live"),
+        F.count(
+            F.when(F.col("batch_seq") == COMPACTED_BATCH_SEQ, 1)
+        ).alias("n_compacted"),
     ).first()
     if stats.n_live == 0:
         return 0
     head = stats.head
+    if upto_seq is not None and prior_wm is None and stats.n_compacted > 0:
+        # LEGACY store (compacted before watermarks existed): its -1
+        # generation may already hold generations folded ABOVE upto_seq,
+        # so writing watermark=upto_seq would let read_store_asof serve
+        # a false temporal snapshot. The full-collapse branch handles
+        # this case by writing no watermark; a RETENTION compaction's
+        # whole point is the watermark, so refuse it — full-collapse
+        # the legacy store first, then retention semantics apply to the
+        # generations appended after that.
+        raise ValueError(
+            "retention compaction refused: this store has a compacted "
+            f"generation (batch_seq={COMPACTED_BATCH_SEQ}) with no "
+            "watermark (legacy compaction) — the folded history above "
+            f"upto_seq={upto_seq} is unknowable, so a watermark written "
+            "here would falsify as-of reads; run a full collapse "
+            "(upto_seq=None) first"
+        )
     if tombstones_path is not None and store_exists(spark, tombstones_path):
         if tombstone_ledger_path is None or id_col is None:
             raise ValueError(

@@ -822,3 +822,72 @@ def test_bucketed_index_deletion_physical_apply(spark, tmp_path):
     ddl = spark.sql(f"SHOW CREATE TABLE {index.bands_table}").collect()[0][0]
     assert "CLUSTERED BY" in ddl and "band_key" in ddl
     assert not index.filter_batch(probe).collect()[0].is_near_dup
+
+
+def test_stream_tombstones_offset_past_direct_appends(spark, tmp_path):
+    """A tombstone store that already took DIRECT append_tombstones
+    calls (low sequences) must not swallow stream epochs: the drain
+    offsets each epoch past the highest committed sequence, so every
+    streamed deletion batch lands (raw epoch 0 would collide with the
+    direct seq 0 and silently no-op at the replay guard — an erasure
+    request dropped on the floor). A second drain on the same store
+    reuses the persisted base, keeping the epoch->sequence map stable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+        committed_batch_seqs,
+        read_committed,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        stream_tombstone_ingest,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    direct = spark.range(100, 105).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, direct, 0, "doc_id")
+
+    src = os.path.join(root, "takedowns")
+    spark.range(0, 5).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed1"))
+    stream_tombstone_ingest(
+        spark,
+        os.path.join(src, "*"),
+        t_data,
+        t_ledger,
+        os.path.join(root, "ckpt"),
+        "doc_id",
+        "doc_id long",
+    )
+    # direct seq 0 survives; the streamed epoch landed at base=1, not 0
+    assert committed_batch_seqs(spark, t_ledger) == {0, 1}
+    got = sorted(
+        r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == list(range(0, 5)) + list(range(100, 105))
+
+    # a later feed drains with the SAME persisted base: epoch 1 -> seq 2
+    spark.range(10, 12).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed2"))
+    stream_tombstone_ingest(
+        spark,
+        os.path.join(src, "*"),
+        t_data,
+        t_ledger,
+        os.path.join(root, "ckpt"),
+        "doc_id",
+        "doc_id long",
+    )
+    assert committed_batch_seqs(spark, t_ledger) == {0, 1, 2}
+    got = sorted(
+        r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == (
+        list(range(0, 5)) + list(range(10, 12)) + list(range(100, 105))
+    )

@@ -312,3 +312,64 @@ def test_vacuum_covers_the_flat_tombstone_layout(spark, tmp_path):
     )
     assert got == list(range(10))  # committed generation intact
     assert vacuum_store(spark, t_data, t_ledger) == 0
+
+
+def test_ledger_commit_atomicity_and_truncation_tolerance(spark, tmp_path):
+    """The driver-side ledger commit is temp-then-rename: a normal
+    append leaves no in-progress husk behind, and a zero-length
+    commit file (a crash mid-write under the pre-r14 direct-write
+    layout) is skipped by BOTH reader paths instead of poisoning every
+    later replay guard / committed read / as-of validation."""
+    import os
+
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 10), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 10, 20), 1, "cell", "vid"
+    )
+    # rename completed: no in-progress temp left behind (the local fs
+    # also keeps .<name>.crc checksum sidecars for the FINAL names)
+    names = os.listdir(ledger)
+    assert not [n for n in names if "inprogress" in n], names
+    assert [n for n in names if n.startswith("commit-")], names
+
+    # legacy crash damage: a zero-length commit file in the ledger dir
+    open(os.path.join(ledger, "commit-9-truncated.parquet"), "wb").close()
+    assert committed_batch_seqs(spark, ledger) == {0, 1}  # driver-side
+    assert_ordered_commits(spark, ledger)  # Spark-side (skips empties)
+    # and the protocol still functions end to end on the damaged ledger
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 20, 30), 2, "cell", "vid"
+    )
+    assert committed_batch_seqs(spark, ledger) == {0, 1, 2}
+    assert read_committed(spark, data, ledger).count() == 30
+
+
+def test_retention_compaction_refuses_legacy_store(spark, tmp_path):
+    """A store compacted before watermarks existed (a -1 generation,
+    no watermark file) cannot take a RETENTION compaction: the folded
+    history above upto_seq is unknowable, so a watermark written there
+    would let read_store_asof serve a false temporal snapshot. The
+    guard refuses; a full collapse remains the documented repair."""
+    import os
+
+    data, ledger = _store(tmp_path)
+    for seq, (lo, hi) in enumerate([(0, 20), (20, 40)]):
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, lo, hi), seq, "cell", "vid"
+        )
+    compact_store_tree(spark, data, "cell", "vid")
+    os.remove(os.path.join(data, "_compaction_watermark"))  # fake legacy
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 40, 50), 2, "cell", "vid"
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        compact_store_tree(spark, data, "cell", "vid", upto_seq=2)
+    # no watermark was written and the tree is untouched by the refusal
+    seqs = {
+        r.batch_seq
+        for r in spark.read.parquet(data).select("batch_seq").distinct().collect()
+    }
+    assert seqs == {COMPACTED_BATCH_SEQ, 2}

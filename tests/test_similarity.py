@@ -291,3 +291,18 @@ def test_ivf_search_is_orphan_invariant(spark, tmp_path, sf_dir):
     assert raw.filter("batch_seq = 7").count() > 0  # orphans ARE there
 
     assert fingerprint() == clean  # ...and the search never sees them
+
+
+def test_refined_oracle_surgery_guards_its_marker(monkeypatch):
+    """_ivfpq_refined_oracle splices the refine tail at the base
+    oracle's 'ranked AS (' marker; a reworded base must fail LOUDLY
+    (the sibling delete-oracle surgeries assert the same invariant)
+    rather than silently emit a malformed refined oracle."""
+    import pytest
+
+    from automate_data_ingestion_project_spark.analytics import pq
+
+    assert "shortlist AS (" in pq._ivfpq_refined_oracle()  # intact base
+    monkeypatch.setattr(pq, "_ivfpq_oracle", lambda: "SELECT 1")
+    with pytest.raises(AssertionError, match="base oracle changed"):
+        pq._ivfpq_refined_oracle()
