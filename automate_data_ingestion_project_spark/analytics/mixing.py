@@ -1239,6 +1239,165 @@ def shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_store_asof_erasure",
+    # three phases against one corpus: the BATCH-0 walk (as-of reads
+    # answer for generation 0) with and without the deletion mask, and
+    # the FULL two-batch walk minus the deleted docs (the post-compact
+    # as-of of the head generation). Shard identity is frozen at append
+    # time throughout — erasure removes rows, never re-shards.
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bseq
+        FROM documents
+    ),
+    full_walk AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    ),
+    batch0_walk AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized WHERE bseq = 0
+    ),
+    phases AS (
+        SELECT 'asof_masked' AS phase, * FROM batch0_walk
+        WHERE doc_id % 7 <> 3
+        UNION ALL
+        SELECT 'asof_audit' AS phase, * FROM batch0_walk
+        UNION ALL
+        SELECT 'asof_after_compact' AS phase, * FROM full_walk
+        WHERE doc_id % 7 <> 3
+    )
+    SELECT phase,
+           (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           bit_xor({_content_fp("duckdb")}) AS content_fp
+    FROM phases
+    GROUP BY 1, 2
+    """,
+    survey_ref="LLM curation: erasure wins over time travel (as-of x tombstone contract)",
+)
+def shard_store_asof_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of × tombstone CONTRACT, pinned end to end: erasure wins
+    over time travel. After the two-batch append, doc_id % 7 = 3 is
+    tombstoned; three phases check the three readings:
+
+    - ``asof_masked``: :func:`..io.maintenance.read_store_asof` of
+      generation 0 WITH the tombstone paths — the DEFAULT applies the
+      committed mask, so a doc deleted under right-to-erasure is not
+      servable via any pre-delete ``batch_seq`` (without this, every
+      historical generation would remain a legal way to read "erased"
+      content until physical compaction — a compliance hole).
+    - ``asof_audit``: the same read with ``include_erased=True`` — the
+      explicit audit escape (reconstructing what a past training run
+      actually saw) serves the full pre-delete generation, stated
+      rather than accidental.
+    - ``asof_after_compact``: a full-collapse compaction applies the
+      mask physically, and the as-of read of the head generation —
+      audit escape or not, the bytes are gone — returns the surviving
+      corpus; as-of below the new watermark raises (pinned in
+      ``tests/test_maintenance.py``), so NO as-of path can resurrect a
+      tombstoned doc once delete + compact completes: the stated
+      erasure-completion contract.
+    """
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        append_tombstones,
+        compact_store_tree,
+        read_store_asof,
+        tombstone_paths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_asof_erasure")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    t_data, t_ledger = tombstone_paths(root)
+    dead = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "doc_id")
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        out = df.groupBy(
+            F.col("shard_id").cast("bigint").alias("shard_id")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+        ).withColumn("phase", F.lit(phase))
+        # pin driver-side before the compaction swap invalidates the
+        # pre-compaction file listing (per-shard stats, never
+        # corpus-sized — same honest pin as shard_store_delete)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    masked = stats(
+        read_store_asof(
+            spark,
+            shards_path,
+            0,
+            ledger_path=ledger_path,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="doc_id",
+        ),
+        "asof_masked",
+    )
+    audit = stats(
+        read_store_asof(
+            spark,
+            shards_path,
+            0,
+            ledger_path=ledger_path,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="doc_id",
+            include_erased=True,
+        ),
+        "asof_audit",
+    )
+    compact_store_tree(
+        spark,
+        shards_path,
+        "shard_id",
+        "doc_id",
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="doc_id",
+    )
+    after = stats(
+        read_store_asof(
+            spark,
+            shards_path,
+            1,
+            ledger_path=ledger_path,
+            tombstones_path=t_data,
+            tombstone_ledger_path=t_ledger,
+            id_col="doc_id",
+            include_erased=True,  # even the audit escape: bytes are gone
+        ),
+        "asof_after_compact",
+    )
+    return masked.unionByName(audit).unionByName(after).select(
+        "phase", "shard_id", "n_docs", "shard_tokens", "content_fp"
+    )
+
+
+@register(
     "stream_shard_store_delete",
     # single-phase form of shard_store_delete's oracle: the surviving-
     # corpus stats after the takedown mask, however the tombstones

@@ -74,6 +74,17 @@ from pyspark.sql import functions as F
 COMPACTED_BATCH_SEQ = -1
 _WATERMARK_NAME = "_compaction_watermark"
 
+# Broadcast ceiling for the tombstone anti-join mask, in ids. Takedown
+# sets are small by nature, but "small by nature" is not a bound: a
+# decade of erasure requests on a 100 TB corpus can outgrow the
+# driver/broadcast limits and fail every masked read. The committed id
+# count is already driver-side metadata (the tombstone ledger rows
+# carry per-batch n_ids), so the gate costs nothing; above it the mask
+# falls back to a shuffle anti-join. 4M longs ≈ 32 MB broadcast —
+# comfortably inside default executor/driver budgets, orders of
+# magnitude above any plausible single-store takedown set.
+TOMBSTONE_BROADCAST_MAX_IDS = 4_000_000
+
 
 def _fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -208,8 +219,10 @@ def read_committed(
     retry self-heal / :func:`vacuum_store`).
 
     With ``tombstones_path`` set, committed tombstones are applied as a
-    broadcast LEFT ANTI join on ``id_col`` — the takedown set is small
-    by nature, so the corpus is never reshuffled for a deletion mask.
+    LEFT ANTI join on ``id_col`` — broadcast while the committed id
+    count (ledger metadata) stays under
+    :data:`TOMBSTONE_BROADCAST_MAX_IDS` (the common case: the corpus is
+    never reshuffled for a deletion mask), shuffle anti-join above it.
     """
     committed = sorted(
         committed_batch_seqs(spark, ledger_path) | {COMPACTED_BATCH_SEQ}
@@ -217,18 +230,58 @@ def read_committed(
     df = spark.read.parquet(data_path).filter(
         F.col("batch_seq").isin(committed)
     )
-    if tombstones_path is not None and store_exists(spark, tombstones_path):
-        if tombstone_ledger_path is None or id_col is None:
-            raise ValueError(
-                "tombstones_path requires tombstone_ledger_path and id_col"
-            )
-        dead = (
-            read_committed(spark, tombstones_path, tombstone_ledger_path)
-            .select(id_col)
-            .distinct()
+    return _apply_tombstone_mask(
+        spark, df, tombstones_path, tombstone_ledger_path, id_col
+    )
+
+
+def _committed_tombstone_ids(
+    spark: SparkSession,
+    tombstones_path: str,
+    tombstone_ledger_path: str,
+    id_col: str,
+) -> DataFrame:
+    """The committed deletion mask, with a SIZE-GATED broadcast hint:
+    the per-batch id counts in the tombstone ledger (driver-side
+    metadata, already read for the committed-generation prune) bound
+    the mask's size, and only a mask under
+    :data:`TOMBSTONE_BROADCAST_MAX_IDS` gets the hint — above it the
+    anti-join falls back to a shuffle rather than blowing the
+    broadcast/driver limits. The ledger sum double-counts ids deleted
+    in several batches, which only errs toward the safe (shuffle)
+    side."""
+    dead = (
+        read_committed(spark, tombstones_path, tombstone_ledger_path)
+        .select(id_col)
+        .distinct()
+    )
+    rows = _ledger_rows(spark, tombstone_ledger_path)
+    n_ids = sum(int(getattr(r, "n_ids", 0)) for r in rows or [])
+    if n_ids <= TOMBSTONE_BROADCAST_MAX_IDS:
+        dead = F.broadcast(dead)
+    return dead
+
+
+def _apply_tombstone_mask(
+    spark: SparkSession,
+    df: DataFrame,
+    tombstones_path: str | None,
+    tombstone_ledger_path: str | None,
+    id_col: str | None,
+) -> DataFrame:
+    """Anti-join ``df`` against the committed tombstone set (no-op if
+    no tombstone store exists); broadcast vs shuffle is decided by
+    :func:`_committed_tombstone_ids`."""
+    if tombstones_path is None or not store_exists(spark, tombstones_path):
+        return df
+    if tombstone_ledger_path is None or id_col is None:
+        raise ValueError(
+            "tombstones_path requires tombstone_ledger_path and id_col"
         )
-        df = df.join(F.broadcast(dead), id_col, "left_anti")
-    return df
+    dead = _committed_tombstone_ids(
+        spark, tombstones_path, tombstone_ledger_path, id_col
+    )
+    return df.join(dead, id_col, "left_anti")
 
 
 def _read_watermark(spark: SparkSession, live_path: str) -> int | None:
@@ -387,17 +440,9 @@ def compact_store_tree(
             "here would falsify as-of reads; run a full collapse "
             "(upto_seq=None) first"
         )
-    if tombstones_path is not None and store_exists(spark, tombstones_path):
-        if tombstone_ledger_path is None or id_col is None:
-            raise ValueError(
-                "tombstones_path requires tombstone_ledger_path and id_col"
-            )
-        dead = (
-            read_committed(spark, tombstones_path, tombstone_ledger_path)
-            .select(id_col)
-            .distinct()
-        )
-        df = df.join(F.broadcast(dead), id_col, "left_anti")
+    df = _apply_tombstone_mask(
+        spark, df, tombstones_path, tombstone_ledger_path, id_col
+    )
     if upto_seq is None:
         folded = df.withColumn("batch_seq", F.lit(COMPACTED_BATCH_SEQ))
         candidates = [
@@ -508,6 +553,10 @@ def read_store_asof(
     data_path: str,
     batch_seq: int,
     ledger_path: str | None = None,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
+    include_erased: bool = False,
 ) -> DataFrame:
     """Time-travel read of a ledger-appended store: the rows as they
     stood after batch ``batch_seq`` committed — i.e. the generations
@@ -535,9 +584,30 @@ def read_store_asof(
     raises — Delta's retention window, stated rather than silently
     wrong. Legacy stores compacted before watermarks existed raise for
     every as-of.
+
+    ERASURE WINS OVER TIME TRAVEL. With ``tombstones_path`` set (plus
+    ``tombstone_ledger_path`` and ``id_col``), committed tombstones are
+    applied to the as-of result by DEFAULT: a doc deleted under
+    right-to-erasure must not be servable via any pre-delete
+    ``batch_seq`` — time travel is a read optimization, not an
+    exception to a legal deletion. ``include_erased=True`` is the
+    explicit AUDIT escape (e.g. reconstructing what a past training run
+    actually saw), documented as serving logically-erased rows only
+    until a full-collapse compaction removes the bytes — after that the
+    escape has nothing left to resurrect, which is exactly the
+    ``delete + compact`` erasure-completion contract. Callers that pass
+    no tombstone paths get the raw generations.
     """
     if ledger_path is not None:
         assert_ordered_commits(spark, ledger_path)
+
+    def _mask(df: DataFrame) -> DataFrame:
+        if include_erased:
+            return df
+        return _apply_tombstone_mask(
+            spark, df, tombstones_path, tombstone_ledger_path, id_col
+        )
+
     fs, jpath = _fs(spark, data_path)
     compacted = fs.globStatus(
         jpath(f"{data_path}/*/batch_seq={COMPACTED_BATCH_SEQ}")
@@ -556,12 +626,16 @@ def read_store_asof(
                 f"the compaction watermark {wm} — history below the "
                 "watermark is collapsed into the compacted generation"
             )
-        return spark.read.parquet(data_path).filter(
-            (F.col("batch_seq") == COMPACTED_BATCH_SEQ)
-            | F.col("batch_seq").between(wm + 1, batch_seq)
+        return _mask(
+            spark.read.parquet(data_path).filter(
+                (F.col("batch_seq") == COMPACTED_BATCH_SEQ)
+                | F.col("batch_seq").between(wm + 1, batch_seq)
+            )
         )
-    return spark.read.parquet(data_path).filter(
-        F.col("batch_seq").between(0, batch_seq)
+    return _mask(
+        spark.read.parquet(data_path).filter(
+            F.col("batch_seq").between(0, batch_seq)
+        )
     )
 
 
@@ -652,13 +726,10 @@ def compact_flat_tree(
             raise ValueError(
                 "tombstones_path requires tombstone_ledger_path and id_col"
             )
-        dead = (
-            read_committed(spark, tombstones_path, tombstone_ledger_path)
-            .select(id_col)
-            .distinct()
-        )
         n_before = max(df.count(), 1)
-        df = df.join(F.broadcast(dead), id_col, "left_anti")
+        df = _apply_tombstone_mask(
+            spark, df, tombstones_path, tombstone_ledger_path, id_col
+        )
         n_after = df.count()
         if n_after == 0:
             # fully erased: no data tree is the correct physical state
@@ -855,16 +926,9 @@ def compact_bucketed_table(
     if tombstones_path is not None and store_exists(spark, tombstones_path):
         # physical tombstone apply inside the staging rewrite; the
         # caller owns deleting the tombstone store (shared mask)
-        if tombstone_ledger_path is None or id_col is None:
-            raise ValueError(
-                "tombstones_path requires tombstone_ledger_path and id_col"
-            )
-        dead = (
-            read_committed(spark, tombstones_path, tombstone_ledger_path)
-            .select(id_col)
-            .distinct()
+        src = _apply_tombstone_mask(
+            spark, src, tombstones_path, tombstone_ledger_path, id_col
         )
-        src = src.join(F.broadcast(dead), id_col, "left_anti")
     write_bucketed_table(
         src, staging, bucket_col, n_buckets, sort_col=sort_col
     )

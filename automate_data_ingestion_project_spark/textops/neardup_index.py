@@ -166,25 +166,21 @@ class NearDupIndex:
 
     def _mask(self, df: DataFrame) -> DataFrame:
         """Apply the committed tombstone set (takedown deletions) to an
-        index relation as a broadcast anti-join on ``doc_id`` — the
-        index is never reshuffled for a deletion mask, and every read
-        path (probe bands, verify shingles, collision roster) flows
-        through here so a deleted document can neither suppress a new
-        one nor satisfy the id guard."""
-        from ..io.maintenance import read_committed, store_exists
+        index relation as an anti-join on ``doc_id`` (broadcast under
+        the size gate, shuffle above it — the index is never reshuffled
+        for a typical mask); every read path (probe bands, verify
+        shingles, collision roster) flows through here so a deleted
+        document can neither suppress a new one nor satisfy the id
+        guard."""
+        from ..io.maintenance import _apply_tombstone_mask
 
-        if not store_exists(self.spark, self.tombstones_path):
-            return df
-        dead = (
-            read_committed(
-                self.spark,
-                self.tombstones_path,
-                self.tombstone_ledger_path,
-            )
-            .select("doc_id")
-            .distinct()
+        return _apply_tombstone_mask(
+            self.spark,
+            df,
+            self.tombstones_path,
+            self.tombstone_ledger_path,
+            "doc_id",
         )
-        return df.join(F.broadcast(dead), "doc_id", "left_anti")
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         """Read a tree, or an empty relation if the tree is absent —

@@ -373,3 +373,57 @@ def test_retention_compaction_refuses_legacy_store(spark, tmp_path):
         for r in spark.read.parquet(data).select("batch_seq").distinct().collect()
     }
     assert seqs == {COMPACTED_BATCH_SEQ, 2}
+
+
+def test_asof_reads_apply_tombstones_by_default(spark, tmp_path):
+    """Erasure wins over time travel: once a tombstone commits, NO
+    as-of read with the store's tombstone paths returns the deleted
+    ids — at any pre-delete batch_seq — unless the caller takes the
+    explicit include_erased audit escape; and after delete + compact
+    completes the erasure, even the escape has nothing to resurrect
+    (reads below the new watermark raise; reads at it serve the
+    surviving rows only)."""
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 40), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 40, 60), 1, "cell", "vid"
+    )
+    dead_ids = [v for v in range(60) if v % 7 == 3]
+    append_tombstones(
+        spark,
+        t_data,
+        t_ledger,
+        spark.createDataFrame([(v,) for v in dead_ids], "vid long"),
+        0,
+        "vid",
+    )
+    kw = dict(
+        tombstones_path=t_data, tombstone_ledger_path=t_ledger, id_col="vid"
+    )
+    for seq, hi in ((0, 40), (1, 60)):
+        got = {r.vid for r in read_store_asof(spark, data, seq, **kw).collect()}
+        assert got == {v for v in range(hi) if v % 7 != 3}
+        audit = {
+            r.vid
+            for r in read_store_asof(
+                spark, data, seq, include_erased=True, **kw
+            ).collect()
+        }
+        assert audit == set(range(hi))  # the stated resurrect window
+
+    compact_store_tree(
+        spark, data, "cell", "vid", tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger, id_col="vid",
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        read_store_asof(spark, data, 0, **kw)  # history below wm is gone
+    final = {
+        r.vid
+        for r in read_store_asof(
+            spark, data, 1, include_erased=True, **kw
+        ).collect()
+    }
+    assert final == {v for v in range(60) if v % 7 != 3}  # bytes gone

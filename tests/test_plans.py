@@ -1044,3 +1044,61 @@ def test_q3_wave_shapes_push_filters_and_avoid_cartesians(spark, sf_dir):
     wplan = _formatted(waiting_suppliers(spark, sf_dir))
     assert "count(l_suppkey" in wplan
     assert "count(CASE WHEN is_late THEN l_suppkey END" in wplan
+
+
+def test_tombstone_mask_broadcast_is_size_gated(spark, tmp_path):
+    """The tombstone anti-join mask carries the broadcast hint ONLY
+    while the ledger-metadata id count stays under the gate: below it
+    the masked read plans a BroadcastHashJoin (the corpus is never
+    reshuffled for a typical takedown set), above it the hint is
+    withheld and — with auto-broadcast off, as a 100 TB mask would be —
+    the same read plans a shuffle anti-join instead of blowing the
+    driver on an unbounded broadcast."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+
+    data, ledger = str(tmp_path / "d"), str(tmp_path / "l")
+    t_data, t_ledger = str(tmp_path / "t"), str(tmp_path / "tl")
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("vid"),
+        (F.col("id") % 4).cast("int").alias("cell"),
+    )
+    maint.append_store_batch(spark, data, ledger, rows, 0, "cell", "vid")
+    maint.append_tombstones(
+        spark,
+        t_data,
+        t_ledger,
+        spark.range(0, 50).selectExpr("id AS vid"),
+        0,
+        "vid",
+    )
+
+    def plan():
+        return _physical(
+            maint.read_committed(
+                spark,
+                data,
+                ledger,
+                tombstones_path=t_data,
+                tombstone_ledger_path=t_ledger,
+                id_col="vid",
+            )
+        )
+
+    prev_gate = maint.TOMBSTONE_BROADCAST_MAX_IDS
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.catalog.clearCache()
+    try:
+        # below the gate: the hint wins regardless of the threshold
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        below = plan()
+        assert "BroadcastHashJoin" in below, below
+        # above the gate (50 committed ids > gate 10): hint withheld,
+        # the anti-join falls back to a shuffle strategy
+        maint.TOMBSTONE_BROADCAST_MAX_IDS = 10
+        above = plan()
+        assert "BroadcastHashJoin" not in above, above
+        assert "SortMergeJoin" in above or "ShuffledHashJoin" in above, above
+        assert "LeftAnti" in above, above
+    finally:
+        maint.TOMBSTONE_BROADCAST_MAX_IDS = prev_gate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
