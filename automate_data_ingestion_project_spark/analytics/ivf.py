@@ -612,7 +612,9 @@ def ivf_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.filter(F.col("vec_id") % 3 == 0), centroids, root, 1
     )
     vectors_path, ledger_path = ivf_store_paths(root)
-    compact_store_tree(spark, vectors_path, "cell", "vec_id")
+    compact_store_tree(
+        spark, vectors_path, "cell", "vec_id", ledger_path=ledger_path
+    )
     return _search_appended_ivf(spark, vectors_path, ledger_path)
 
 

@@ -965,8 +965,10 @@ def shard_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_token_shard_batch(
         spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
     )
-    shards_path, _ = shard_store_paths(root)
-    compact_store_tree(spark, shards_path, "shard_id", "doc_id")
+    shards_path, ledger_path = shard_store_paths(root)
+    compact_store_tree(
+        spark, shards_path, "shard_id", "doc_id", ledger_path=ledger_path
+    )
     return (
         spark.read.parquet(shards_path)
         .groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
@@ -1102,7 +1104,10 @@ def shard_store_asof_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
     )
     shards_path, ledger_path = shard_store_paths(root)
-    compact_store_tree(spark, shards_path, "shard_id", "doc_id", upto_seq=0)
+    compact_store_tree(
+        spark, shards_path, "shard_id", "doc_id", upto_seq=0,
+        ledger_path=ledger_path,
+    )
     return _two_batch_shard_stats(
         read_store_asof(spark, shards_path, 0, ledger_path=ledger_path)
     )
@@ -1229,6 +1234,7 @@ def shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         tombstones_path=t_data,
         tombstone_ledger_path=t_ledger,
         id_col="doc_id",
+        ledger_path=ledger_path,
     )
     physical = stats(spark.read.parquet(shards_path)).withColumn(
         "phase", F.lit("physical")
@@ -1378,6 +1384,7 @@ def shard_store_asof_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         tombstones_path=t_data,
         tombstone_ledger_path=t_ledger,
         id_col="doc_id",
+        ledger_path=ledger_path,
     )
     after = stats(
         read_store_asof(

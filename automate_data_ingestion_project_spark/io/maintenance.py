@@ -312,12 +312,15 @@ def _write_watermark(spark: SparkSession, tmp_path: str, value: int) -> None:
         out.close()
 
 
-def _checked_swap(fs, live, old, tmp) -> None:
+def _checked_swap(fs, live, old, tmp, reconcile=None) -> None:
     """The crash-safe whole-tree swap with every rename leg CHECKED:
     Hadoop ``rename`` reports failure by returning false, so an
     unchecked swap that lost its second leg would go on to delete the
     only intact copy of the store. The old tree is deleted only after
-    the new tree is verified in place."""
+    the new tree is verified in place. ``reconcile``, if given, runs
+    between the verification and the destructive leg — the window where
+    BOTH trees exist, used to rescue generations committed by an
+    appender racing the rewrite (they live only in ``old``)."""
     if not fs.rename(live, old):
         raise IOError(
             f"compaction swap failed: could not move {live} aside to {old}"
@@ -338,6 +341,8 @@ def _checked_swap(fs, live, old, tmp) -> None:
             f"compaction swap failed: {live} absent after rename; intact "
             f"store left at {old}"
         )
+    if reconcile is not None:
+        reconcile()
     fs.delete(old, True)
 
 
@@ -360,6 +365,7 @@ def compact_store_tree(
     tombstones_path: str | None = None,
     tombstone_ledger_path: str | None = None,
     id_col: str | None = None,
+    ledger_path: str | None = None,
 ) -> int:
     """Compact a ``(key_col, batch_seq)``-partitioned store tree
     (hash-clustering by ``key_col`` puts each key's rows in exactly one
@@ -390,6 +396,21 @@ def compact_store_tree(
     Returns the number of rows rewritten (0 = store empty or absent,
     nothing done). Content is preserved exactly (minus applied
     tombstones); tests fingerprint it.
+
+    APPENDER-RACE GUARD (``ledger_path``): compaction is documented
+    single-writer, but the read→rewrite→swap window is minutes long at
+    scale and a scheduler that double-fires maintenance against a live
+    appender must degrade safely, not silently drop data. The scan is
+    PINNED to the generations physically present when compaction
+    starts (a partition-filter ``isin`` over the globbed leaves), so
+    which batches fold is deterministic; with ``ledger_path`` given,
+    a post-swap reconciliation compares the data ledger against the
+    folded/preserved set and RESCUES any generation that committed
+    inside the window — its leaves are moved from the displaced old
+    tree into the compacted tree before the old copy is deleted, so
+    the batch survives with both its rows and its ledger row. Only the
+    swap itself (two renames) remains an unguarded instant, which is
+    the same exposure Delta's OPTIMIZE commit has.
     """
     if upto_seq is not None and upto_seq < 0:
         raise ValueError(f"upto_seq must be >= 0, got {upto_seq}")
@@ -407,7 +428,19 @@ def compact_store_tree(
 
     if not fs.exists(live):
         return 0
-    df = spark.read.parquet(live_path)
+    # pin the scan to the generations physically present NOW: which
+    # batches this compaction folds is then deterministic even if an
+    # appender lands new leaves mid-rewrite (those are rescued by the
+    # post-swap reconciliation below, never half-read here)
+    observed = {
+        int(s.getPath().getName().split("=", 1)[1])
+        for s in fs.globStatus(jpath(f"{live_path}/*/batch_seq=*")) or []
+    }
+    if not observed:
+        return 0
+    df = spark.read.parquet(live_path).filter(
+        F.col("batch_seq").isin(sorted(observed))
+    )
     prior_wm = _read_watermark(spark, live_path)
     # head of the REAL generations (the compacted -1 generation's
     # position in history is the watermark, not its partition value)
@@ -473,8 +506,18 @@ def compact_store_tree(
             # the bytes here is the erasure the contract promises (an
             # empty dynamic-partition write would leave a schema-less
             # tree instead); the tombstone files go with it, the
-            # ledgers survive for the replay guards
-            fs.delete(live, True)
+            # ledgers survive for the replay guards. Only the OBSERVED
+            # leaves are erased — a generation an appender landed after
+            # the pin is not covered by this mask decision and must
+            # survive; the tree itself goes only if nothing is left.
+            for s in (
+                fs.globStatus(jpath(f"{live_path}/*/batch_seq=*")) or []
+            ):
+                if int(s.getPath().getName().split("=", 1)[1]) in observed:
+                    fs.delete(s.getPath(), True)
+            leftover = fs.globStatus(jpath(f"{live_path}/*/batch_seq=*"))
+            if leftover is None or len(leftover) == 0:
+                fs.delete(live, True)
             fs.delete(jpath(tombstones_path), True)
             spark.catalog.refreshByPath(tombstones_path)
             spark.catalog.refreshByPath(live_path)
@@ -488,7 +531,44 @@ def compact_store_tree(
     )
     if watermark is not None:
         _write_watermark(spark, live_path + ".compact", watermark)
-    _checked_swap(fs, live, old, tmp)
+
+    def _rescue_missed_generations():
+        # a batch that COMMITTED inside the read->swap window is
+        # accounted for in the ledger but absent from the rewrite (the
+        # scan was pinned before it landed): its leaves exist only in
+        # the displaced old tree. Move them into the compacted tree
+        # before the old copy is destroyed — the rescue is a per-leaf
+        # rename, same-filesystem metadata ops.
+        committed = committed_batch_seqs(spark, ledger_path)
+        missed = committed - {s for s in observed if s >= 0}
+        if not missed:
+            return
+        for s in (
+            fs.globStatus(jpath(f"{live_path}.old/*/batch_seq=*")) or []
+        ):
+            seq = int(s.getPath().getName().split("=", 1)[1])
+            if seq not in missed:
+                continue
+            leaf = s.getPath()
+            key_name = leaf.getParent().getName()
+            fs.mkdirs(jpath(f"{live_path}/{key_name}"))
+            dest = jpath(f"{live_path}/{key_name}/{leaf.getName()}")
+            if not fs.rename(leaf, dest):
+                raise IOError(
+                    "compaction reconcile failed: committed generation "
+                    f"{seq} leaf {leaf} could not be moved into the "
+                    f"compacted tree at {dest}"
+                )
+
+    _checked_swap(
+        fs,
+        live,
+        old,
+        tmp,
+        reconcile=(
+            _rescue_missed_generations if ledger_path is not None else None
+        ),
+    )
     if tombstones_path is not None and store_exists(spark, tombstones_path):
         # erasure completed: the rewrite dropped the bytes; the
         # tombstone LEDGER survives so replayed tombstone batches no-op

@@ -427,3 +427,102 @@ def test_asof_reads_apply_tombstones_by_default(spark, tmp_path):
         ).collect()
     }
     assert final == {v for v in range(60) if v % 7 != 3}  # bytes gone
+
+
+def test_append_committed_in_compactor_window_survives(spark, tmp_path, monkeypatch):
+    """The appender-vs-compactor race: a batch that lands AND commits
+    inside the compactor's read->swap window (its leaves only in the
+    tree the swap displaces) must survive the compaction — with
+    ledger_path given, the post-swap reconciliation moves the missed
+    generation into the compacted tree before the old copy is deleted,
+    so neither its rows nor its ledger row are lost."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 30), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 30, 50), 1, "cell", "vid"
+    )
+
+    real_swap = maint._checked_swap
+    raced = {}
+
+    def racing_swap(fs, live, old, tmp, reconcile=None):
+        # the racing appender finishes entirely inside the window:
+        # files + ledger row land after the compactor's pinned scan,
+        # before the swap
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, 50, 60), 2, "cell", "vid"
+        )
+        raced["done"] = True
+        return real_swap(fs, live, old, tmp, reconcile)
+
+    monkeypatch.setattr(maint, "_checked_swap", racing_swap)
+    n = compact_store_tree(
+        spark, data, "cell", "vid", ledger_path=ledger
+    )
+    assert raced["done"] and n == 50  # the rewrite folded batches 0-1
+    got = _content(read_committed(spark, data, ledger))
+    vids = sorted(v for v, _, _, _ in got)
+    assert vids == list(range(60))  # batch 2 rescued, nothing lost
+    # the rescued generation kept its own batch_seq (not folded)
+    assert {b for _, _, _, b in got} == {COMPACTED_BATCH_SEQ, 2}
+    # and the store remains fully functional: append + compact again
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 60, 70), 3, "cell", "vid"
+    )
+    monkeypatch.setattr(maint, "_checked_swap", real_swap)
+    compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+    assert read_committed(spark, data, ledger).count() == 70
+
+
+def test_full_erasure_race_does_not_delete_fresh_batch(spark, tmp_path, monkeypatch):
+    """The full-erasure branch (tombstone mask covers every scanned
+    row) used to delete the whole tree; a batch committed after the
+    compactor pinned its scan must NOT be part of that erasure
+    decision — only the observed leaves are dropped, the racing
+    generation survives with the tree."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 20), 0, "cell", "vid"
+    )
+    append_tombstones(
+        spark,
+        t_data,
+        t_ledger,
+        spark.range(0, 20).selectExpr("id AS vid"),
+        0,
+        "vid",
+    )
+
+    real_exists = maint.store_exists
+    raced = {}
+
+    def racing_exists(spark_, path):
+        # first probe of the tombstone store inside compact = after
+        # the scan pin, before the erase: the racing batch lands here
+        if path == t_data and "done" not in raced:
+            raced["done"] = True
+            append_store_batch(
+                spark, data, ledger, _mk_rows(spark, 100, 110), 1,
+                "cell", "vid",
+            )
+        return real_exists(spark_, path)
+
+    monkeypatch.setattr(maint, "store_exists", racing_exists)
+    n = compact_store_tree(
+        spark, data, "cell", "vid",
+        tombstones_path=t_data, tombstone_ledger_path=t_ledger,
+        id_col="vid", ledger_path=ledger,
+    )
+    assert raced["done"] and n == 0  # every OBSERVED row was erased
+    assert store_exists(spark, data)  # tree kept: batch 1 lives there
+    got = sorted(
+        r.vid for r in read_committed(spark, data, ledger).collect()
+    )
+    assert got == list(range(100, 110))

@@ -1015,3 +1015,114 @@ def test_tombstone_appends_are_replay_idempotent(
         ).collect()
     )
     assert got == sorted(set(range(n_rows)) - dead)
+
+
+@st.composite
+def compactor_race_plans(draw):
+    """(n_pre, n_window, n_post, retention): how many batches commit
+    before the compaction, inside its read->swap window, and after it —
+    and whether the compaction is a full collapse or a retention fold.
+    The window count of 0 is in the space (the non-racing base case the
+    rest of the suite pins must keep holding under the guard)."""
+    n_pre = draw(st.integers(min_value=1, max_value=3))
+    return (
+        n_pre,
+        draw(st.integers(min_value=0, max_value=2)),
+        draw(st.integers(min_value=0, max_value=2)),
+        draw(st.booleans()) and n_pre >= 2,
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(plan=compactor_race_plans())
+def test_compactor_append_interleavings_match_model(
+    spark, plan, tmp_path_factory
+):
+    """compact_store_tree racing append_store_batch, against the Python
+    model of the reconciliation contract: every batch that COMMITS —
+    before the compaction, inside its read->swap window, or after the
+    swap — survives with all its rows; batches the pinned scan observed
+    fold per the mode (full collapse -> -1; retention -> -1 up to
+    upto_seq, preserved above); window/post batches keep their own
+    generation. A second, quiet compaction then folds everything and
+    the content is still exactly the model's."""
+    from pyspark.sql import functions as F
+
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        COMPACTED_BATCH_SEQ,
+        append_store_batch,
+        compact_store_tree,
+        read_committed,
+    )
+
+    n_pre, n_win, n_post, retention = plan
+    root = str(tmp_path_factory.mktemp("compactor_race"))
+    data, ledger = root + "/data", root + "/ledger"
+
+    def mk(seq):
+        return spark.range(seq * 10, seq * 10 + 5).select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 3).cast("int").alias("cell"),
+        )
+
+    def rows_of(seq):
+        return set(range(seq * 10, seq * 10 + 5))
+
+    for seq in range(n_pre):
+        append_store_batch(spark, data, ledger, mk(seq), seq, "cell", "vid")
+
+    upto = n_pre - 2 if retention else None
+    win_seqs = list(range(n_pre, n_pre + n_win))
+    real_swap = maint._checked_swap
+
+    def racing_swap(fs, live, old, tmp, reconcile=None):
+        for seq in win_seqs:
+            append_store_batch(
+                spark, data, ledger, mk(seq), seq, "cell", "vid"
+            )
+        return real_swap(fs, live, old, tmp, reconcile)
+
+    maint._checked_swap = racing_swap
+    try:
+        compact_store_tree(
+            spark, data, "cell", "vid", upto_seq=upto, ledger_path=ledger
+        )
+    finally:
+        maint._checked_swap = real_swap
+
+    post_seqs = list(range(n_pre + n_win, n_pre + n_win + n_post))
+    for seq in post_seqs:
+        append_store_batch(spark, data, ledger, mk(seq), seq, "cell", "vid")
+
+    # the model: generation classes after the racing compaction
+    folded = [s for s in range(n_pre) if upto is None or s <= upto]
+    kept = [s for s in range(n_pre) if upto is not None and s > upto]
+    want = sorted(
+        [(v, COMPACTED_BATCH_SEQ) for s in folded for v in rows_of(s)]
+        + [(v, s) for s in kept + win_seqs + post_seqs for v in rows_of(s)]
+    )
+    got = sorted(
+        (r.vid, r.batch_seq)
+        for r in read_committed(spark, data, ledger).collect()
+    )
+    assert got == want
+
+    # a quiet full collapse then folds every surviving generation
+    compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+    got_all = sorted(
+        (r.vid, r.batch_seq)
+        for r in read_committed(spark, data, ledger).collect()
+    )
+    assert got_all == sorted(
+        (v, COMPACTED_BATCH_SEQ)
+        for s in folded + kept + win_seqs + post_seqs
+        for v in rows_of(s)
+    )
