@@ -68,89 +68,75 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-13 ordering: (1) the fourteen queries ADDED this
-# round (takedown tombstones on all three maintained stores, watermarked
-# time travel after retention compaction, the IVF-PQ+refine pair, and
-# the trained-vs-sampled IVF coarse-codebook pair and the
-# Q9/Q12/Q20/Q21 warehouse shapes completing all 22 TPC-H plan
-# shapes); (2) the three
-# queries whose code paths changed this round (committed-read
-# isolation routed through the store searches and shard readers, the
-# checked compaction swap, the as-of ordered-commit validation, the
-# _ivfpq_adc_scores refactor), so their official rows land
-# post-change; (3) the 33 remaining r9-vintage rows in their r9 check
-# order — the r12 verdict's promised final evidence front-load. After
-# this round no registry row's newest driver evidence predates r10.
-# 14 + 3 + 33 = 50 fills the window exactly.
+# comes first. Round-14 ordering: (1) the three queries ADDED this
+# round (the as-of x tombstone erasure contract, and the multiprobe
+# refined IVF-PQ pair); (2) the one query whose behavior-bearing code
+# path changed most this round — stream_shard_store_delete drains
+# through the stream-epoch base offset added to stream_tombstone_
+# ingest (the other r14 changes — ledger temp-then-rename, the
+# size-gated tombstone broadcast, the compactor reconciliation, the
+# as-of default mask — are all exercised in-window by the erasure
+# query plus every store row's appends/committed reads); (3) the 46
+# r10-vintage rows in their r10 check order — the r13 verdict's
+# promised evidence front-load. After this round no registry row's
+# newest driver evidence predates r11. 3 + 1 + 46 = 50 fills the
+# window exactly.
 _CHECK_FIRST = [
-    # (1) NEW in r13
-    "shard_store_delete",
-    "ivf_store_delete",
-    "ivfpq_store_delete",
-    "neardup_store_delete",
+    # (1) NEW in r14
+    "shard_store_asof_erasure",
+    "ann_ivfpq_multiprobe_refined_topk",
+    "ann_ivfpq_multiprobe_recall_eval",
+    # (2) code changed in r14 (stream tombstone epochs now offset past
+    # the highest committed sequence; this query runs the drain)
     "stream_shard_store_delete",
-    "shard_store_asof_compacted",
-    "ann_ivfpq_refined_topk",
-    "ann_ivfpq_refined_recall_eval",
-    "ivf_train_distortion",
-    "ann_ivf_trained_recall_eval",
-    "nation_profit_by_year",
-    "late_lines_by_priority_class",
-    "promotable_part_suppliers",
-    "waiting_suppliers",
-    # (2) code changed in r13 (isolation routing / refactor touch
-    # these queries' execution paths; behavior-proven equal locally,
-    # official rows should still postdate the change)
-    "incremental_shard_export",
-    "shard_store_asof",
-    "ann_ivfpq_ingest_replay",
-    # (the other changed-path store rows keep their r12 evidence and
-    # ceded their slots to the new queries above — each path is
-    # exercised by an in-window sibling: stream_shard_export and both
-    # stream_ann_* twins by stream_shard_store_delete's drain plus the
-    # batch forms; shard/ivf_store_compaction by
-    # shard_store_asof_compacted + shard_store_delete's
-    # compact_store_tree calls; ann_ivf_ingest_replay by
-    # ivf_store_delete's append + committed search; ann_ivfpq_topk's
-    # refactored scoring stage by the refined pair)
-    # (ann_ivfpq_topk also had its scoring stage refactored into
-    # _ivfpq_adc_scores, but the refined pair above exercises the SAME
-    # helper with fresh rows, so its r12 row stands too)
-    # (3) the 33 remaining r9-vintage rows, in their r9 check order —
-    # after r13 no surviving evidence predates round 10
-    "promo_revenue_share",
-    "median_order_by_nation",
-    "small_qty_revenue_by_brand",
-    "important_revenue_nations",
-    "disjunctive_promo_revenue",
-    "local_supplier_revenue",
-    "table_profile_approx",
-    "pq_train_distortion",
-    "ann_pq_trained_recall_eval",
-    "shipping_priority_topk",
-    "volume_shipping_pairs",
-    "nation_market_share",
-    "returned_item_losses",
-    "lapsed_customer_balance",
-    "sales_grouping_sets",
-    "quantile_sketch_calibration",
-    "pii_redaction",
-    "multimodal_resize",
-    "stream_stream_join",
-    "peak_concurrent_sessions",
-    "discount_revenue_delta",
-    "part_supplier_variety",
-    "orders_trailing_30d_revenue",
-    "null_safe_join_semantics",
-    "stream_late_data_drop",
-    "semantic_dedup_clusters",
-    "heavy_hitters_sketch",
-    "stream_upsert_foreachbatch",
-    "pagerank_step",
-    "orc_roundtrip_supplier",
-    "xml_roundtrip_part",
-    "top_supplier_revenue",
-    "events_variant_props",
+    # (3) the 46 r10-vintage rows, in their r10 check order — after
+    # r14 no surviving evidence predates round 11
+    "jdbc_roundtrip_nation",
+    "export_token_shards",
+    "fuzzy_name_pairs",
+    "bitmap_exact_distinct",
+    "hll_sketch_rollup",
+    "duplicate_text_spans",
+    "span_dedup_mask",
+    "neardup_blast_radius",
+    "neardup_triangles",
+    "profile_drift",
+    "event_sessions_udtf",
+    "normalize_dv3f_pandas_api",
+    "scripted_quality_gate",
+    "pipe_syntax_revenue",
+    "ann_truncated_recall_eval",
+    "snapshot_diff",
+    "value_outliers_mad",
+    "table_profile",
+    "stream_dedup_events",
+    "stream_windowed_counts",
+    "stream_session_counts",
+    "stream_stateful_totals",
+    "normalize_dv3f",
+    "dbt_first_model",
+    "dbt_second_model",
+    "top10_orders",
+    "top_brands_by_quantity",
+    "quality_report",
+    "dedup_exact",
+    "price_quantiles",
+    "revenue_by_nation",
+    "top3_orders_per_priority",
+    "doc_fingerprints",
+    "doc_chunks",
+    "decontaminate_overlap",
+    "doc_repetition",
+    "corpus_sample_mix",
+    "pack_sequences",
+    "label_centroids",
+    "centroid_purity",
+    "corpus_curation_pipeline",
+    "nation_only_keys_except",
+    "repeat_customers_intersect",
+    "sales_rollup",
+    "asof_purchase_last_click",
+    "range_join_signup_errors",
 ]
 
 

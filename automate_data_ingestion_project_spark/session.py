@@ -54,9 +54,18 @@ def get_spark(
         # never raise on overflow/cast; keep permissive NULL-on-error casts.
         .config("spark.sql.ansi.enabled", "false")
     )
-    # NOTE: spark.driver.memory cannot be set here — builder.config is a
-    # no-op once the JVM exists; set it at submit time
-    # (--driver-memory / SPARK_SUBMIT_OPTS).
+    # Heap: in local mode spark.driver.memory IS the whole JVM (driver,
+    # every "executor" thread, and every broadcast build share it), and
+    # PySpark's 1g launch default is a toy size for a 32-thread session
+    # — the sf1 scale demo OOM'd a broadcast build under it. Setting it
+    # through the builder IS honored when getOrCreate launches the JVM
+    # (the plain-python path used everywhere here); it is a no-op only
+    # if a JVM already exists in the process (e.g. under spark-submit,
+    # where --driver-memory owns it), which is why the default stays
+    # modest and env-overridable rather than box-sized.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
