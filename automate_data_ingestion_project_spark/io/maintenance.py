@@ -424,6 +424,49 @@ def compact_store_tree(
     live = jpath(live_path)
     old = jpath(live_path + ".old")
     tmp = jpath(live_path + ".compact")
+    if ledger_path is not None and fs.exists(live) and fs.exists(old):
+        # a prior compaction crashed AFTER its swap but possibly BEFORE
+        # its missed-generation reconcile finished — recovery is about
+        # to delete the old tree, so run the rescue first. Which
+        # generations the crashed run folded is no longer knowable
+        # directly, but its watermark is: any committed seq ABOVE the
+        # live tree's watermark that is physically absent from live can
+        # only be a window batch the crashed swap displaced (folded
+        # generations all sit at or below the watermark). Below-or-at
+        # watermark seqs are never rescued here — they are the folded
+        # history, and re-moving them would duplicate rows.
+        wm = _read_watermark(spark, live_path)
+        if wm is not None:
+            live_seqs = {
+                int(s.getPath().getName().split("=", 1)[1])
+                for s in fs.globStatus(jpath(f"{live_path}/*/batch_seq=*"))
+                or []
+            }
+            missed = {
+                s
+                for s in committed_batch_seqs(spark, ledger_path)
+                - live_seqs
+                if s > wm
+            }
+            for s in (
+                fs.globStatus(jpath(f"{live_path}.old/*/batch_seq=*")) or []
+            ):
+                seq = int(s.getPath().getName().split("=", 1)[1])
+                if seq not in missed:
+                    continue
+                leaf = s.getPath()
+                key_name = leaf.getParent().getName()
+                fs.mkdirs(jpath(f"{live_path}/{key_name}"))
+                dest = jpath(f"{live_path}/{key_name}/{leaf.getName()}")
+                if not fs.rename(leaf, dest):
+                    raise IOError(
+                        "crash-recovery rescue failed: committed "
+                        f"generation {seq} leaf {leaf} could not be moved "
+                        f"into {dest}"
+                    )
+            if missed:
+                # the rescue renamed outside Spark's write path
+                spark.catalog.refreshByPath(live_path)
     _swap_recovery(fs, live, old, tmp)
 
     if not fs.exists(live):

@@ -214,6 +214,10 @@ def main() -> int:
             "ann_ivfpq_refined_recall_eval",
             "ivf_train_distortion",
             "ann_ivf_trained_recall_eval",
+            # round 14 additions
+            "shard_store_asof_erasure",
+            "ann_ivfpq_multiprobe_refined_topk",
+            "ann_ivfpq_multiprobe_recall_eval",
         )
         if n in QUERIES
     ]

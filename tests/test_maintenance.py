@@ -526,3 +526,52 @@ def test_full_erasure_race_does_not_delete_fresh_batch(spark, tmp_path, monkeypa
         r.vid for r in read_committed(spark, data, ledger).collect()
     )
     assert got == list(range(100, 110))
+
+
+def test_crash_between_swap_and_reconcile_recovers_on_next_run(
+    spark, tmp_path, monkeypatch
+):
+    """If the compactor crashes AFTER its swap but BEFORE the
+    missed-generation reconcile, the racing batch's leaves sit only in
+    the displaced .old tree — and the next compaction's recovery used
+    to delete that tree outright. The entry-time rescue moves every
+    committed generation ABOVE the live watermark (i.e. a window batch,
+    never folded history) back into the live tree before recovery runs,
+    so the batch survives a crash in the narrowest window too."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 30), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 30, 50), 1, "cell", "vid"
+    )
+
+    real_swap = maint._checked_swap
+
+    def swap_then_crash(fs, live, old, tmp, reconcile=None):
+        # window batch commits, the swap completes, then the process
+        # dies before reconcile — simulated by swapping WITHOUT the
+        # reconcile callback and leaving the .old tree in place
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, 50, 60), 2, "cell", "vid"
+        )
+        if not fs.rename(live, old):
+            raise IOError("test swap leg 1")
+        if not fs.rename(tmp, live):
+            raise IOError("test swap leg 2")
+        raise RuntimeError("injected crash before reconcile")
+
+    monkeypatch.setattr(maint, "_checked_swap", swap_then_crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+    monkeypatch.setattr(maint, "_checked_swap", real_swap)
+
+    # the .old tree still holds batch 2; the next maintenance pass (or
+    # read-triggering compaction) rescues it before recovery cleanup
+    n = compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+    assert n == 60  # 0-1 folded by the crashed run + rescued 2, refolded
+    got = _content(read_committed(spark, data, ledger))
+    assert sorted(v for v, _, _, _ in got) == list(range(60))
+    assert {b for _, _, _, b in got} == {COMPACTED_BATCH_SEQ}
