@@ -821,6 +821,13 @@ def compact_flat_tree(
     ``target_bytes`` defaults to the classic 128 MiB split size;
     production passes its ``spark.sql.files.maxPartitionBytes`` so one
     compacted file feeds one scan task.
+
+    Unlike :func:`compact_store_tree`, flat trees carry no
+    ``batch_seq`` partition column, so the appender-race reconciliation
+    is NOT available here: an ingest racing this rewrite can be
+    silently dropped by the swap. Flat-tree compaction is strictly
+    single-writer — the near-dup index's ``compact()`` documents the
+    same maintenance-window requirement.
     """
     import math
 
