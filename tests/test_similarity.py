@@ -303,6 +303,6 @@ def test_refined_oracle_surgery_guards_its_marker(monkeypatch):
     from automate_data_ingestion_project_spark.analytics import pq
 
     assert "shortlist AS (" in pq._ivfpq_refined_oracle()  # intact base
-    monkeypatch.setattr(pq, "_ivfpq_oracle", lambda: "SELECT 1")
+    monkeypatch.setattr(pq, "_ivfpq_oracle", lambda n_probe=1: "SELECT 1")
     with pytest.raises(AssertionError, match="base oracle changed"):
         pq._ivfpq_refined_oracle()
