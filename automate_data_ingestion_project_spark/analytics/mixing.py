@@ -1405,6 +1405,89 @@ def shard_store_asof_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_store_changes",
+    # the change feed after batch 0 is exactly batch 1's export —
+    # shard assignment frozen by the full two-batch walk — minus the
+    # tombstoned docs (erasure wins on catch-up reads too)
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, text, n_tokens, bseq,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           bit_xor({_content_fp("duckdb")}) AS content_fp
+    FROM cum
+    WHERE bseq = 1 AND doc_id % 7 <> 3
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: change-data-feed read (incremental consumer catch-up, partition-pruned)",
+)
+def shard_store_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's CHANGE DATA FEED — how an incremental downstream
+    consumer (embedding pipeline, index builder, mixer) catches up
+    without rescanning the corpus: after the two-batch append and a
+    takedown wave (doc_id % 7 = 3), :func:`..io.maintenance.
+    read_store_changes` pulls the rows appended since checkpoint
+    ``after_seq=0`` — generation 1, a pure ``batch_seq`` partition
+    prune, with the committed tombstone mask applied so an erased doc
+    cannot re-enter downstream systems through an old checkpoint's
+    catch-up. The oracle recomputes batch 1's export from scratch and
+    drops the tombstoned docs; the content fingerprint pins the bytes.
+    Compaction bounds the feed exactly like time travel (a request
+    under the watermark raises — pinned in tests), and committed-only
+    visibility means the consumer's ``max committed seq`` checkpoint
+    resumes exactly."""
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        append_tombstones,
+        read_store_changes,
+        tombstone_paths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_changes")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    t_data, t_ledger = tombstone_paths(root)
+    dead = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "doc_id")
+    feed = read_store_changes(
+        spark,
+        shards_path,
+        ledger_path,
+        after_seq=0,
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="doc_id",
+    )
+    return feed.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
+    )
+
+
+@register(
     "stream_shard_store_delete",
     # single-phase form of shard_store_delete's oracle: the surviving-
     # corpus stats after the takedown mask, however the tombstones

@@ -762,6 +762,62 @@ def read_store_asof(
     )
 
 
+def read_store_changes(
+    spark: SparkSession,
+    data_path: str,
+    ledger_path: str,
+    after_seq: int,
+    upto_seq: int | None = None,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Change-data-feed read: the rows APPENDED by generations
+    ``(after_seq, upto_seq]`` (``upto_seq=None`` = everything committed
+    since). This is how an incremental downstream consumer — an
+    embedding pipeline, an index builder, a training-shard mixer —
+    pulls "what's new since my last checkpoint" without rescanning the
+    corpus: because every batch owns its ``batch_seq=B`` partition
+    leaves, the feed is a pure partition prune (Delta's Change Data
+    Feed, priced into the append protocol at zero extra storage).
+
+    Committed generations only (a racing appender's half-written batch
+    is invisible — same isolation as :func:`read_committed`), so a
+    consumer can checkpoint ``max committed seq`` and resume exactly.
+    Compaction bounds the feed exactly like time travel: generations at
+    or below the watermark are folded and no longer separable, so a
+    request reaching under the watermark raises rather than silently
+    serving a wrong delta — a consumer that falls further behind than
+    the store's retention must bootstrap from a full committed read.
+    Tombstone params mask erased docs from the feed (erasure wins here
+    too: a takedown must not re-enter downstream systems via an old
+    checkpoint's catch-up read). Deletion deltas are the tombstone
+    store's own feed: ``read_store_changes`` over
+    ``tombstone_paths(root)`` with no mask args, since the tombstone
+    store is itself ledger-appended and never compacted in place.
+    """
+    committed = committed_batch_seqs(spark, ledger_path)
+    head = max(committed) if committed else -1
+    hi = head if upto_seq is None else upto_seq
+    wm = _read_watermark(spark, data_path)
+    if wm is not None and after_seq < wm:
+        raise ValueError(
+            f"change feed unavailable: after_seq {after_seq} reaches "
+            f"under the compaction watermark {wm} — those generations "
+            "are folded and no longer separable; bootstrap from a full "
+            "committed read instead"
+        )
+    wanted = sorted(s for s in committed if after_seq < s <= hi)
+    df = spark.read.parquet(data_path).filter(
+        F.col("batch_seq").isin(wanted)
+        if wanted
+        else F.lit(False)  # empty feed: stable schema, zero rows
+    )
+    return _apply_tombstone_mask(
+        spark, df, tombstones_path, tombstone_ledger_path, id_col
+    )
+
+
 def vacuum_store(
     spark: SparkSession, data_path: str, ledger_path: str
 ) -> int:

@@ -575,3 +575,77 @@ def test_crash_between_swap_and_reconcile_recovers_on_next_run(
     got = _content(read_committed(spark, data, ledger))
     assert sorted(v for v, _, _, _ in got) == list(range(60))
     assert {b for _, _, _, b in got} == {COMPACTED_BATCH_SEQ}
+
+
+def test_change_feed_reads_committed_deltas_only(spark, tmp_path):
+    """read_store_changes: the feed after a checkpoint is exactly the
+    committed generations above it — an orphan batch (files, no ledger
+    row) is invisible, the feed past the head is empty with a stable
+    schema, compaction bounds the feed at the watermark (raises under
+    it, still answers above it), and the tombstone mask keeps erased
+    ids out of catch-up reads."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        read_store_changes,
+    )
+
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    for seq, (lo, hi) in enumerate([(0, 20), (20, 35), (35, 50)]):
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, lo, hi), seq, "cell", "vid"
+        )
+
+    def vids(df):
+        return sorted(r.vid for r in df.select("vid").collect())
+
+    assert vids(read_store_changes(spark, data, ledger, 0)) == list(
+        range(20, 50)
+    )
+    assert vids(read_store_changes(spark, data, ledger, 1, upto_seq=2)) == (
+        list(range(35, 50))
+    )
+    # feed past the head: zero rows, stable schema
+    empty = read_store_changes(spark, data, ledger, 2)
+    assert empty.count() == 0 and "vid" in empty.columns
+
+    # an orphan generation is invisible to the feed
+    real_append = maint.append_ledger_row
+
+    def crash(spark_, lp, batch_seq, counts):
+        raise RuntimeError("injected")
+
+    maint.append_ledger_row = crash
+    try:
+        with pytest.raises(RuntimeError):
+            append_store_batch(
+                spark, data, ledger, _mk_rows(spark, 90, 95), 7, "cell",
+                "vid",
+            )
+    finally:
+        maint.append_ledger_row = real_append
+    assert read_store_changes(spark, data, ledger, 2).count() == 0
+
+    # tombstones mask the catch-up read
+    append_tombstones(
+        spark, t_data, t_ledger,
+        spark.range(20, 25).selectExpr("id AS vid"), 0, "vid",
+    )
+    got = vids(
+        read_store_changes(
+            spark, data, ledger, 0,
+            tombstones_path=t_data, tombstone_ledger_path=t_ledger,
+            id_col="vid",
+        )
+    )
+    assert got == list(range(25, 50))
+
+    # retention compaction bounds the feed at the watermark
+    compact_store_tree(
+        spark, data, "cell", "vid", upto_seq=1, ledger_path=ledger
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        read_store_changes(spark, data, ledger, 0)
+    assert vids(read_store_changes(spark, data, ledger, 1)) == list(
+        range(35, 50)
+    )
