@@ -137,12 +137,13 @@ _CHECK_FIRST = [
     "sales_rollup",
     "asof_purchase_last_click",
     "range_join_signup_errors",
-    # (position 51 — just OUTSIDE this round's 50-query window, by
-    # choice: shard_store_changes landed after the window was budgeted,
-    # and displacing an r10-vintage row would break the promised
-    # evidence front-load. It is locally driven green (hash-match) and
-    # leads the r15 window.)
+    # (positions 51+ — just OUTSIDE this round's 50-query window, by
+    # choice: these landed after the window was budgeted, and
+    # displacing r10-vintage rows would break the promised evidence
+    # front-load. Both are locally driven green (hash-match) and lead
+    # the r15 window.)
     "shard_store_changes",
+    "shard_store_ledger_checkpoint",
 ]
 
 

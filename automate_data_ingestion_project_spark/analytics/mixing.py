@@ -718,6 +718,51 @@ def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_store_ledger_checkpoint",
+    oracle=_TWO_BATCH_SHARD_ORACLE,
+    survey_ref="LLM curation: ledger checkpointing (Delta log-checkpoint, protocol-transparent)",
+)
+def shard_store_ledger_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger CHECKPOINTING is protocol-transparent: after the standard
+    two-batch append, :func:`..io.maintenance.checkpoint_ledger` folds
+    the per-commit files into one parquet (Delta's log-checkpoint move
+    — at 10k epochs the replay guard/committed read/vacuum go from 10k
+    file opens to one; measured 34x at 500 epochs, SCALE.md), then the
+    protocol is exercised ACROSS the fold: a replayed batch still
+    no-ops at the guard (its row now lives in the checkpoint), the
+    ordered-commit validation still passes (per-row commit mtimes are
+    preserved at fold time), and the committed read hash-matches the
+    same from-scratch oracle as the uncheckpointed
+    ``incremental_shard_export`` — byte-identical behavior, one
+    metadata file."""
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        assert_ordered_commits,
+        checkpoint_ledger,
+        read_committed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("shard_store_ledger_checkpoint")
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), root, 0
+    )
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )
+    shards_path, ledger_path = shard_store_paths(root)
+    checkpoint_ledger(spark, ledger_path)
+    # the guard and the temporal validation must survive the fold
+    append_token_shard_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1
+    )  # replay: no-op against the checkpointed row
+    assert_ordered_commits(spark, ledger_path)
+    return _two_batch_shard_stats(
+        read_committed(spark, shards_path, ledger_path)
+    )
+
+
+@register(
     "stream_shard_export",
     oracle=_TWO_BATCH_SHARD_ORACLE,
     survey_ref="streaming: continuous token-shard export (foreachBatch, full oracle)",

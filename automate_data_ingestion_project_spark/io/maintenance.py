@@ -99,6 +99,9 @@ def store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath(path)))
 
 
+_LEDGER_CHECKPOINT_PREFIX = "_ledger_checkpoint-"
+
+
 def _ledger_rows(spark: SparkSession, ledger_path: str):
     """Committed ledger rows, or None if the ledger is absent/empty.
     O(#batches) rows — the ledger is metadata, never data-sized, so it
@@ -106,7 +109,17 @@ def _ledger_rows(spark: SparkSession, ledger_path: str):
     scheduling a Spark job per protocol step: the exact trade Delta
     makes with its transaction log, and on this store family the
     difference between a ~1.3 s fixed job cost and a millisecond read
-    at every append's replay guard / committed-read / vacuum."""
+    at every append's replay guard / committed-read / vacuum.
+
+    Sources, in Delta-log fashion: every ``_ledger_checkpoint-*``
+    file (:func:`checkpoint_ledger` folds closed commits into one
+    parquet) plus the live per-commit tail files, deduplicated by
+    ``batch_seq`` — one batch has exactly one committed row, so a
+    crash between a checkpoint landing and its folded files' cleanup
+    only produces harmless duplicates. Every row carries
+    ``commit_mtime_ms`` (the commit file's own mtime for tail rows;
+    the value preserved at fold time for checkpointed rows), which is
+    what keeps :func:`assert_ordered_commits` fully driver-side."""
     import pyarrow as pa
     import pyarrow.parquet as papq
 
@@ -114,30 +127,117 @@ def _ledger_rows(spark: SparkSession, ledger_path: str):
     p = jpath(ledger_path)
     if not fs.exists(p):
         return None
-    files = [
-        s.getPath()
-        for s in fs.listStatus(p)
+    commit_files, ckpt_files = [], []
+    for s in fs.listStatus(p):
+        n = s.getPath().getName()
         # skip zero-length files: ledgers written before the
         # temp-then-rename commit (r14) could be left truncated by a
         # crash mid-write; an empty husk carries no committed row and
         # must not poison every later replay guard / read / vacuum
-        if s.getPath().getName().endswith(".parquet") and s.getLen() > 0
-    ]
-    if not files:
+        if not n.endswith(".parquet") or s.getLen() == 0:
+            continue
+        if n.startswith(_LEDGER_CHECKPOINT_PREFIX):
+            ckpt_files.append(s)
+        elif not n.startswith("."):
+            commit_files.append(s)
+    if not commit_files and not ckpt_files:
         return None
     util = spark._jvm.org.apache.commons.io.IOUtils
     rows = []
+    seen: set[int] = set()
     from types import SimpleNamespace
 
-    for f in files:
-        stream = fs.open(f)
+    def _read(status):
+        stream = fs.open(status.getPath())
         try:
             data = bytes(util.toByteArray(stream))
         finally:
             stream.close()
-        for rec in papq.read_table(pa.BufferReader(data)).to_pylist():
+        return papq.read_table(pa.BufferReader(data)).to_pylist()
+
+    # tail commits first, then checkpoints: content per batch_seq is
+    # identical wherever it lives, so precedence only matters for not
+    # double-counting
+    for s in commit_files:
+        mt = int(s.getModificationTime())
+        for rec in _read(s):
+            if rec["batch_seq"] in seen:
+                continue
+            seen.add(rec["batch_seq"])
+            rec.setdefault("commit_mtime_ms", mt)
+            rows.append(SimpleNamespace(**rec))
+    for s in ckpt_files:
+        for rec in _read(s):
+            if rec["batch_seq"] in seen:
+                continue
+            seen.add(rec["batch_seq"])
             rows.append(SimpleNamespace(**rec))
     return rows or None
+
+
+def checkpoint_ledger(spark: SparkSession, ledger_path: str) -> int:
+    """Fold every committed ledger row into ONE
+    ``_ledger_checkpoint-<maxseq>-<uuid>.parquet`` file and delete the
+    folded per-commit files — Delta's log-checkpoint move, applied to
+    the store ledgers. Why it exists: the ledger is consulted at every
+    append's replay guard, every committed read, every vacuum, and at
+    10k epochs that is 10k file opens per protocol step; after a
+    checkpoint it is ONE open plus however many commits landed since.
+
+    Crash-safe without a swap: the new checkpoint is written
+    temp-then-rename FIRST, and only then are the files it folded
+    (older checkpoints + commit files, listed before the write)
+    deleted. A crash at any point leaves duplicate rows across
+    checkpoint generations and tail files, which the reader dedupes by
+    ``batch_seq`` — content per committed batch is immutable, so any
+    copy is the right copy. Per-row ``commit_mtime_ms`` is preserved at
+    fold time, keeping the ordered-commit validation exact across any
+    number of checkpoints. Single-writer maintenance, like compaction.
+
+    Returns the number of files folded (0 = nothing to do).
+    """
+    import io as _io
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    fs, jpath = _fs(spark, ledger_path)
+    p = jpath(ledger_path)
+    if not fs.exists(p):
+        return 0
+    to_fold = [
+        s.getPath()
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+        and not s.getPath().getName().startswith(".")
+    ]
+    rows = _ledger_rows(spark, ledger_path)
+    if not rows or len(to_fold) <= 1:
+        return 0  # empty, or already a single file — nothing to fold
+    recs = [vars(r) for r in rows]
+    table = pa.Table.from_pylist(recs)
+    buf = _io.BytesIO()
+    papq.write_table(table, buf)
+    max_seq = max(r.batch_seq for r in rows)
+    token = f"{max_seq}-{uuid.uuid4().hex}"
+    tmp = jpath(f"{ledger_path}/.{_LEDGER_CHECKPOINT_PREFIX}{token}.inprogress")
+    final = jpath(
+        f"{ledger_path}/{_LEDGER_CHECKPOINT_PREFIX}{token}.parquet"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(buf.getvalue())
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, True)
+        raise IOError(
+            f"ledger checkpoint failed: could not rename {tmp} into place"
+        )
+    for f in to_fold:
+        fs.delete(f, False)
+    return len(to_fold)
 
 
 def append_ledger_row(
@@ -153,12 +253,12 @@ def append_ledger_row(
     for it was pure fixed overhead; Delta's transaction log makes the
     same driver-side choice. Schema matches the historical Spark-
     written files (batch_seq int32, counts int64), so old and new
-    commit files coexist in one ledger directory and every reader —
-    driver-side or ``spark.read.parquet`` (the as-of ordering
-    validation still uses ``_metadata``) — sees one table. The unique
-    filename keeps concurrent writers from clobbering each other; the
-    one-row-per-file invariant is what dates each commit for
-    :func:`assert_ordered_commits`."""
+    commit files coexist in one ledger directory and every reader sees
+    one table. The unique filename keeps concurrent writers from
+    clobbering each other; the one-row-per-file invariant is what dates
+    each live commit for :func:`assert_ordered_commits` (a
+    :func:`checkpoint_ledger` fold preserves each row's mtime, so the
+    dating survives checkpointing)."""
     import io as _io
     import uuid
 
@@ -640,29 +740,20 @@ def data_file_count(spark: SparkSession, path: str) -> int:
 def assert_ordered_commits(spark: SparkSession, ledger_path: str) -> None:
     """Validate that the ledger's COMMIT order matches its batch_seq
     order — the precondition under which an as-of read is a temporal
-    snapshot. Each ledger commit is its own parquet file (the appenders
-    write one ``coalesce(1)`` file per batch), so the hidden
-    ``_metadata.file_modification_time`` column dates each commit; a
-    strict inversion (a higher batch_seq committed strictly earlier
-    than a lower one) proves the store is UNORDERED — IVF-style stores
-    allow that by design, and ``batch_seq <= N`` is then a set filter,
-    not a point in time. Ties in mtime are tolerated (same-instant
-    commits carry no ordering evidence either way). O(#batches) rows.
+    snapshot. Each commit is dated by ``commit_mtime_ms`` (the commit
+    file's own mtime for live tail rows — one file per batch — and the
+    value preserved at fold time for checkpointed rows); a strict
+    inversion (a higher batch_seq committed strictly earlier than a
+    lower one) proves the store is UNORDERED — IVF-style stores allow
+    that by design, and ``batch_seq <= N`` is then a set filter, not a
+    point in time. Ties in mtime are tolerated (same-instant commits
+    carry no ordering evidence either way). Driver-side metadata read
+    (O(#batches)) — no Spark job per as-of validation.
     """
-    # ledger commits are stream-written outside Spark's write path —
-    # drop any stale FileStatusCache listing before reading
-    spark.catalog.refreshByPath(ledger_path)
-    rows = (
-        spark.read.parquet(ledger_path)
-        .select(
-            "batch_seq",
-            F.col("_metadata.file_modification_time").alias("mt"),
-        )
-        .collect()
-    )
-    ordered = sorted(rows, key=lambda r: (r.mt, r.batch_seq))
+    rows = _ledger_rows(spark, ledger_path) or []
+    ordered = sorted(rows, key=lambda r: (r.commit_mtime_ms, r.batch_seq))
     for a, b in zip(ordered, ordered[1:]):
-        if a.mt < b.mt and a.batch_seq > b.batch_seq:
+        if a.commit_mtime_ms < b.commit_mtime_ms and a.batch_seq > b.batch_seq:
             raise ValueError(
                 "as-of read refused: ledger shows batch_seq "
                 f"{b.batch_seq} committed AFTER batch_seq {a.batch_seq} "

@@ -218,6 +218,8 @@ def main() -> int:
             "shard_store_asof_erasure",
             "ann_ivfpq_multiprobe_refined_topk",
             "ann_ivfpq_multiprobe_recall_eval",
+            "shard_store_changes",
+            "shard_store_ledger_checkpoint",
         )
         if n in QUERIES
     ]

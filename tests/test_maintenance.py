@@ -649,3 +649,121 @@ def test_change_feed_reads_committed_deltas_only(spark, tmp_path):
     assert vids(read_store_changes(spark, data, ledger, 1)) == list(
         range(35, 50)
     )
+
+
+def test_ledger_checkpoint_folds_commits_and_preserves_protocol(
+    spark, tmp_path
+):
+    """checkpoint_ledger folds the per-commit files into one parquet:
+    the committed view is unchanged, the replay guard still no-ops a
+    folded batch, appends continue, the ordered-commit validation
+    still works across the fold (per-row mtimes preserved — including
+    still CATCHING an inversion recorded before the fold), and a crash
+    between the checkpoint landing and the folded files' cleanup only
+    leaves duplicates the reader dedupes."""
+    import os
+    import shutil
+    import time as _time
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        checkpoint_ledger,
+        read_store_changes,
+    )
+
+    data, ledger = _store(tmp_path)
+    for seq, (lo, hi) in enumerate([(0, 20), (20, 35), (35, 50)]):
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, lo, hi), seq, "cell", "vid"
+        )
+    before = _content(read_committed(spark, data, ledger))
+
+    n = checkpoint_ledger(spark, ledger)
+    assert n == 3  # three commit files folded
+    names = [f for f in os.listdir(ledger) if f.endswith(".parquet")]
+    assert names == [
+        f for f in names if f.startswith("_ledger_checkpoint-")
+    ] and len(names) == 1
+    assert committed_batch_seqs(spark, ledger) == {0, 1, 2}
+    assert _content(read_committed(spark, data, ledger)) == before
+    assert_ordered_commits(spark, ledger)  # mtimes survived the fold
+
+    # replay of a folded batch still no-ops; new appends continue
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 900, 910), 1, "cell", "vid"
+    )
+    assert _content(read_committed(spark, data, ledger)) == before
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 50, 60), 3, "cell", "vid"
+    )
+    assert committed_batch_seqs(spark, ledger) == {0, 1, 2, 3}
+    got = sorted(
+        r.vid for r in read_store_changes(spark, data, ledger, 2).collect()
+    )
+    assert got == list(range(50, 60))
+
+    # a second checkpoint folds the previous one plus the tail; a
+    # "crash" that leaves the old artifacts behind (copy them back)
+    # only produces duplicates the reader dedupes by batch_seq
+    stash = str(tmp_path / "stash")
+    shutil.copytree(ledger, stash)
+    assert checkpoint_ledger(spark, ledger) == 2
+    for f in os.listdir(stash):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stash, f), os.path.join(ledger, f))
+    assert committed_batch_seqs(spark, ledger) == {0, 1, 2, 3}
+    assert len(_content(read_committed(spark, data, ledger))) == 60
+
+    # an UNORDERED ledger stays refused after checkpointing: the fold
+    # must not launder a pre-existing inversion into temporal innocence
+    data2, ledger2 = str(tmp_path / "u/data"), str(tmp_path / "u/ledger")
+    append_store_batch(
+        spark, data2, ledger2, _mk_rows(spark, 0, 10), 5, "cell", "vid"
+    )
+    _time.sleep(1.1)
+    append_store_batch(
+        spark, data2, ledger2, _mk_rows(spark, 10, 20), 2, "cell", "vid"
+    )
+    assert checkpoint_ledger(spark, ledger2) == 2
+    with pytest.raises(ValueError, match="unordered"):
+        assert_ordered_commits(spark, ledger2)
+
+
+def test_ledger_checkpoint_keeps_token_chain_offsets(spark, tmp_path):
+    """The token-shard store's ordered append chain sums ledger counts
+    for its byte offsets — a checkpoint must not disturb the chain:
+    append, checkpoint, append again, and the store content equals an
+    uncheckpointed twin's exactly."""
+    from automate_data_ingestion_project_spark.analytics.mixing import (
+        append_token_shard_batch,
+        shard_store_paths,
+    )
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        checkpoint_ledger,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 7 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def build(root, with_ckpt):
+        append_token_shard_batch(
+            spark, docs.filter("doc_id % 3 = 1"), root, 0
+        )
+        append_token_shard_batch(
+            spark, docs.filter("doc_id % 3 = 2"), root, 1
+        )
+        if with_ckpt:
+            _, ledger = shard_store_paths(root)
+            assert checkpoint_ledger(spark, ledger) == 2
+        append_token_shard_batch(
+            spark, docs.filter("doc_id % 3 = 0"), root, 2
+        )
+        shards, _ = shard_store_paths(root)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(shards).collect()
+        )
+
+    a = build(str(tmp_path / "plain"), with_ckpt=False)
+    b = build(str(tmp_path / "ckpt"), with_ckpt=True)
+    assert a == b
