@@ -1126,3 +1126,81 @@ def test_compactor_append_interleavings_match_model(
         for s in folded + kept + win_seqs + post_seqs
         for v in rows_of(s)
     )
+
+
+@st.composite
+def checkpointed_append_plans(draw):
+    """(ops, ckpt_after): append ops — (batch_seq, lo, n) with
+    duplicate sequences (replays) in the space — plus the set of op
+    indices after which a ledger CHECKPOINT runs. Folding mid-stream at
+    arbitrary points must be invisible to every protocol read."""
+    n_ops = draw(st.integers(min_value=2, max_value=6))
+    ops = [
+        (
+            draw(st.integers(0, 4)),
+            draw(st.integers(0, 50)),
+            draw(st.integers(0, 6)),
+        )
+        for _ in range(n_ops)
+    ]
+    ckpt_after = {
+        i for i in range(n_ops) if draw(st.booleans())
+    }
+    return ops, ckpt_after
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(plan=checkpointed_append_plans())
+def test_ledger_checkpoints_are_invisible_to_the_protocol(
+    spark, plan, tmp_path_factory
+):
+    """checkpoint_ledger interleaved at ARBITRARY points in an append
+    stream (with replayed sequences in the mix) must be invisible:
+    first-commit-wins still holds across a fold (a replayed sequence
+    whose row now lives in a checkpoint still no-ops), and the final
+    committed view equals the Python model's exactly."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        checkpoint_ledger,
+        committed_batch_seqs,
+        read_committed,
+        store_exists,
+    )
+
+    ops, ckpt_after = plan
+    root = str(tmp_path_factory.mktemp("ckpt_race"))
+    data, ledger = root + "/data", root + "/ledger"
+
+    def mk(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 3).cast("int").alias("cell"),
+        )
+
+    committed: dict[int, set[int]] = {}
+    for i, (seq, lo, n) in enumerate(ops):
+        append_store_batch(spark, data, ledger, mk(lo, n), seq, "cell", "vid")
+        if seq not in committed:
+            committed[seq] = set(range(lo, lo + n))
+        if i in ckpt_after:
+            checkpoint_ledger(spark, ledger)
+
+    assert committed_batch_seqs(spark, ledger) == set(committed)
+    want = sorted((v, s) for s, vs in committed.items() for v in vs)
+    if not store_exists(spark, data):
+        assert want == []  # every committed batch was empty
+        return
+    got = sorted(
+        (r.vid, r.batch_seq)
+        for r in read_committed(spark, data, ledger).collect()
+    )
+    assert got == want
