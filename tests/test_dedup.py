@@ -826,12 +826,13 @@ def test_bucketed_index_deletion_physical_apply(spark, tmp_path):
 
 def test_stream_tombstones_offset_past_direct_appends(spark, tmp_path):
     """A tombstone store that already took DIRECT append_tombstones
-    calls (low sequences) must not swallow stream epochs: the drain
-    offsets each epoch past the highest committed sequence, so every
-    streamed deletion batch lands (raw epoch 0 would collide with the
-    direct seq 0 and silently no-op at the replay guard — an erasure
-    request dropped on the floor). A second drain on the same store
-    reuses the persisted base, keeping the epoch->sequence map stable."""
+    calls (low sequences) must not swallow stream epochs: each epoch's
+    sequence is allocated past the highest committed sequence at drain
+    time, so every streamed deletion batch lands (raw epoch 0 would
+    collide with the direct seq 0 and silently no-op at the replay
+    guard — an erasure request dropped on the floor). A second drain on
+    the same checkpoint continues the epoch numbering and allocates
+    fresh sequences for the new epochs."""
     import os
 
     from pyspark.sql import functions as F
@@ -891,3 +892,148 @@ def test_stream_tombstones_offset_past_direct_appends(spark, tmp_path):
     assert got == (
         list(range(0, 5)) + list(range(10, 12)) + list(range(100, 105))
     )
+
+
+def test_stream_epochs_survive_interleaved_auto_sequenced_appends(
+    spark, tmp_path
+):
+    """The silent-drop window a FIXED epoch base left open: after a
+    drain commits epochs 0..k, an auto-sequenced direct append takes
+    max(committed)+1 — exactly where a fixed base would put the
+    stream's next epoch, which would then no-op at the replay guard and
+    drop its erasure ids. Drain-time allocation closes it: the second
+    drain's epoch allocates PAST the interleaved direct commit, and
+    every takedown id lands."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+        committed_batch_seqs,
+        read_committed,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        stream_tombstone_ingest,
+    )
+
+    root = str(tmp_path / "store")
+    src = os.path.join(root, "takedowns")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    ckpt = os.path.join(root, "ckpt")
+
+    spark.range(0, 3).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed1"))
+    stream_tombstone_ingest(
+        spark, os.path.join(src, "*"), t_data, t_ledger, ckpt,
+        "doc_id", "doc_id long",
+    )
+    assert committed_batch_seqs(spark, t_ledger) == {0}
+
+    # interleaved AUTO-SEQUENCED direct takedown (delete_docs style):
+    # takes max(committed)+1 = 1 — the slot a fixed base would have
+    # reserved for the stream's epoch 1
+    direct = spark.range(100, 102).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, direct, 1, "doc_id")
+    assert committed_batch_seqs(spark, t_ledger) == {0, 1}
+
+    spark.range(10, 13).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "feed2"))
+    stream_tombstone_ingest(
+        spark, os.path.join(src, "*"), t_data, t_ledger, ckpt,
+        "doc_id", "doc_id long",
+    )
+    # the stream's epoch 1 rebased to seq 2 instead of no-opping at the
+    # occupied slot; no erasure id was dropped
+    assert committed_batch_seqs(spark, t_ledger) == {0, 1, 2}
+    got = sorted(
+        r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == [0, 1, 2, 10, 11, 12, 100, 101]
+
+
+def test_stream_epoch_marker_retry_and_stream_isolation(spark, tmp_path):
+    """Allocation internals: a retried epoch (marker persisted) reuses
+    its recorded sequence even after later commits moved max(committed)
+    — exactly-once across crash replay; a crashed-uncommitted epoch's
+    reservation holds its slot against later epochs; and two DIFFERENT
+    streams (distinct checkpoints) sharing one store never alias each
+    other's epoch ids onto one sequence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        _allocate_epoch_seq,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    ck_a = os.path.join(root, "ckpt_a")
+    ck_b = os.path.join(root, "ckpt_b")
+
+    # stream A epoch 0 allocates 0 and commits
+    seq = _allocate_epoch_seq(spark, t_ledger, ck_a, 0)
+    assert seq == 0
+    ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, ids, seq, "doc_id")
+
+    # stream A epoch 1 reserves 1 but "crashes" before committing;
+    # its retry reads the marker back — same sequence, same batch
+    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 1) == 1
+    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 1) == 1
+
+    # stream B's epoch 0 is a DIFFERENT stream: it must not alias
+    # stream A's epoch 0 (seq 0, committed) nor steal A's reserved 1
+    assert _allocate_epoch_seq(spark, t_ledger, ck_b, 0) == 2
+
+    # a committed epoch's retry also reuses its marker (replay no-op)
+    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 0) == 0
+
+
+def test_stream_epoch_legacy_base_replay_recognized(spark, tmp_path):
+    """A store written by the pre-marker scheme (_stream_epoch_base,
+    epoch k committed at base+k) stays replay-safe across the upgrade:
+    a marker-less epoch whose legacy slot is committed reuses it (the
+    replay guard then no-ops, exactly-once preserved), while an epoch
+    whose legacy slot is NOT committed allocates fresh."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        _fs,
+        append_tombstones,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        _LEGACY_BASE_NAME,
+        _allocate_epoch_seq,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+
+    # legacy layout: base=5 persisted, epoch 0 committed at seq 5
+    ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, ids, 5, "doc_id")
+    fs, jpath = _fs(spark, t_ledger)
+    out = fs.create(jpath(f"{t_ledger}/{_LEGACY_BASE_NAME}"), True)
+    try:
+        out.write(b"5")
+    finally:
+        out.close()
+
+    ckpt = os.path.join(root, "ckpt")
+    # epoch 0's legacy slot (5+0) is committed -> recognized as replay
+    assert _allocate_epoch_seq(spark, t_ledger, ckpt, 0) == 5
+    # epoch 1's legacy slot (5+1) never committed -> fresh allocation
+    # past committed(5) and epoch 0's marker(5)
+    assert _allocate_epoch_seq(spark, t_ledger, ckpt, 1) == 6
