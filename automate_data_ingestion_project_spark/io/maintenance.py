@@ -534,39 +534,54 @@ def compact_store_tree(
         # only be a window batch the crashed swap displaced (folded
         # generations all sit at or below the watermark). Below-or-at
         # watermark seqs are never rescued here — they are the folded
-        # history, and re-moving them would duplicate rows.
+        # history, and re-moving them would duplicate rows. A live tree
+        # with NO watermark splits two ways: no compacted generation at
+        # all means NOTHING was folded (every committed seq must be
+        # physically present, so any committed seq found only in .old
+        # is a displaced window batch — rescue it); a compacted
+        # generation without a watermark is a LEGACY fold whose history
+        # is unknowable, and deleting .old could destroy a committed
+        # window batch indistinguishable from folded history — refuse
+        # and surface rather than silently drop committed data.
         wm = _read_watermark(spark, live_path)
-        if wm is not None:
-            live_seqs = {
-                int(s.getPath().getName().split("=", 1)[1])
-                for s in fs.globStatus(jpath(f"{live_path}/*/batch_seq=*"))
-                or []
-            }
-            missed = {
-                s
-                for s in committed_batch_seqs(spark, ledger_path)
-                - live_seqs
-                if s > wm
-            }
-            for s in (
-                fs.globStatus(jpath(f"{live_path}.old/*/batch_seq=*")) or []
-            ):
-                seq = int(s.getPath().getName().split("=", 1)[1])
-                if seq not in missed:
-                    continue
-                leaf = s.getPath()
-                key_name = leaf.getParent().getName()
-                fs.mkdirs(jpath(f"{live_path}/{key_name}"))
-                dest = jpath(f"{live_path}/{key_name}/{leaf.getName()}")
-                if not fs.rename(leaf, dest):
-                    raise IOError(
-                        "crash-recovery rescue failed: committed "
-                        f"generation {seq} leaf {leaf} could not be moved "
-                        f"into {dest}"
-                    )
-            if missed:
-                # the rescue renamed outside Spark's write path
-                spark.catalog.refreshByPath(live_path)
+        live_seqs = {
+            int(s.getPath().getName().split("=", 1)[1])
+            for s in fs.globStatus(jpath(f"{live_path}/*/batch_seq=*"))
+            or []
+        }
+        if wm is None and COMPACTED_BATCH_SEQ in live_seqs:
+            raise IOError(
+                "compaction crash recovery refused: the live tree at "
+                f"{live_path} has a compacted generation with no "
+                f"watermark (legacy fold) and a displaced tree at "
+                f"{live_path}.old — committed window batches in .old "
+                "are indistinguishable from folded history, so deleting "
+                ".old could drop committed data; adjudicate manually"
+            )
+        missed = {
+            s
+            for s in committed_batch_seqs(spark, ledger_path) - live_seqs
+            if wm is None or s > wm
+        }
+        for s in (
+            fs.globStatus(jpath(f"{live_path}.old/*/batch_seq=*")) or []
+        ):
+            seq = int(s.getPath().getName().split("=", 1)[1])
+            if seq not in missed:
+                continue
+            leaf = s.getPath()
+            key_name = leaf.getParent().getName()
+            fs.mkdirs(jpath(f"{live_path}/{key_name}"))
+            dest = jpath(f"{live_path}/{key_name}/{leaf.getName()}")
+            if not fs.rename(leaf, dest):
+                raise IOError(
+                    "crash-recovery rescue failed: committed "
+                    f"generation {seq} leaf {leaf} could not be moved "
+                    f"into {dest}"
+                )
+        if missed:
+            # the rescue renamed outside Spark's write path
+            spark.catalog.refreshByPath(live_path)
     _swap_recovery(fs, live, old, tmp)
 
     if not fs.exists(live):
@@ -661,8 +676,14 @@ def compact_store_tree(
             leftover = fs.globStatus(jpath(f"{live_path}/*/batch_seq=*"))
             if leftover is None or len(leftover) == 0:
                 fs.delete(live, True)
-            fs.delete(jpath(tombstones_path), True)
-            spark.catalog.refreshByPath(tombstones_path)
+                # erasure physically complete for everything observed,
+                # and nothing unmasked survives — drop the mask bytes
+                fs.delete(jpath(tombstones_path), True)
+                spark.catalog.refreshByPath(tombstones_path)
+            # else: a post-pin generation survived and was never run
+            # through this mask decision — the tombstone files must
+            # stay so the logical mask keeps covering it until the
+            # next full collapse applies it physically
             spark.catalog.refreshByPath(live_path)
         return 0
     (
@@ -674,6 +695,8 @@ def compact_store_tree(
     )
     if watermark is not None:
         _write_watermark(spark, live_path + ".compact", watermark)
+
+    rescued_any = [False]
 
     def _rescue_missed_generations():
         # a batch that COMMITTED inside the read->swap window is
@@ -702,6 +725,7 @@ def compact_store_tree(
                     f"{seq} leaf {leaf} could not be moved into the "
                     f"compacted tree at {dest}"
                 )
+            rescued_any[0] = True
 
     _checked_swap(
         fs,
@@ -713,6 +737,17 @@ def compact_store_tree(
         ),
     )
     if tombstones_path is not None and store_exists(spark, tombstones_path):
+        if rescued_any[0]:
+            # a racing appender's generations were moved into the tree
+            # VERBATIM — the rewrite's physical tombstone apply never
+            # saw them, and they may re-carry already-tombstoned ids.
+            # Deleting the tombstone data files now would make such
+            # rows servable on every later read (erasure silently
+            # violated). Keep the mask in force — logical deletion
+            # still holds via read_committed — and let the NEXT full
+            # collapse (no race) complete the erasure physically.
+            spark.catalog.refreshByPath(live_path)
+            return n
         # erasure completed: the rewrite dropped the bytes; the
         # tombstone LEDGER survives so replayed tombstone batches no-op
         fs.delete(jpath(tombstones_path), True)

@@ -767,3 +767,123 @@ def test_ledger_checkpoint_keeps_token_chain_offsets(spark, tmp_path):
     a = build(str(tmp_path / "plain"), with_ckpt=False)
     b = build(str(tmp_path / "ckpt"), with_ckpt=True)
     assert a == b
+
+
+def test_rescued_generation_stays_masked_after_tombstone_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Erasure vs the appender race: a window batch rescued into the
+    compacted tree VERBATIM was never run through the rewrite's
+    physical tombstone apply — if it re-carries a tombstoned id, the
+    compactor must NOT delete the tombstone data files (that would make
+    the id servable forever). The mask stays in force logically; the
+    NEXT clean full collapse completes the erasure physically."""
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 20), 0, "cell", "vid"
+    )
+    append_tombstones(
+        spark, t_data, t_ledger,
+        spark.createDataFrame([(3,)], "vid long"), 0, "vid",
+    )
+
+    real_swap = maint._checked_swap
+
+    def racing_swap(fs, live, old, tmp, reconcile=None):
+        # the racing batch commits inside the window and RE-CARRIES the
+        # tombstoned vid 3 (vids 0..9)
+        append_store_batch(
+            spark, data, ledger, _mk_rows(spark, 0, 10), 1, "cell", "vid"
+        )
+        return real_swap(fs, live, old, tmp, reconcile)
+
+    monkeypatch.setattr(maint, "_checked_swap", racing_swap)
+    compact_store_tree(
+        spark, data, "cell", "vid",
+        tombstones_path=t_data, tombstone_ledger_path=t_ledger,
+        id_col="vid", ledger_path=ledger,
+    )
+    monkeypatch.setattr(maint, "_checked_swap", real_swap)
+
+    # the mask survived the compaction (rescue occurred) ...
+    assert store_exists(spark, t_data)
+    # ... so the rescued copy of vid 3 is physically present but
+    # logically erased
+    raw = spark.read.parquet(data)
+    assert raw.filter("vid = 3").count() == 1
+    masked = read_committed(
+        spark, data, ledger,
+        tombstones_path=t_data, tombstone_ledger_path=t_ledger,
+        id_col="vid",
+    )
+    assert masked.filter("vid = 3").count() == 0
+    assert masked.count() == 19 + 9
+
+    # a clean second collapse completes the erasure: bytes and mask gone
+    n = compact_store_tree(
+        spark, data, "cell", "vid",
+        tombstones_path=t_data, tombstone_ledger_path=t_ledger,
+        id_col="vid", ledger_path=ledger,
+    )
+    assert n == 28
+    assert not store_exists(spark, t_data)
+    assert spark.read.parquet(data).filter("vid = 3").count() == 0
+
+
+def test_crash_recovery_rescues_window_batch_without_watermark(
+    spark, tmp_path
+):
+    """Entry-time crash recovery on a store whose live tree carries NO
+    watermark and NO compacted generation (the crashed run wrote
+    neither): every committed seq must be physically present in such a
+    tree, so a committed seq found only in .old is a displaced window
+    batch — rescued before recovery deletes the .old tree, instead of
+    being skipped (and destroyed) for lack of a watermark."""
+    import glob
+    import shutil
+
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 30), 0, "cell", "vid"
+    )
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 30, 50), 1, "cell", "vid"
+    )
+    # simulate the crashed state: .old holds both committed batches,
+    # the (never-compacted, watermark-less) live tree only batch 0
+    shutil.move(data, data + ".old")
+    shutil.copytree(data + ".old", data)
+    for leaf in glob.glob(f"{data}/cell=*/batch_seq=1"):
+        shutil.rmtree(leaf)
+    spark.catalog.refreshByPath(data)
+
+    n = compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+    assert n == 50  # batch 1 rescued from .old, then folded
+    got = _content(read_committed(spark, data, ledger))
+    assert sorted(v for v, _, _, _ in got) == list(range(50))
+
+
+def test_crash_recovery_refuses_legacy_ambiguity(spark, tmp_path):
+    """A live tree with a compacted generation but NO watermark (legacy
+    fold) plus a displaced .old tree: committed window batches in .old
+    are indistinguishable from folded history, so recovery must refuse
+    and surface rather than delete .old (which could silently drop
+    committed data)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    data, ledger = _store(tmp_path)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 20), 0, "cell", "vid"
+    )
+    compact_store_tree(spark, data, "cell", "vid")
+    os.remove(f"{data}/_compaction_watermark")  # legacy: fold, no wm
+    shutil.copytree(data, data + ".old")
+
+    with _pytest.raises(IOError, match="legacy"):
+        compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
