@@ -27,6 +27,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def default_driver_memory() -> str:
+    """The driver-heap default, sized against the HOST rather than a
+    fixed number: half of detected physical memory, capped at 8g (the
+    size the sf1 scale demo needs for local-mode broadcast builds),
+    floored at PySpark's own 1g. A flat 8g launch request would fail —
+    or invite the OOM killer — on a small container, where the old 1g
+    default at least always started. ``SPARK_GRAFT_DRIVER_MEM`` wins
+    outright when set."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_mb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) // (1024 * 1024)
+    except (ValueError, OSError, AttributeError):
+        return "8g"  # physical memory undetectable: keep the old default
+    return f"{max(1024, min(8192, total_mb // 2))}m"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -61,11 +81,10 @@ def get_spark(
     # through the builder IS honored when getOrCreate launches the JVM
     # (the plain-python path used everywhere here); it is a no-op only
     # if a JVM already exists in the process (e.g. under spark-submit,
-    # where --driver-memory owns it), which is why the default stays
-    # modest and env-overridable rather than box-sized.
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-    )
+    # where --driver-memory owns it). The default is host-sized, not
+    # fixed (see default_driver_memory) — a flat 8g would over-reserve
+    # on small containers.
+    builder = builder.config("spark.driver.memory", default_driver_memory())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

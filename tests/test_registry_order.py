@@ -66,3 +66,19 @@ def test_oracles_cover_every_query():
     # current state: full value-hash oracle coverage; a query added
     # without one should be a conscious decision, not an accident
     assert set(o) == set(q), sorted(set(q) - set(o))
+
+
+def test_default_driver_memory_is_host_sized(monkeypatch):
+    """The driver-heap default adapts to the host: half of physical
+    memory, capped at 8g, floored at 1g — a flat 8g launch request
+    would fail outright on a small container. The env override wins."""
+    import automate_data_ingestion_project_spark.session as sess
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    got = sess.default_driver_memory()
+    assert got.endswith("m") or got == "8g"
+    if got.endswith("m"):
+        assert 1024 <= int(got[:-1]) <= 8192
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert sess.default_driver_memory() == "3g"
