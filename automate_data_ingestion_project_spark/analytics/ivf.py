@@ -1,9 +1,12 @@
 """IVF (inverted-file) ANN variant — the coarse-quantizer scale path.
 
 Complements the hyperplane-LSH variant: vectors are assigned to the
-cell of their nearest CENTROID (here: a deterministic codebook — the
-first ``N_CELLS`` fixture vectors; production would k-means them), and
-a query scans only its own cell's inverted list. This is the
+cell of their nearest CENTROID (here: a deterministic SAMPLED codebook
+— the first ``N_CELLS`` fixture vectors; the k-means-TRAINED codebook
+is wired into its own registered search,
+``ivf_train.ann_ivf_trained_topk``, which serves from the trained
+cell-partitioned artifact), and a query scans only its own cell's
+inverted list. This is the
 FAISS-style IVF-flat layout expressed relationally:
 
 - assignment = centroid join + ``row_number`` over (dot desc) — a

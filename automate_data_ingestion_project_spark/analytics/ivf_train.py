@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.caching import tracked_persist
+from ..textops.similarity import dot_sql, norm_sql
 from .registry import register
 from .ivf import N_CELLS
 from .similarity import QUERY_IDS, TOP_K
@@ -334,4 +335,164 @@ def ann_ivf_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_ivf_trained"
             ),
         )
+    )
+
+
+# ---- the trained codebook WIRED INTO a registered search ------------------
+
+
+def ivf_trained_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the TRAINED-IVF artifact for a fixture — built once per
+    fixture fingerprint, then served from the artifact cache:
+
+    - ``codebook/`` — the (j, cvec) coarse codebook after
+      ``N_IVF_ITERS`` Lloyd updates: the frozen artifact a production
+      add-path (:func:`..analytics.ivf.append_ivf_batch`) quantizes new
+      batches against, FAISS's train-once-add-forever contract.
+    - ``vectors/`` — the corpus assigned under that codebook, WRITTEN
+      cell-partitioned, so searches prune their candidate scans to the
+      probed cells' directories exactly like the sampled-codebook
+      layout (``ivf.ivf_cell_table``).
+
+    This closes the "production would k-means them" note in
+    ``analytics/ivf.py``: the registered search below serves from the
+    trained layout instead of the sampled one."""
+    from ..io.artifacts import fixture_artifact
+
+    def _build(tmp: str) -> None:
+        import os
+
+        _, assignments = _train_live(spark, sf_dir)
+        # the codebook that PRODUCED the final assignment (one Lloyd
+        # update past assignment N-1), persisted for the add-path
+        cb = lloyd_update_l2(assignments[N_IVF_ITERS - 1])
+        cb.coalesce(1).write.parquet(os.path.join(tmp, "codebook"))
+        final = assignments[N_IVF_ITERS].select(
+            "vec_id", F.col("j").alias("cell")
+        )
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_sql("embedding")).alias("nrm"),
+        )
+        (
+            emb.join(final, "vec_id")
+            .repartition("cell")
+            .write.partitionBy("cell")
+            .parquet(os.path.join(tmp, "vectors"))
+        )
+
+    return fixture_artifact(sf_dir, "ivf_trained", ("embeddings",), _build)
+
+
+def _trained_topk_oracle() -> str:
+    """From-scratch mirror: unroll the training loop, assign the corpus
+    under the final codebook (a{N}), then the same cosine top-k the
+    sampled-codebook search runs."""
+    n = N_IVF_ITERS
+    return f"""
+    WITH {_ivf_train_ctes(n)},
+    raw AS (
+        SELECT vec_id, embedding, {norm_sql("embedding", "duckdb")} AS nrm
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT r.vec_id, r.embedding, r.nrm, a.j AS cell
+        FROM raw r JOIN a{n} a USING (vec_id)
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm, cell
+        FROM assigned WHERE vec_id IN ({_QIDS})
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               {dot_sql("q.q_emb", "a.embedding", "duckdb")}
+                   / (q.q_norm * a.nrm) AS score
+        FROM q JOIN assigned a USING (cell)
+        WHERE q.query_id != a.vec_id
+    ),
+    counted AS (
+        SELECT *, CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT)
+                      AS n_candidates
+        FROM scored
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, score, n_candidates,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id
+               ) AS INTEGER) AS rnk
+        FROM counted
+    )
+    SELECT query_id, vec_id, score, rnk, n_candidates
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_trained_topk_oracle(),
+    survey_ref="similarity search: IVF top-k over the TRAINED coarse codebook (k-means wired into the search path)",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cosine top-k served from the TRAINED codebook artifact:
+    queries are routed by quantizing against the persisted codebook —
+    the path a non-corpus query takes in production, one broadcast join
+    against ``N_CELLS`` rows — and the candidate scan reads the
+    trained cell-partitioned layout pruned to the probed cells
+    (``PartitionFilters`` on ``cell``, pinned by tests/test_plans.py).
+    Identical search machinery to ``ann_ivf_topk``; only the centroids
+    differ, which is exactly what "wire the trained codebook in" means:
+    training (``ivf_train_distortion``'s monotone curve) now feeds the
+    registered serving path instead of ending at an eval."""
+    import os
+
+    from .ivf import _probed_cells
+
+    root = ivf_trained_artifact(spark, sf_dir)
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    # query routing through the trained codebook (code-space L2 argmin,
+    # the same total order training used) — deterministically equal to
+    # the stored assignment for corpus members, but computed the way a
+    # FRESH query vector would be
+    qv = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    qcell = assign_l2(fp_vectors(qv), cb).select(
+        F.col("vec_id").alias("query_id"), F.col("j").alias("cell")
+    )
+    q = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    ).join(F.broadcast(qcell), "query_id")
+    q = tracked_persist(q)
+
+    assigned = spark.read.parquet(os.path.join(root, "vectors"))
+    c = assigned.filter(F.col("cell").isin(_probed_cells(q))).select(
+        "vec_id",
+        F.col("embedding").alias("c_emb2"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "score",
+            F.expr(dot_sql("q_emb", "c_emb2"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    scored = scored.withColumn(
+        "n_candidates", F.count("*").over(wq).cast("long")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rnk", "n_candidates")
     )

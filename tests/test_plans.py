@@ -770,6 +770,22 @@ def test_ann_ivf_topk_scan_prunes_to_probed_cells(spark, sf_dir):
     assert in_list == probed_cells
 
 
+def test_ann_ivf_trained_topk_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The TRAINED-codebook search keeps the sampled search's scale
+    contract: queries route through the persisted codebook (broadcast,
+    N_CELLS rows) and the candidate scan over the trained
+    cell-partitioned layout carries a literal PartitionFilters IN on
+    `cell` — the k-means wiring must not cost the partition pruning."""
+    df = entrymod.queries()["ann_ivf_trained_topk"](spark, sf_dir)
+    plan = _formatted(df)
+    part_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln and " IN (" in ln
+    ]
+    assert part_lines, "trained search: no literal cell pruning in plan"
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Fact-to-fact joins where one side carries a selective filter are
     the case broadcast can't cover and salting doesn't address: Spark's
