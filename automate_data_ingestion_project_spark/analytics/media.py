@@ -3,12 +3,15 @@
 ``multimodal_manifest`` is fully oracle-checked: payload bytes are the
 documents' UTF-8 text, so DuckDB reproduces checksum/size natively.
 
-``multimodal_features`` runs the Arrow-batched ``mapInPandas`` decode
-path. The STUB codec is deterministic byte-math (16-bin histogram +
-mean byte), and the fixture text is pure ASCII, so even this Python
-path gets a FULL DuckDB oracle (char-split → ``ascii()`` codepoints ==
-UTF-8 bytes). A REAL codec (PIL/ffmpeg through ``codec_decoder``) has
-no SQL twin — swap it in and this entry correctly degrades to the
+``multimodal_features`` and ``multimodal_resize`` run the REAL decode
+chain end-to-end: payloads are decodable PGM containers, the
+dependency-free netpbm codec behind ``codec_decoder`` strips and
+validates the header inside an Arrow-batched ``mapInPandas`` stage,
+and feature/resize math runs on the decoded raster. The raster is the
+documents' UTF-8 text (pure ASCII on the parity set), so both rows
+keep FULL DuckDB oracles (char-split → ``ascii()`` codepoints == the
+decoded bytes): decode(encode(x)) == x by construction. A heavier
+codec (PIL/ffmpeg) with no SQL twin would degrade its entry to the
 driver's rows-only check by setting ``oracle=None``.
 """
 
@@ -19,10 +22,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..multimodal import (
+    decode_media,
     extract_features,
     manifest,
     sample_chunks,
     synthesize_media,
+    synthesize_pgm_media,
 )
 from .registry import register
 
@@ -88,7 +93,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") == F.octet_length("text")
     )
-    feats = extract_features(synthesize_media(docs))
+    # the REAL decode chain: each payload is a decodable PGM container
+    # (header + the text bytes as raster), the netpbm codec strips and
+    # validates the header, and feature extraction runs on the decoded
+    # pixels — decode(encode(x)) == x, so the oracle holds unchanged
+    feats = extract_features(decode_media(synthesize_pgm_media(docs)))
     return feats.orderBy("media_id").select(
         "media_id",
         "kind",
@@ -172,20 +181,23 @@ from ..multimodal import THUMB_SAMPLES as _THUMB
     survey_ref="multimodal: resize/downsample via Arrow mapInPandas (north star)",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width nearest-neighbor downsample of every payload — the
-    RESIZE member of the decode quartet (decode / feature-extract /
-    resize / frame-sample), through the same Arrow ``mapInPandas`` seam
-    as ``multimodal_features``. The stub treats bytes as the decoded
-    signal (integer index arithmetic — exactly mirrored by the oracle
-    on the ASCII parity set); a real thumbnailer plugs into
-    :func:`..multimodal.downsample_media`'s decoder seam unchanged.
-    """
+    """Fixed-width nearest-neighbor downsample of ACTUALLY-DECODED
+    pixels — the RESIZE member of the decode quartet (decode /
+    feature-extract / resize / frame-sample). Each payload is a real
+    PGM container (``synthesize_pgm_media``), the dependency-free
+    netpbm codec (:func:`..multimodal.netpbm_decoder`, behind the
+    ``codec_decoder`` gate) strips and validates the header, and the
+    downsample runs on the decoded raster through the same Arrow
+    ``mapInPandas`` seam as ``multimodal_features``. The raster is the
+    text bytes, so the integer index arithmetic is exactly mirrored by
+    the oracle on the ASCII parity set; a heavier codec (PIL/ffmpeg)
+    plugs into the same gate unchanged."""
     from ..multimodal import THUMB_SAMPLES, downsample_media
 
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
-    thumbs = downsample_media(synthesize_media(docs))
+    thumbs = downsample_media(decode_media(synthesize_pgm_media(docs)))
     return thumbs.select(
         "media_id",
         "kind",

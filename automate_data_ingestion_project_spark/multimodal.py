@@ -97,13 +97,128 @@ def stub_decoder(payload: bytes, kind: str) -> list[float]:
     return [c / total for c in counts]
 
 
+def netpbm_decoder(payload: bytes, kind: str) -> dict[str, Any]:
+    """Dependency-free REAL decoder for binary netpbm images — P5
+    (grayscale, 1 byte/pixel) and P6 (RGB, 3 bytes/pixel), the trivial
+    container every image toolchain can emit. Parses the whitespace-
+    separated header (``#`` comments allowed, single whitespace after
+    maxval per the spec), validates the raster length against the
+    declared dimensions, and returns the decoded pixel buffer + dims.
+    This is the codec gate's first real codec: the
+    decode→features→resize chain runs on actually-decoded pixels in CI
+    instead of raising."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: magic={magic!r}")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = vals
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm maxval {maxval} (1-byte only)")
+    channels = 1 if magic == b"P5" else 3
+    raster = bytes(payload[pos : pos + width * height * channels])
+    if len(raster) != width * height * channels:
+        raise ValueError(
+            f"truncated netpbm raster: expected {width * height * channels} "
+            f"bytes, got {len(raster)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": raster,
+    }
+
+
 def codec_decoder(payload: bytes, kind: str) -> Any:
-    """The real-codec seam. Plug PIL (image), soundfile (audio) or
-    ffmpeg (video) here; not available in this environment."""
+    """The real-codec seam. Binary netpbm (P5/P6) decodes here with no
+    dependencies (:func:`netpbm_decoder`); every other format needs
+    PIL (image), soundfile (audio) or ffmpeg (video) plugged in — not
+    available in this environment."""
+    if payload[:2] in (b"P5", b"P6"):
+        return netpbm_decoder(payload, kind)
     raise NotImplementedError(
         f"no codec available for kind={kind!r}: install PIL/soundfile/ffmpeg "
         "and route them through this seam (payload -> ndarray)"
     )
+
+
+def synthesize_pgm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-container media table: each document's UTF-8
+    bytes become the raster of a (n_bytes × 1) grayscale PGM (P5) —
+    header prepended JVM-side (binary ``concat``), so every payload is
+    a decodable image and the decode stage exercises a real codec
+    end-to-end. Because the raster IS the text bytes, the decoded
+    signal equals :func:`synthesize_media`'s raw payload exactly —
+    downstream feature/resize oracles hold unchanged."""
+    base = synthesize_media(docs)
+    header = F.encode(
+        F.concat(
+            F.lit("P5\n"),
+            F.col("meta.n_bytes").cast("string"),
+            F.lit(" 1\n255\n"),
+        ),
+        "UTF-8",
+    )
+    payload = F.concat(header, F.col("payload"))
+    return base.select(
+        "media_id",
+        "kind",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("meta.n_bytes").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, decoder: Decoder = codec_decoder) -> DataFrame:
+    """The DECODE stage, for real: Arrow-batched ``mapInPandas`` runs
+    the codec over every payload and re-emits media rows whose payload
+    is the DECODED pixel buffer and whose meta carries the dims the
+    codec actually found (not the container's claim). Downstream
+    feature/resize/chunk operators consume decoded signal unchanged —
+    the chain a production media pipeline runs, with the same
+    per-batch (not per-row) Python cost as :func:`extract_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decoder(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [d["pixels"] for d in decoded],
+                    "meta": [
+                        {
+                            "n_bytes": len(d["pixels"]),
+                            "width": d["width"],
+                            "height": d["height"],
+                            "sample_rate": None,
+                        }
+                        for d in decoded
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_features(

@@ -126,3 +126,60 @@ def test_ascii_guard_excludes_multibyte_docs_identically(spark):
         ).fetchall()
     }
     assert kept_spark == kept_duck == {0, 3}
+
+
+def test_netpbm_decoder_parses_p5_and_p6():
+    """The dependency-free real codec: P5/P6 headers with comments and
+    multi-digit dims parse, the raster round-trips byte-exact, and
+    malformed containers fail loudly."""
+    from automate_data_ingestion_project_spark.multimodal import (
+        netpbm_decoder,
+    )
+
+    raster = bytes(range(24))
+    p5 = b"P5\n# a comment\n24 1\n255\n" + raster
+    d = netpbm_decoder(p5, "image")
+    assert (d["width"], d["height"], d["channels"]) == (24, 1, 1)
+    assert d["pixels"] == raster
+
+    p6 = b"P6 2 4\n255\n" + raster  # 2*4*3 = 24 raster bytes
+    d6 = netpbm_decoder(p6, "image")
+    assert (d6["width"], d6["height"], d6["channels"]) == (2, 4, 3)
+    assert d6["pixels"] == raster
+
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        netpbm_decoder(b"P5\n24 1\n255\n" + raster[:-1], "image")
+    with pytest.raises(ValueError, match="maxval"):
+        netpbm_decoder(b"P5\n1 1\n65535\n\x00\x00", "image")
+
+
+def test_codec_gate_decodes_netpbm_and_still_raises_otherwise():
+    """codec_decoder now has one REAL codec (netpbm) behind the gate;
+    every other format still raises with the plug-in instructions."""
+    d = codec_decoder(b"P5\n3 1\n255\nabc", "image")
+    assert d["pixels"] == b"abc"
+    with pytest.raises(NotImplementedError, match="no codec available"):
+        codec_decoder(b"\x89PNG\r\n", "image")
+
+
+def test_pgm_container_roundtrips_through_real_decode(spark, sf_dir):
+    """The end-to-end decode chain: synthesize_pgm_media wraps every
+    document's bytes in a real P5 container JVM-side; decode_media runs
+    the netpbm codec in the Arrow mapInPandas stage; the decoded pixels
+    equal the original text bytes exactly (decode(encode(x)) == x), and
+    the decoded meta carries the dims the codec FOUND."""
+    from automate_data_ingestion_project_spark.multimodal import (
+        decode_media,
+        synthesize_pgm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    decoded = {
+        r.media_id: r for r in decode_media(synthesize_pgm_media(docs)).collect()
+    }
+    for r in docs.collect():
+        raw = r.text.encode("utf-8")
+        got = decoded[r.doc_id]
+        assert bytes(got.payload) == raw
+        assert got.meta.n_bytes == len(raw)
+        assert got.meta.width == len(raw) and got.meta.height == 1
