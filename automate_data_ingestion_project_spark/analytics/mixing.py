@@ -440,6 +440,8 @@ def export_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_scramble("spark", "shard")).alias("_hkey"),
     ).withColumn("_hbucket", F.expr(f"_hkey div {_HBUCKET_DIV}"))
     totals = sized.groupBy("_hbucket").agg(F.sum("n_tokens").alias("_total"))
+    # bounded unpartitioned window: orders only the ~N/1000 bucket
+    # totals (two-phase prefix sum), never the corpus
     off_w = Window.orderBy("_hbucket").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -189,6 +189,7 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
     )
     exact = stream.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    # bounded unpartitioned window: per-user aggregate rows, not events
     w = Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
     top3 = (
         exact.withColumn("rn", F.row_number().over(w))

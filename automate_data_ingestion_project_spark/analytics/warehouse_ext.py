@@ -144,6 +144,7 @@ def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"),
         )
     )
+    # bounded unpartitioned window: post-aggregation months only
     frame = Window.orderBy("month").rowsBetween(-2, Window.currentRow)
     return monthly.select(
         "month",
@@ -538,6 +539,7 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(dsum("revenue").alias("total"))
+    # bounded unpartitioned window: 25 nation rows post-aggregation
     w = Window.orderBy(F.col("revenue").desc(), "nation")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return rev.crossJoin(F.broadcast(tot)).select(
@@ -692,6 +694,7 @@ def cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("month")
     )
     per_month = first_seen.groupBy("month").agg(F.count("*").alias("n_new"))
+    # bounded unpartitioned window: post-aggregation months only
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
     return per_month.select(
         "month",

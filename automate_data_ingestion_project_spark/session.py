@@ -89,4 +89,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Drop WindowExec's "No Partition Defined" warning to ERROR for
+    sessions built here. Every unpartitioned window in this package
+    operates on a post-aggregation relation bounded by construction
+    (bucket totals ≤ corpus/1000, months, 25 nations — the scale-safe
+    two-phase prefix-sum design; sites audited in the r14 verdict:
+    mixing.py, sampling.py, warehouse_ext.py, profiling.py), so the
+    warning is noise in bench tails, not a defect signal. Best-effort:
+    log4j2's Configurator is Spark's bundled logging backend, but a
+    deployment that swaps it keeps the default warning."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
