@@ -160,6 +160,43 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][doc_id % 3 + 1] AS kind,
+           CAST(octet_length(encode(text)) AS INTEGER) AS width,
+           1 AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_pixels,
+           sha256(text) AS pixel_sha
+    FROM documents
+    WHERE length(text) = octet_length(encode(text))
+    """,
+    survey_ref="multimodal: REAL container decode (netpbm codec behind the codec_decoder gate)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE stage as its own checked row: every payload is a real
+    P5 container, the dependency-free netpbm codec parses and validates
+    the header inside the Arrow ``mapInPandas`` stage, and the output
+    is the dims the codec FOUND plus a checksum of the decoded raster.
+    The raster is the document's bytes by construction, so DuckDB
+    states the expected dims/checksum from the text directly — a hash
+    match proves the container round-trip (header synthesis JVM-side,
+    parse + strip Python-side) is byte-exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    decoded = decode_media(synthesize_pgm_media(docs))
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_pixels"),
+        F.sha2("payload", 256).alias("pixel_sha"),
+    )
+
+
 from ..multimodal import THUMB_SAMPLES as _THUMB
 
 
