@@ -68,82 +68,75 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-14 ordering: (1) the three queries ADDED this
-# round (the as-of x tombstone erasure contract, and the multiprobe
-# refined IVF-PQ pair); (2) the one query whose behavior-bearing code
-# path changed most this round — stream_shard_store_delete drains
-# through the stream-epoch base offset added to stream_tombstone_
-# ingest (the other r14 changes — ledger temp-then-rename, the
-# size-gated tombstone broadcast, the compactor reconciliation, the
-# as-of default mask — are all exercised in-window by the erasure
-# query plus every store row's appends/committed reads); (3) the 46
-# r10-vintage rows in their r10 check order — the r13 verdict's
-# promised evidence front-load. After this round no registry row's
-# newest driver evidence predates r11. 3 + 1 + 46 = 50 fills the
-# window exactly.
+# comes first. Round-15 ordering: (1) the four rows with ZERO driver
+# evidence — the two r14 late additions deferred past that round's
+# window (the r14 verdict's #1 item) plus the two queries ADDED this
+# round (the trained-codebook IVF search and the real-container
+# decode); (2) the eight rows whose behavior-bearing code changed in
+# r15 — the streaming takedown drain (epoch sequences now allocated at
+# drain time), the erasure/compaction family (the compactor now keeps
+# the tombstone mask when a rescue moves unmasked rows), and the two
+# multimodal rows rerouted through the real netpbm decode chain;
+# (3) the 38 stalest rows — r11-vintage evidence, in their r11 check
+# order (the 10 r11 rows that don't fit this window lead r16's tail:
+# events_hypertable_rollup, events_value_interpolate,
+# top_terms_per_doc, vocab_encode, text_stats, lang_confusion,
+# orders_rolling_revenue, orders_monthly_gapfill, nation_revenue_share,
+# nation_revenue_pareto). 4 + 8 + 38 = 50 fills the window exactly.
 _CHECK_FIRST = [
-    # (1) NEW in r14
-    "shard_store_asof_erasure",
-    "ann_ivfpq_multiprobe_refined_topk",
-    "ann_ivfpq_multiprobe_recall_eval",
-    # (2) code changed in r14 (stream tombstone epochs now offset past
-    # the highest committed sequence; this query runs the drain)
-    "stream_shard_store_delete",
-    # (3) the 46 r10-vintage rows, in their r10 check order — after
-    # r14 no surviving evidence predates round 11
-    "jdbc_roundtrip_nation",
-    "export_token_shards",
-    "fuzzy_name_pairs",
-    "bitmap_exact_distinct",
-    "hll_sketch_rollup",
-    "duplicate_text_spans",
-    "span_dedup_mask",
-    "neardup_blast_radius",
-    "neardup_triangles",
-    "profile_drift",
-    "event_sessions_udtf",
-    "normalize_dv3f_pandas_api",
-    "scripted_quality_gate",
-    "pipe_syntax_revenue",
-    "ann_truncated_recall_eval",
-    "snapshot_diff",
-    "value_outliers_mad",
-    "table_profile",
-    "stream_dedup_events",
-    "stream_windowed_counts",
-    "stream_session_counts",
-    "stream_stateful_totals",
-    "normalize_dv3f",
-    "dbt_first_model",
-    "dbt_second_model",
-    "top10_orders",
-    "top_brands_by_quantity",
-    "quality_report",
-    "dedup_exact",
-    "price_quantiles",
-    "revenue_by_nation",
-    "top3_orders_per_priority",
-    "doc_fingerprints",
-    "doc_chunks",
-    "decontaminate_overlap",
-    "doc_repetition",
-    "corpus_sample_mix",
-    "pack_sequences",
-    "label_centroids",
-    "centroid_purity",
-    "corpus_curation_pipeline",
-    "nation_only_keys_except",
-    "repeat_customers_intersect",
-    "sales_rollup",
-    "asof_purchase_last_click",
-    "range_join_signup_errors",
-    # (positions 51+ — just OUTSIDE this round's 50-query window, by
-    # choice: these landed after the window was budgeted, and
-    # displacing r10-vintage rows would break the promised evidence
-    # front-load. Both are locally driven green (hash-match) and lead
-    # the r15 window.)
+    # (1) zero driver evidence
     "shard_store_changes",
     "shard_store_ledger_checkpoint",
+    "ann_ivf_trained_topk",
+    "multimodal_decode",
+    # (2) code changed in r15
+    "stream_shard_store_delete",
+    "shard_store_asof_erasure",
+    "multimodal_features",
+    "multimodal_resize",
+    "shard_store_delete",
+    "ivf_store_delete",
+    "ivfpq_store_delete",
+    "neardup_store_delete",
+    # (3) the 38 stalest rows (r11-vintage), in their r11 check order
+    "orders_by_month",
+    "categories",
+    "orders_by_category",
+    "not_null_filter",
+    "events_by_type",
+    "scd2_history",
+    "event_funnel",
+    "cohort_retention",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "kmeans_step",
+    "referential_integrity",
+    "shard_manifest",
+    "curated_shard_export",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "incremental_neardup_filter",
+    "neardup_ingest_replay",
+    "stream_neardup_ingest_replay",
+    "event_sessions",
+    "events_json_props",
+    "events_weekly_heatmap",
+    "quality_gates",
+    "lang_length_zscores",
+    "zorder_pruned_scan",
+    "rest_ingest_dv3f",
+    "rest_datasource_scan",
+    "dbf_commune",
+    "commune_enrichment",
+    "model_layer_build",
+    "embedding_quantize",
+    "stratified_sample_exact",
+    "customer_value_quartiles",
+    "duckdb_federated_scan",
+    "duckdb_parquet_handoff",
+    "dataset_split",
+    "bigram_counts",
 ]
 
 

@@ -220,6 +220,9 @@ def main() -> int:
             "ann_ivfpq_multiprobe_recall_eval",
             "shard_store_changes",
             "shard_store_ledger_checkpoint",
+            # round 15 additions
+            "ann_ivf_trained_topk",
+            "multimodal_decode",
         )
         if n in QUERIES
     ]

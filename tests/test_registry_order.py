@@ -2,42 +2,49 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-14 window composition — the round's deliverable — must hold:
-the three r14 additions lead (the as-of x tombstone erasure contract
-and the multiprobe refined IVF-PQ pair), then the one most
-behavior-changed store row (the streaming takedown drain, whose epochs
-now offset past committed sequences), then the full 46-row r10-vintage
-tail in its r10 check order (the oldest surviving driver evidence
-after this round is r11)."""
+the round-15 window composition — the round's deliverable — must hold:
+the four zero-evidence rows lead (the two r14 late additions the r14
+verdict flagged, plus the two r15 additions), then the eight rows
+whose behavior-bearing code changed in r15 (the drain-time epoch
+allocation, the compactor's mask-preserving rescue, the real decode
+chain), then the 38 stalest (r11-vintage) rows in their r11 check
+order."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R14_HEAD = [
-    "shard_store_asof_erasure",  # NEW in r14 (erasure wins over time travel)
-    "ann_ivfpq_multiprobe_refined_topk",  # NEW in r14 (nprobe on the stack)
-    "ann_ivfpq_multiprobe_recall_eval",  # NEW in r14 (honest measured lift)
-    # code changed in r14: the stream tombstone drain's epoch base
+R15_HEAD = [
+    # zero driver evidence (r14 verdict item 1 + the two r15 additions)
+    "shard_store_changes",
+    "shard_store_ledger_checkpoint",
+    "ann_ivf_trained_topk",
+    "multimodal_decode",
+    # code changed in r15
     "stream_shard_store_delete",
+    "shard_store_asof_erasure",
+    "multimodal_features",
+    "multimodal_resize",
+    "shard_store_delete",
+    "ivf_store_delete",
+    "ivfpq_store_delete",
+    "neardup_store_delete",
 ]
 
-R10_VINTAGE = {
-    "jdbc_roundtrip_nation", "export_token_shards", "fuzzy_name_pairs",
-    "bitmap_exact_distinct", "hll_sketch_rollup", "duplicate_text_spans",
-    "span_dedup_mask", "neardup_blast_radius", "neardup_triangles",
-    "profile_drift", "event_sessions_udtf", "normalize_dv3f_pandas_api",
-    "scripted_quality_gate", "pipe_syntax_revenue",
-    "ann_truncated_recall_eval", "snapshot_diff", "value_outliers_mad",
-    "table_profile", "stream_dedup_events", "stream_windowed_counts",
-    "stream_session_counts", "stream_stateful_totals", "normalize_dv3f",
-    "dbt_first_model", "dbt_second_model", "top10_orders",
-    "top_brands_by_quantity", "quality_report", "dedup_exact",
-    "price_quantiles", "revenue_by_nation", "top3_orders_per_priority",
-    "doc_fingerprints", "doc_chunks", "decontaminate_overlap",
-    "doc_repetition", "corpus_sample_mix", "pack_sequences",
-    "label_centroids", "centroid_purity", "corpus_curation_pipeline",
-    "nation_only_keys_except", "repeat_customers_intersect",
-    "sales_rollup", "asof_purchase_last_click", "range_join_signup_errors",
+R11_VINTAGE = {
+    "orders_by_month", "categories", "orders_by_category",
+    "not_null_filter", "events_by_type", "scd2_history", "event_funnel",
+    "cohort_retention", "ann_ivf_topk", "ann_ivf_multiprobe",
+    "kmeans_step", "referential_integrity", "shard_manifest",
+    "curated_shard_export", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "incremental_neardup_filter",
+    "neardup_ingest_replay", "stream_neardup_ingest_replay",
+    "event_sessions", "events_json_props", "events_weekly_heatmap",
+    "quality_gates", "lang_length_zscores", "zorder_pruned_scan",
+    "rest_ingest_dv3f", "rest_datasource_scan", "dbf_commune",
+    "commune_enrichment", "model_layer_build", "embedding_quantize",
+    "stratified_sample_exact", "customer_value_quartiles",
+    "duckdb_federated_scan", "duckdb_parquet_handoff", "dataset_split",
+    "bigram_counts",
 }
 
 
@@ -52,11 +59,11 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round14_window_composition():
+def test_round15_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:4] == R14_HEAD
-    assert R10_VINTAGE <= set(first50)
-    assert len(R10_VINTAGE) == 46 and len(first50) == 50
+    assert first50[:12] == R15_HEAD
+    assert R11_VINTAGE <= set(first50)
+    assert len(R11_VINTAGE) == 38 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
