@@ -1204,3 +1204,98 @@ def test_ledger_checkpoints_are_invisible_to_the_protocol(
         for r in read_committed(spark, data, ledger).collect()
     )
     assert got == want
+
+
+@st.composite
+def takedown_op_sequences(draw):
+    """Interleaved takedown traffic on ONE shared tombstone store:
+    ("drain", [id-batches]) runs the streaming drain (one epoch per
+    feed file, continuing the same checkpoint), ("direct", [ids]) is an
+    auto-sequenced append_tombstones (delete_docs style, max committed
+    + 1) — the exact interleave class whose fixed-base predecessor
+    silently dropped stream epochs. Ids are disjoint and increasing so
+    the model is a pure set union."""
+    n_ops = draw(st.integers(min_value=2, max_value=4))
+    ops, lo = [], 0
+    for _ in range(n_ops):
+        kind = draw(st.sampled_from(["drain", "direct"]))
+        batches = []
+        for _ in range(draw(st.integers(1, 2)) if kind == "drain" else [1][0]):
+            n = draw(st.integers(1, 4))
+            batches.append(list(range(lo, lo + n)))
+            lo += n
+        ops.append((kind, batches))
+    # end on a drain so the final epoch always has a prior direct to
+    # potentially collide with somewhere in the space
+    n = draw(st.integers(1, 4))
+    ops.append(("drain", [list(range(lo, lo + n))]))
+    return ops
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=takedown_op_sequences())
+def test_takedown_interleavings_commit_every_id(
+    spark, ops, tmp_path_factory
+):
+    """ANY interleaving of streaming drains and auto-sequenced direct
+    appends on one tombstone store commits EVERY submitted id (the
+    union model — deletion requests are never silently dropped), with
+    one committed ledger sequence per batch (no epoch ever no-ops
+    against a foreign commit's slot)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+        committed_batch_seqs,
+        read_committed,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        stream_tombstone_ingest,
+    )
+
+    root = str(tmp_path_factory.mktemp("takedown_race"))
+    src = os.path.join(root, "takedowns")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    ckpt = os.path.join(root, "ckpt")
+
+    all_ids: set[int] = set()
+    n_batches = 0
+    feed_no = 0
+    for kind, batches in ops:
+        if kind == "direct":
+            committed = committed_batch_seqs(spark, t_ledger)
+            seq = (max(committed) + 1) if committed else 0
+            ids = spark.createDataFrame(
+                [(i,) for i in batches[0]], "doc_id long"
+            )
+            append_tombstones(spark, t_data, t_ledger, ids, seq, "doc_id")
+        else:
+            for b in batches:
+                spark.createDataFrame(
+                    [(i,) for i in b], "doc_id long"
+                ).coalesce(1).write.parquet(
+                    os.path.join(src, f"feed{feed_no}")
+                )
+                feed_no += 1
+            stream_tombstone_ingest(
+                spark, os.path.join(src, "*"), t_data, t_ledger, ckpt,
+                "doc_id", "doc_id long",
+            )
+        all_ids.update(i for b in batches for i in b)
+        n_batches += len(batches)
+
+    assert len(committed_batch_seqs(spark, t_ledger)) == n_batches
+    got = sorted(
+        r.doc_id for r in read_committed(spark, t_data, t_ledger).collect()
+    )
+    assert got == sorted(all_ids)
