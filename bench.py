@@ -250,6 +250,9 @@ def main() -> int:
     from automate_data_ingestion_project_spark.analytics.ivf import (
         ivf_cell_table,
     )
+    from automate_data_ingestion_project_spark.analytics.ivf_train import (
+        ivf_trained_artifact,
+    )
     from automate_data_ingestion_project_spark.analytics.load import (
         zorder_pruned_scan as _zorder_query,
     )
@@ -262,6 +265,7 @@ def main() -> int:
     minhash_pairs_evidence(spark, sf_dir)
     pq_train_artifact(spark, sf_dir)
     ivf_cell_table(spark, sf_dir)
+    ivf_trained_artifact(spark, sf_dir)  # Lloyd training, r15
     _zorder_query(spark, sf_dir)  # builds the z-ordered artifact
     release_caches()
     artifact_build = round(time.perf_counter() - t0, 4)
