@@ -68,27 +68,29 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-15 ordering: (1) the four rows with ZERO driver
+# comes first. Round-15 ordering: (1) the five rows with ZERO driver
 # evidence — the two r14 late additions deferred past that round's
-# window (the r14 verdict's #1 item) plus the two queries ADDED this
-# round (the trained-codebook IVF search and the real-container
-# decode); (2) the eight rows whose behavior-bearing code changed in
+# window (the r14 verdict's #1 item) plus the three queries ADDED this
+# round (the trained-codebook IVF search, the real-container decode,
+# and the CDF incremental consumer); (2) the eight rows whose
+# behavior-bearing code changed in
 # r15 — the streaming takedown drain (epoch sequences now allocated at
 # drain time), the erasure/compaction family (the compactor now keeps
 # the tombstone mask when a rescue moves unmasked rows), and the two
 # multimodal rows rerouted through the real netpbm decode chain;
-# (3) the 38 stalest rows — r11-vintage evidence, in their r11 check
-# order (the 10 r11 rows that don't fit this window lead r16's tail:
-# events_hypertable_rollup, events_value_interpolate,
+# (3) the 37 stalest rows — r11-vintage evidence, in their r11 check
+# order (the 11 r11 rows that don't fit this window lead r16's tail:
+# bigram_counts, events_hypertable_rollup, events_value_interpolate,
 # top_terms_per_doc, vocab_encode, text_stats, lang_confusion,
 # orders_rolling_revenue, orders_monthly_gapfill, nation_revenue_share,
-# nation_revenue_pareto). 4 + 8 + 38 = 50 fills the window exactly.
+# nation_revenue_pareto). 5 + 8 + 37 = 50 fills the window exactly.
 _CHECK_FIRST = [
     # (1) zero driver evidence
     "shard_store_changes",
     "shard_store_ledger_checkpoint",
     "ann_ivf_trained_topk",
     "multimodal_decode",
+    "cdf_incremental_consumer",
     # (2) code changed in r15
     "stream_shard_store_delete",
     "shard_store_asof_erasure",
@@ -98,7 +100,7 @@ _CHECK_FIRST = [
     "ivf_store_delete",
     "ivfpq_store_delete",
     "neardup_store_delete",
-    # (3) the 38 stalest rows (r11-vintage), in their r11 check order
+    # (3) the 37 stalest rows (r11-vintage), in their r11 check order
     "orders_by_month",
     "categories",
     "orders_by_category",
@@ -136,7 +138,6 @@ _CHECK_FIRST = [
     "duckdb_federated_scan",
     "duckdb_parquet_handoff",
     "dataset_split",
-    "bigram_counts",
 ]
 
 

@@ -1636,3 +1636,105 @@ def stream_shard_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("shard_tokens"),
         F.expr(f"bit_xor({_content_fp('spark')})").alias("content_fp"),
     )
+
+
+@register(
+    "cdf_incremental_consumer",
+    # the one-shot recompute over the full three-batch walk: the
+    # incrementally-maintained downstream state must equal it exactly,
+    # including the shards whose totals accumulated ACROSS consumer
+    # steps (a shard boundary falling inside a batch leaves a partial
+    # shard the next batch's delta tops up)
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               doc_id % 3 AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM cum
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: incremental CDF consumer (transactional offset, downstream rollup maintained without corpus rescans)",
+)
+def cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMER half of the change data feed: a downstream
+    per-shard rollup (doc counts + token totals) maintained by
+    :func:`..io.maintenance.consume_changes` — each step folds only the
+    generations committed since the state's own consumed-through
+    sequence (a pure ``batch_seq`` partition prune; the corpus is
+    never rescanned), and state + offset publish together in one
+    atomic rename, so replayed steps no-op and a crash can never
+    double-apply or drop a delta.
+
+    The replay ladder this query walks: append batches 0-1 → consume
+    (state-1) → append batch 2 → consume (folds ONLY generation 2 into
+    state-2) → consume again (caught up: no-op) → REPLAY batch 0's
+    append (committed: no-op at the store) → consume (still no-op).
+    The final state hash-matches the one-shot recompute over the whole
+    walk — a double-applied or dropped delta would break the totals of
+    every shard, and the cross-batch partial shards prove the additive
+    merge is real, not a coincidence of disjoint keys."""
+    import os
+
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        consume_changes,
+        read_consumer_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("cdf_incremental_consumer")
+    shards_path, ledger_path = shard_store_paths(root)
+    state_root = os.path.join(root, "consumer")
+
+    def fold(delta: DataFrame, prev: DataFrame | None) -> DataFrame:
+        dagg = delta.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        if prev is None:
+            return dagg
+        return (
+            prev.unionByName(dagg)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("shard_tokens").alias("shard_tokens"),
+            )
+        )
+
+    def consume() -> int:
+        return consume_changes(
+            spark, shards_path, ledger_path, state_root, fold
+        )
+
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 0"), root, 0)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 1)
+    assert consume() == 1
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 2)
+    assert consume() == 2
+    assert consume() == 2  # caught up: replayed step is a no-op
+    append_token_shard_batch(  # replayed committed append: store no-op
+        spark, docs.filter("doc_id % 3 = 0"), root, 0
+    )
+    assert consume() == 2
+
+    state = read_consumer_state(spark, state_root)
+    return state.select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        "n_docs",
+        "shard_tokens",
+    )

@@ -944,6 +944,100 @@ def read_store_changes(
     )
 
 
+def consume_changes(
+    spark: SparkSession,
+    data_path: str,
+    ledger_path: str,
+    state_root: str,
+    fold,
+    tombstones_path: str | None = None,
+    tombstone_ledger_path: str | None = None,
+    id_col: str | None = None,
+) -> int:
+    """One step of an incremental CHANGE-FEED CONSUMER with a
+    TRANSACTIONAL OFFSET — the downstream half of
+    :func:`read_store_changes`. A consumer that stores its checkpoint
+    separately from its state has a torn-commit window on either
+    ordering (state-then-offset double-applies the delta on a crash
+    between them; offset-then-state drops it). Here the state and the
+    consumed-through sequence are ONE artifact: the folded state is
+    published as ``state-<upto_seq>/`` by a single atomic rename, so a
+    crash at any point leaves the previous state serving and a retried
+    step recomputes the identical delta (the feed is committed-only and
+    deterministic) — exactly-once by construction, the transactional
+    consumer-offset pattern (Kafka's consumer-owned offsets, Delta's
+    ``txn`` appId/version).
+
+    ``fold(delta_df, prev_state_df_or_None) -> DataFrame`` merges the
+    new generations into the downstream state (an additive aggregate
+    merge for materialized rollups). The state is downstream-sized
+    (aggregate rows), never corpus-sized; the delta read is the pure
+    ``batch_seq`` partition prune the feed guarantees — a caught-up
+    consumer costs two metadata reads and zero data IO.
+
+    Returns the consumed-through sequence (the previous one when
+    already caught up — a replayed step is a no-op). Superseded state
+    dirs are retired only after the new state is in place; a crash
+    between rename and retirement leaves both, and readers take the
+    highest sequence.
+    """
+    fs, jpath = _fs(spark, state_root)
+    committed = committed_batch_seqs(spark, ledger_path)
+    head = max(committed) if committed else -1
+    prev = -1
+    root_p = jpath(state_root)
+    if fs.exists(root_p):
+        for s in fs.listStatus(root_p):
+            n = s.getPath().getName()
+            if n.startswith("state-"):
+                prev = max(prev, int(n.split("-", 1)[1]))
+    if head <= prev:
+        return prev  # caught up (or nothing committed yet): no-op
+    prev_df = (
+        spark.read.parquet(f"{state_root}/state-{prev}")
+        if prev >= 0
+        else None
+    )
+    delta = read_store_changes(
+        spark,
+        data_path,
+        ledger_path,
+        after_seq=prev,
+        upto_seq=head,
+        tombstones_path=tombstones_path,
+        tombstone_ledger_path=tombstone_ledger_path,
+        id_col=id_col,
+    )
+    tmp = f"{state_root}/.state-{head}.inprogress"
+    # the write MATERIALIZES the fold while the previous state's files
+    # still exist (the fold reads them lazily); retirement comes after
+    fold(delta, prev_df).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(jpath(tmp), jpath(f"{state_root}/state-{head}")):
+        fs.delete(jpath(tmp), True)
+        raise IOError(
+            f"consumer state publish failed: could not rename {tmp} "
+            f"into place at {state_root}/state-{head}"
+        )
+    for s in fs.listStatus(root_p):
+        n = s.getPath().getName()
+        if n.startswith("state-") and int(n.split("-", 1)[1]) < head:
+            fs.delete(s.getPath(), True)
+    return head
+
+
+def read_consumer_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """The latest published consumer state (highest ``state-<seq>``)."""
+    fs, jpath = _fs(spark, state_root)
+    seqs = [
+        int(s.getPath().getName().split("-", 1)[1])
+        for s in (fs.listStatus(jpath(state_root)) or [])
+        if s.getPath().getName().startswith("state-")
+    ]
+    if not seqs:
+        raise ValueError(f"no consumer state published under {state_root}")
+    return spark.read.parquet(f"{state_root}/state-{max(seqs)}")
+
+
 def vacuum_store(
     spark: SparkSession, data_path: str, ledger_path: str
 ) -> int:

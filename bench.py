@@ -223,6 +223,7 @@ def main() -> int:
             # round 15 additions
             "ann_ivf_trained_topk",
             "multimodal_decode",
+            "cdf_incremental_consumer",
         )
         if n in QUERIES
     ]

@@ -887,3 +887,100 @@ def test_crash_recovery_refuses_legacy_ambiguity(spark, tmp_path):
 
     with _pytest.raises(IOError, match="legacy"):
         compact_store_tree(spark, data, "cell", "vid", ledger_path=ledger)
+
+
+def test_consume_changes_transactional_offset(spark, tmp_path, monkeypatch):
+    """The CDF consumer's exactly-once contract: state and offset
+    publish together (atomic rename), a replayed step is a no-op, a
+    crash between the rename and the old state's retirement leaves two
+    state dirs and readers take the highest, and the retried step
+    recomputes the identical delta instead of double-applying it."""
+    from pyspark.sql import functions as F
+
+    import automate_data_ingestion_project_spark.io.maintenance as maint
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        consume_changes,
+        read_consumer_state,
+    )
+
+    data, ledger = _store(tmp_path)
+    state_root = str(tmp_path / "consumer")
+
+    def fold(delta, prev):
+        dagg = delta.groupBy("cell").agg(
+            F.count("*").alias("n"), F.sum("payload").alias("total")
+        )
+        if prev is None:
+            return dagg
+        return (
+            prev.unionByName(dagg)
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+
+    def state():
+        return {
+            r.cell: (r.n, r.total)
+            for r in read_consumer_state(spark, state_root).collect()
+        }
+
+    # nothing committed yet: no-op, no state published
+    assert consume_changes(spark, data, ledger, state_root, fold) == -1
+
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 30), 0, "cell", "vid"
+    )
+    assert consume_changes(spark, data, ledger, state_root, fold) == 0
+    s1 = state()
+
+    # caught up: replayed step is a pure no-op (state unchanged)
+    assert consume_changes(spark, data, ledger, state_root, fold) == 0
+    assert state() == s1
+
+    # crash between rename and retirement: simulate by making delete a
+    # no-op for the superseded state — both dirs remain afterwards
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 30, 50), 1, "cell", "vid"
+    )
+    real_fs = maint._fs
+
+    def fs_no_retire(spark_, path):
+        fs, jpath = real_fs(spark_, path)
+
+        class NoRetire:
+            def __getattr__(self, name):
+                return getattr(fs, name)
+
+            def delete(self, p, rec=True):
+                if "state-0" in str(p):
+                    return True  # crash before retirement
+                return fs.delete(p, rec)
+
+        return NoRetire(), jpath
+
+    monkeypatch.setattr(maint, "_fs", fs_no_retire)
+    assert consume_changes(spark, data, ledger, state_root, fold) == 1
+    monkeypatch.setattr(maint, "_fs", real_fs)
+    import os
+
+    assert sorted(os.listdir(state_root)) == ["state-0", "state-1"]
+    s2 = state()  # reader takes the highest state
+
+    # the retried step is a caught-up no-op (the stale dir is retired
+    # by the next REAL step, which deletes everything below its head)
+    assert consume_changes(spark, data, ledger, state_root, fold) == 1
+    assert state() == s2
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 50, 60), 2, "cell", "vid"
+    )
+    assert consume_changes(spark, data, ledger, state_root, fold) == 2
+    assert sorted(os.listdir(state_root)) == ["state-2"]
+
+    # the incrementally-folded state equals the one-shot recompute
+    expected = {
+        r.cell: (r.n, r.total)
+        for r in fold(
+            read_committed(spark, data, ledger), None
+        ).collect()
+    }
+    assert state() == expected

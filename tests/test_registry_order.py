@@ -14,11 +14,12 @@ import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R15_HEAD = [
-    # zero driver evidence (r14 verdict item 1 + the two r15 additions)
+    # zero driver evidence (r14 verdict item 1 + the three r15 additions)
     "shard_store_changes",
     "shard_store_ledger_checkpoint",
     "ann_ivf_trained_topk",
     "multimodal_decode",
+    "cdf_incremental_consumer",
     # code changed in r15
     "stream_shard_store_delete",
     "shard_store_asof_erasure",
@@ -44,7 +45,6 @@ R11_VINTAGE = {
     "commune_enrichment", "model_layer_build", "embedding_quantize",
     "stratified_sample_exact", "customer_value_quartiles",
     "duckdb_federated_scan", "duckdb_parquet_handoff", "dataset_split",
-    "bigram_counts",
 }
 
 
@@ -61,9 +61,9 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round15_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:12] == R15_HEAD
+    assert first50[:13] == R15_HEAD
     assert R11_VINTAGE <= set(first50)
-    assert len(R11_VINTAGE) == 38 and len(first50) == 50
+    assert len(R11_VINTAGE) == 37 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
