@@ -1738,3 +1738,135 @@ def cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "shard_tokens",
     )
+
+
+@register(
+    "cdf_consumer_erasure_propagation",
+    # one-shot recompute over the SURVIVORS: shard assignment is frozen
+    # by the full walk (dead docs' tokens still advanced the cursor —
+    # they were exported before deletion), the aggregate covers only
+    # surviving docs, and fully-erased shards vanish from the result
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               {ta.n_tokens("text", "duckdb")} AS n_tokens,
+               {_scramble("duckdb", "shard")} AS hkey,
+               doc_id % 3 AS bseq
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY bseq, hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {SHARD_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM cum
+    WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+    GROUP BY 1
+    """,
+    survey_ref="LLM curation: erasure propagation to downstream materializations (retraction-aware CDF consumer)",
+)
+def cdf_consumer_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure must reach DERIVED tables, not just the store:
+    a takedown arriving AFTER a doc was consumed into a downstream
+    rollup has to UNDO its contribution, or the erasure stops at the
+    store and lives on in every materialization. This query walks the
+    full ladder through :func:`..io.maintenance.
+    consume_changes_with_retractions` (pair offset (D, T), state and
+    both offsets in one atomic publish):
+
+    - append batches 0-1, consume → state (1, -1);
+    - takedown wave 1 (doc_id % 7 = 3) lands AFTER consumption →
+      consume RETRACTS those docs' contributions from the rollup
+      (broadcast join of the new dead ids against only the consumed
+      generations) → state (1, 0);
+    - append batch 2, takedown wave 2 (doc_id % 11 = 5, overlapping
+      wave 1 — re-tombstoned ids must not subtract twice) → ONE
+      consume advances both offsets: batch 2 folds in with the full
+      mask (its dead docs never enter), wave 2's genuinely-new dead
+      ids retract from generations <= 1 → state (2, 1);
+    - replayed consume: caught up, no-op.
+
+    The final rollup hash-matches the one-shot recompute over the
+    survivors; shards whose every doc died vanish from the view (their
+    counts reach exactly zero — a signed-arithmetic proof the
+    retraction is exact, not clamped)."""
+    import os
+
+    from .load import scratch_dir
+    from ..io.maintenance import (
+        append_tombstones,
+        consume_changes_with_retractions,
+        read_consumer_state,
+        tombstone_paths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = scratch_dir("cdf_consumer_erasure")
+    shards_path, ledger_path = shard_store_paths(root)
+    t_data, t_ledger = tombstone_paths(root)
+    state_root = os.path.join(root, "consumer")
+
+    def fold(delta: DataFrame, prev: DataFrame | None) -> DataFrame:
+        dagg = delta.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        if prev is None:
+            return dagg
+        return (
+            prev.unionByName(dagg)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("shard_tokens").alias("shard_tokens"),
+            )
+        )
+
+    def unfold(retr: DataFrame, prev: DataFrame) -> DataFrame:
+        ragg = retr.groupBy("shard_id").agg(
+            (-F.count("*")).alias("n_docs"),
+            (-F.sum("n_tokens")).alias("shard_tokens"),
+        )
+        return (
+            prev.unionByName(ragg)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("shard_tokens").alias("shard_tokens"),
+            )
+        )
+
+    def consume() -> tuple[int, int]:
+        return consume_changes_with_retractions(
+            spark, shards_path, ledger_path, t_data, t_ledger,
+            "doc_id", state_root, fold, unfold,
+        )
+
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 0"), root, 0)
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 1"), root, 1)
+    assert consume() == (1, -1)
+
+    # wave 1 arrives AFTER the docs were consumed: pure retraction
+    dead1 = docs.filter("doc_id % 7 = 3").select("doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead1, 0, "doc_id")
+    assert consume() == (1, 0)
+
+    # batch 2 + wave 2 (overlaps wave 1) advance BOTH offsets at once
+    append_token_shard_batch(spark, docs.filter("doc_id % 3 = 2"), root, 2)
+    dead2 = docs.filter("doc_id % 11 = 5").select("doc_id")
+    append_tombstones(spark, t_data, t_ledger, dead2, 1, "doc_id")
+    assert consume() == (2, 1)
+    assert consume() == (2, 1)  # caught up: replayed step is a no-op
+
+    state = read_consumer_state(spark, state_root)
+    return state.filter(F.col("n_docs") > 0).select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        "n_docs",
+        "shard_tokens",
+    )

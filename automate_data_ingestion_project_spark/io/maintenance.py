@@ -1026,16 +1026,147 @@ def consume_changes(
 
 
 def read_consumer_state(spark: SparkSession, state_root: str) -> DataFrame:
-    """The latest published consumer state (highest ``state-<seq>``)."""
+    """The latest published consumer state — highest ``state-<seq>``
+    (single-offset consumers) or highest ``state-<D>_<T>`` pair
+    (retraction-aware consumers), compared componentwise."""
     fs, jpath = _fs(spark, state_root)
-    seqs = [
-        int(s.getPath().getName().split("-", 1)[1])
+    names = [
+        s.getPath().getName()
         for s in (fs.listStatus(jpath(state_root)) or [])
         if s.getPath().getName().startswith("state-")
     ]
-    if not seqs:
+    if not names:
         raise ValueError(f"no consumer state published under {state_root}")
-    return spark.read.parquet(f"{state_root}/state-{max(seqs)}")
+    latest = max(
+        names,
+        key=lambda n: tuple(int(x) for x in n.split("-", 1)[1].split("_")),
+    )
+    return spark.read.parquet(f"{state_root}/{latest}")
+
+
+def consume_changes_with_retractions(
+    spark: SparkSession,
+    data_path: str,
+    ledger_path: str,
+    tombstones_path: str,
+    tombstone_ledger_path: str,
+    id_col: str,
+    state_root: str,
+    fold,
+    unfold,
+) -> tuple[int, int]:
+    """ERASURE PROPAGATION to a downstream materialization: the
+    :func:`consume_changes` pattern extended with a PAIR offset
+    ``(D, T)`` — the state published as ``state-<D>_<T>/`` is, by
+    invariant, the fold of every row in data generations ``<= D``
+    whose id is NOT dead in tombstone generations ``<= T``. One step
+    advances both offsets to the current heads ``(D', T')``:
+
+    - ``fold(add_delta, state)`` — the data feed ``(D, D']`` with the
+      committed tombstone mask applied (a doc both appended and
+      tombstoned inside the window never enters the state at all);
+    - ``unfold(retr_rows, state)`` — the RETRACTION: ids whose
+      tombstones committed in ``(T, T']``, joined against the
+      generations the state has already folded (``<= D``, via
+      :func:`read_store_asof`, so compaction semantics carry: history
+      collapsed past the consumer's offset raises instead of silently
+      retracting the wrong rows). This is the piece plain masking
+      cannot give a downstream system — a takedown arriving AFTER a
+      doc was consumed must UNDO its contribution, or the erasure
+      stops at the store and lives on in every derived table.
+
+    The two deltas touch disjoint generation ranges (adds are > D,
+    retractions <= D), so fold/unfold compose in either order; the
+    composed new state satisfies the invariant at ``(D', T')`` by the
+    set identity (gens<=D \\ dead<=T) + (gens(D,D'] \\ dead<=T')
+    - (dead(T,T'] ∩ gens<=D) = gens<=D' \\ dead<=T'. Atomic single-dir
+    publish, exactly-once under replay, crash leaves the previous
+    state serving — all inherited from the transactional-offset
+    pattern. Returns the new ``(D, T)``.
+
+    Scale shape: the add path is the feed's pure partition prune; the
+    retraction path joins the NEW dead ids (broadcast — takedown waves
+    are small) against only the already-consumed generations, one
+    bounded pass per wave rather than a full downstream recompute.
+    """
+    fs, jpath = _fs(spark, state_root)
+    d_head_committed = committed_batch_seqs(spark, ledger_path)
+    d_head = max(d_head_committed) if d_head_committed else -1
+    t_committed = committed_batch_seqs(spark, tombstone_ledger_path)
+    t_head = max(t_committed) if t_committed else -1
+    prev_d, prev_t = -1, -1
+    root_p = jpath(state_root)
+    if fs.exists(root_p):
+        for s in fs.listStatus(root_p):
+            n = s.getPath().getName()
+            if n.startswith("state-"):
+                d, t = (int(x) for x in n.split("-", 1)[1].split("_"))
+                if (d, t) > (prev_d, prev_t):
+                    prev_d, prev_t = d, t
+    if (d_head, t_head) <= (prev_d, prev_t):
+        return (prev_d, prev_t)  # caught up: replayed step is a no-op
+    state = (
+        spark.read.parquet(f"{state_root}/state-{prev_d}_{prev_t}")
+        if prev_d >= 0 or prev_t >= 0
+        else None
+    )
+    if d_head > prev_d:
+        add = read_store_changes(
+            spark,
+            data_path,
+            ledger_path,
+            after_seq=prev_d,
+            upto_seq=d_head,
+            tombstones_path=tombstones_path,
+            tombstone_ledger_path=tombstone_ledger_path,
+            id_col=id_col,
+        )
+        state = fold(add, state)
+    if t_head > prev_t and prev_d >= 0:
+        # ids NEWLY dead in (T, T']: deduped within the window AND
+        # against the generations already retracted (tombstone batches
+        # are set unions — a re-tombstoned id must not subtract twice)
+        new_dead = (
+            read_store_changes(
+                spark,
+                tombstones_path,
+                tombstone_ledger_path,
+                after_seq=prev_t,
+                upto_seq=t_head,
+            )
+            .select(id_col)
+            .distinct()
+        )
+        if prev_t >= 0:
+            old_dead = read_store_asof(
+                spark, tombstones_path, prev_t
+            ).select(id_col)
+            new_dead = new_dead.join(old_dead, id_col, "left_anti")
+        consumed = read_store_asof(spark, data_path, prev_d)
+        retr = consumed.join(F.broadcast(new_dead), id_col)
+        state = unfold(retr, state)
+    if state is None:
+        # tombstones committed before any data was ever consumed:
+        # nothing to retract from, nothing to publish — the T offset
+        # catches up naturally once the first data fold happens
+        return (prev_d, prev_t)
+    tmp = f"{state_root}/.state-{d_head}_{t_head}.inprogress"
+    state.write.mode("overwrite").parquet(tmp)
+    final = jpath(f"{state_root}/state-{d_head}_{t_head}")
+    if not fs.rename(jpath(tmp), final):
+        fs.delete(jpath(tmp), True)
+        raise IOError(
+            f"consumer state publish failed: could not rename {tmp} "
+            f"into place at {final}"
+        )
+    for s in fs.listStatus(root_p):
+        n = s.getPath().getName()
+        if not n.startswith("state-"):
+            continue
+        d, t = (int(x) for x in n.split("-", 1)[1].split("_"))
+        if (d, t) < (d_head, t_head):
+            fs.delete(s.getPath(), True)
+    return (d_head, t_head)
 
 
 def vacuum_store(

@@ -224,6 +224,7 @@ def main() -> int:
             "ann_ivf_trained_topk",
             "multimodal_decode",
             "cdf_incremental_consumer",
+            "cdf_consumer_erasure_propagation",
         )
         if n in QUERIES
     ]

@@ -984,3 +984,95 @@ def test_consume_changes_transactional_offset(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert state() == expected
+
+
+def test_retraction_consumer_full_shard_erasure_and_overlap(spark, tmp_path):
+    """consume_changes_with_retractions edge cases the fixture query
+    can't guarantee: a cell whose EVERY consumed doc dies reaches
+    exactly zero (signed arithmetic, not clamping), a re-tombstoned id
+    subtracts only once across waves, and a doc appended + tombstoned
+    inside one window never enters the state (mask) so its later
+    re-tombstone retracts nothing."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        append_tombstones,
+        consume_changes_with_retractions,
+        read_consumer_state,
+        tombstone_paths,
+    )
+
+    data, ledger = _store(tmp_path)
+    t_data, t_ledger = tombstone_paths(str(tmp_path / "store"))
+    state_root = str(tmp_path / "consumer")
+
+    def fold(delta, prev):
+        dagg = delta.groupBy("cell").agg(
+            F.count("*").alias("n"), F.sum("payload").alias("total")
+        )
+        if prev is None:
+            return dagg
+        return (
+            prev.unionByName(dagg)
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+
+    def unfold(retr, prev):
+        ragg = retr.groupBy("cell").agg(
+            (-F.count("*")).alias("n"), (-F.sum("payload")).alias("total")
+        )
+        return (
+            prev.unionByName(ragg)
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        )
+
+    def consume():
+        return consume_changes_with_retractions(
+            spark, data, ledger, t_data, t_ledger, "vid",
+            state_root, fold, unfold,
+        )
+
+    def state():
+        return {
+            r.cell: (r.n, r.total)
+            for r in read_consumer_state(spark, state_root).collect()
+        }
+
+    # batch 0: vids 0..7 -> cells 0..3 (vid % 4), two docs per cell
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 0, 8), 0, "cell", "vid"
+    )
+    assert consume() == (0, -1)
+
+    # wave 0 kills BOTH docs of cell 1 (vids 1, 5) after consumption:
+    # the cell's counts reach exactly zero
+    append_tombstones(
+        spark, t_data, t_ledger,
+        spark.createDataFrame([(1,), (5,)], "vid long"), 0, "vid",
+    )
+    assert consume() == (0, 0)
+    s = state()
+    assert s[1] == (0, 0)
+    assert s[0] == (2, 0 * 10 + 4 * 10)
+
+    # batch 1 appends vid 9 (cell 1); wave 1 re-kills vid 1 (already
+    # retracted — must not subtract twice) and kills vid 9 inside the
+    # same window (masked at fold — never enters, nothing to retract)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 8, 10), 1, "cell", "vid"
+    )
+    append_tombstones(
+        spark, t_data, t_ledger,
+        spark.createDataFrame([(1,), (9,)], "vid long"), 1, "vid",
+    )
+    assert consume() == (1, 1)
+    s = state()
+    # cell 1 stays exactly zero: vid 1 not double-subtracted, vid 9
+    # masked on the way in
+    assert s[1] == (0, 0)
+    # cell 0 gained vid 8 from batch 1
+    assert s[0] == (3, 4 * 10 + 8 * 10)
+    assert consume() == (1, 1)  # caught up: no-op

@@ -20,6 +20,7 @@ R15_HEAD = [
     "ann_ivf_trained_topk",
     "multimodal_decode",
     "cdf_incremental_consumer",
+    "cdf_consumer_erasure_propagation",
     # code changed in r15
     "stream_shard_store_delete",
     "shard_store_asof_erasure",
@@ -44,7 +45,7 @@ R11_VINTAGE = {
     "rest_ingest_dv3f", "rest_datasource_scan", "dbf_commune",
     "commune_enrichment", "model_layer_build", "embedding_quantize",
     "stratified_sample_exact", "customer_value_quartiles",
-    "duckdb_federated_scan", "duckdb_parquet_handoff", "dataset_split",
+    "duckdb_federated_scan", "duckdb_parquet_handoff",
 }
 
 
@@ -61,9 +62,9 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round15_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:13] == R15_HEAD
+    assert first50[:14] == R15_HEAD
     assert R11_VINTAGE <= set(first50)
-    assert len(R11_VINTAGE) == 37 and len(first50) == 50
+    assert len(R11_VINTAGE) == 36 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
