@@ -1118,3 +1118,39 @@ def test_tombstone_mask_broadcast_is_size_gated(spark, tmp_path):
     finally:
         maint.TOMBSTONE_BROADCAST_MAX_IDS = prev_gate
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_change_feed_delta_read_is_partition_pruned(spark, tmp_path):
+    """The CDF consumer's add path must stay a pure partition prune:
+    the delta read after a checkpoint plans a literal PartitionFilters
+    IN over exactly the NEW generations — never a scan of the consumed
+    history (the property that makes a caught-up consumer free and an
+    incremental one proportional to its delta)."""
+    from pyspark.sql import functions as F2
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        read_store_changes,
+    )
+
+    data = str(tmp_path / "data")
+    ledger = str(tmp_path / "ledger")
+    for seq, (lo, hi) in enumerate([(0, 30), (30, 50), (50, 70)]):
+        rows = spark.range(lo, hi).select(
+            F2.col("id").alias("vid"),
+            (F2.col("id") % 4).cast("int").alias("cell"),
+            (F2.col("id") * 10).alias("payload"),
+        )
+        append_store_batch(spark, data, ledger, rows, seq, "cell", "vid")
+
+    delta = read_store_changes(spark, data, ledger, after_seq=0)
+    plan = _formatted(delta)
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "batch_seq" in ln
+    ]
+    assert pf, "no partition filter on batch_seq in the delta read"
+    # generations 1 and 2 only — the consumed generation 0 is pruned
+    # at scan planning, not filtered per-row
+    assert " IN (1,2)" in pf[0].replace(" IN (1, 2)", " IN (1,2)"), pf[0]
