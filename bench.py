@@ -225,6 +225,8 @@ def main() -> int:
             "multimodal_decode",
             "cdf_incremental_consumer",
             "cdf_consumer_erasure_propagation",
+            "bpe_pair_counts",
+            "bpe_merge_step",
         )
         if n in QUERIES
     ]

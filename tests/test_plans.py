@@ -1154,3 +1154,18 @@ def test_change_feed_delta_read_is_partition_pruned(spark, tmp_path):
     # generations 1 and 2 only — the consumed generation 0 is pruned
     # at scan planning, not filtered per-row
     assert " IN (1,2)" in pf[0].replace(" IN (1, 2)", " IN (1,2)"), pf[0]
+
+
+def test_bpe_merge_step_is_native_fold_over_cached_vocab(spark, sf_dir):
+    """The BPE training iteration stays entirely JVM-side: the greedy
+    merge is a higher-order ``aggregate`` fold (no Python eval node of
+    any kind), the symbolized vocabulary is consumed from cache by
+    every branch (pick + merge), and the winning pair reaches the
+    merge as a broadcast 1-row relation, never a shuffle."""
+    df = entrymod.queries()["bpe_merge_step"](spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
