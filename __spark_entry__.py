@@ -69,28 +69,30 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-15 ordering: (1) the eight rows with ZERO driver
+# comes first. Round-15 ordering: (1) the nine rows with ZERO driver
 # evidence — the two r14 late additions deferred past that round's
-# window (the r14 verdict's #1 item) plus the six queries ADDED this
+# window (the r14 verdict's #1 item) plus the seven queries ADDED this
 # round (the trained-codebook IVF search, the real-container decode,
-# the two CDF consumers, and the two BPE tokenizer-training rows);
+# the two CDF consumers, and the three BPE tokenizer-training rows);
 # (2) the eight rows whose behavior-bearing code changed in
 # r15 — the streaming takedown drain (epoch sequences now allocated at
 # drain time), the erasure/compaction family (the compactor now keeps
 # the tombstone mask when a rescue moves unmasked rows), and the two
 # multimodal rows rerouted through the real netpbm decode chain;
-# (3) the 34 stalest rows — r11-vintage evidence, in their r11 check
-# order (the 14 r11 rows that don't fit this window lead r16's tail:
-# duckdb_federated_scan, duckdb_parquet_handoff, dataset_split,
-# bigram_counts, events_hypertable_rollup, events_value_interpolate,
+# (3) the 33 stalest rows — r11-vintage evidence, in their r11 check
+# order (the 15 r11 rows that don't fit this window lead r16's tail:
+# customer_value_quartiles, duckdb_federated_scan,
+# duckdb_parquet_handoff, dataset_split, bigram_counts,
+# events_hypertable_rollup, events_value_interpolate,
 # top_terms_per_doc, vocab_encode, text_stats, lang_confusion,
 # orders_rolling_revenue, orders_monthly_gapfill, nation_revenue_share,
 # nation_revenue_pareto).
-# 8 + 8 + 34 = 50 fills the window exactly.
+# 9 + 8 + 33 = 50 fills the window exactly.
 _CHECK_FIRST = [
     # (1) zero driver evidence
     "bpe_pair_counts",
     "bpe_merge_step",
+    "bpe_two_merge_steps",
     "shard_store_changes",
     "shard_store_ledger_checkpoint",
     "ann_ivf_trained_topk",
@@ -106,7 +108,7 @@ _CHECK_FIRST = [
     "ivf_store_delete",
     "ivfpq_store_delete",
     "neardup_store_delete",
-    # (3) the 34 stalest rows (r11-vintage), in their r11 check order
+    # (3) the 33 stalest rows (r11-vintage), in their r11 check order
     "orders_by_month",
     "categories",
     "orders_by_category",
@@ -140,7 +142,6 @@ _CHECK_FIRST = [
     "model_layer_build",
     "embedding_quantize",
     "stratified_sample_exact",
-    "customer_value_quartiles",
 ]
 
 

@@ -76,16 +76,25 @@ def symbolize(wc: DataFrame) -> DataFrame:
     return wc.withColumn("syms", F.split("word", ""))
 
 
-def pair_counts(sym_df: DataFrame) -> DataFrame:
+def pair_counts(sym_df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Weighted adjacent-pair counts over ``(word, wn, syms)``.
 
     ``zip_with(syms[:-1], syms[1:])`` forms the adjacent pairs without
     a posexplode+self-join; the only shuffle is the final
     ``groupBy(a, b)`` whose key space is |symbol-vocab|² bounded —
     in practice a few million rows regardless of corpus size.
+
+    ``carry`` names constant annotation columns (e.g. the cross-joined
+    winning pair of the merge that produced ``sym_df``) to thread
+    through the aggregation as extra group keys. Constant keys cost
+    nothing, and carrying them beats re-deriving the annotation with a
+    post-hoc broadcast join whose build side re-runs the whole
+    upstream aggregation (measured 7.6 s → 4.4 s on the chained
+    two-merge query at sf0.1).
     """
     n = F.size("syms")
     pairs = sym_df.select(
+        *carry,
         "wn",
         F.explode(
             F.zip_with(
@@ -96,7 +105,9 @@ def pair_counts(sym_df: DataFrame) -> DataFrame:
         ).alias("p"),
     )
     return (
-        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        pairs.groupBy(
+            *carry, F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        )
         .agg(F.sum("wn").alias("n"))
         .withColumn("pair", F.concat_ws(" ", "a", "b"))
     )

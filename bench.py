@@ -227,6 +227,7 @@ def main() -> int:
             "cdf_consumer_erasure_propagation",
             "bpe_pair_counts",
             "bpe_merge_step",
+            "bpe_two_merge_steps",
         )
         if n in QUERIES
     ]

@@ -3,21 +3,22 @@ every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
 the round-15 window composition — the round's deliverable — must hold:
-the eight zero-evidence rows lead (the two r14 late additions the r14
-verdict flagged, plus the six r15 additions — trained-IVF search,
-container decode, the CDF consumer pair, the BPE trainer pair), then
+the nine zero-evidence rows lead (the two r14 late additions the r14
+verdict flagged, plus the seven r15 additions — trained-IVF search,
+container decode, the CDF consumer pair, the BPE trainer trio), then
 the eight rows whose behavior-bearing code changed in r15 (the
 drain-time epoch allocation, the compactor's mask-preserving rescue,
-the real decode chain), then the 34 stalest (r11-vintage) rows in
+the real decode chain), then the 33 stalest (r11-vintage) rows in
 their r11 check order."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
 R15_HEAD = [
-    # zero driver evidence (r14 verdict item 1 + the six r15 additions)
+    # zero driver evidence (r14 verdict item 1 + the seven r15 additions)
     "bpe_pair_counts",
     "bpe_merge_step",
+    "bpe_two_merge_steps",
     "shard_store_changes",
     "shard_store_ledger_checkpoint",
     "ann_ivf_trained_topk",
@@ -47,7 +48,7 @@ R11_VINTAGE = {
     "quality_gates", "lang_length_zscores", "zorder_pruned_scan",
     "rest_ingest_dv3f", "rest_datasource_scan", "dbf_commune",
     "commune_enrichment", "model_layer_build", "embedding_quantize",
-    "stratified_sample_exact", "customer_value_quartiles",
+    "stratified_sample_exact",
 }
 
 
@@ -64,9 +65,9 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
 
 def test_round15_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:16] == R15_HEAD
+    assert first50[:17] == R15_HEAD
     assert R11_VINTAGE <= set(first50)
-    assert len(R11_VINTAGE) == 34 and len(first50) == 50
+    assert len(R11_VINTAGE) == 33 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
