@@ -325,7 +325,7 @@ def bpe_two_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both winning pairs ride through the final recount as constant
     # group keys (sym1 kept round 1's, the t2 join added round 2's) —
     # two post-hoc broadcast joins here would re-run both pick
-    # aggregations as build sides (measured: 7.6 s vs 4.4 s at sf0.1)
+    # aggregations as build sides (measured: 7.6 s vs 2.1 s at sf0.1)
     return (
         pair_counts(sym2, carry=("_m1a", "_m1b", "_m2a", "_m2b"))
         .select(

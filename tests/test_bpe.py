@@ -137,3 +137,39 @@ def test_train_bpe_matches_reference_on_documents(spark, sf_dir):
 def test_train_bpe_stops_when_no_pairs_remain(spark):
     # single-char words only: zero adjacent pairs, trainer returns []
     assert train_bpe(_docs(spark, ["a b c a"]), 4) == []
+
+
+def test_encode_with_merges_equals_training_replay(spark):
+    from automate_data_ingestion_project_spark.textops.bpe import (
+        encode_with_merges,
+    )
+
+    texts = EDGE_TEXTS + ["banana band x"]
+    merges = _ref_train(texts, 6)
+
+    def replay_word(w):
+        syms = tuple(w)
+        for a, b, _n in merges:
+            syms = _ref_merge_word(syms, a, b)
+        return list(syms)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in encode_with_merges(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [s for w in t.split(" ") if w for s in replay_word(w)]
+        assert got[i] == (len(expect), expect), (i, t)
+
+
+def test_encode_with_empty_merge_list_is_char_split(spark):
+    from automate_data_ingestion_project_spark.textops.bpe import (
+        encode_with_merges,
+    )
+
+    docs = spark.createDataFrame([(0, "ab c")], "doc_id long, text string")
+    row = encode_with_merges(docs, []).collect()[0]
+    assert row["tokens"] == ["a", "b", "c"] and row["n_tokens"] == 3
