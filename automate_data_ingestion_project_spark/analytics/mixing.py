@@ -587,12 +587,20 @@ def append_token_shard_batch(
     )
     for s in leftovers or []:
         fs.delete(s.getPath(), True)
-    if docs.isEmpty():
-        # an empty batch (crawl gap, zero-row input file) is a valid
-        # epoch: commit its (batch_seq, 0, 0) ledger row so the ordered
-        # batch_seq contract holds and a replay is a no-op, but write no
-        # shard files — an empty partitionBy write would leave a
-        # schema-less shards/ dir that poisons every later read-back
+    from ..io.maintenance import store_exists
+
+    # The empty-batch guard (crawl gap, zero-row input file) protects
+    # against a zero-row partitionBy write leaving a schema-less
+    # shards/ dir that poisons every later read-back — which can only
+    # happen on an ABSENT store. On an existing store an empty write
+    # adds no files and the leaf read-back below commits the correct
+    # (batch_seq, 0, 0) row, so the isEmpty probe (a full computation
+    # of the batch input that the write then recomputes) is paid only
+    # for the store's first batch (r16; it used to run per append).
+    if not store_exists(spark, shards_path) and docs.isEmpty():
+        # valid epoch: commit its (batch_seq, 0, 0) ledger row so the
+        # ordered batch_seq contract holds and a replay is a no-op,
+        # but write no shard files
         append_ledger_row(
             spark, ledger_path, batch_seq, {"n_docs": 0, "n_tokens": 0}
         )
@@ -616,24 +624,40 @@ def append_token_shard_batch(
     # FileStatusCache entries before the read-back
     spark.catalog.refreshByPath(shards_path)
     # ledger stats come from the WRITTEN files (read-back proves the
-    # materialization); the batch_seq filter prunes to this batch's
-    # partition leaves only
-    written = (
-        spark.read.parquet(shards_path)
-        .filter(F.col("batch_seq") == batch_seq)
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+    # materialization). The read targets this batch's own partition
+    # leaves BY PATH (r16; was a whole-store scan pruned by filter):
+    # same files, same numbers, but the listing is O(this batch), not
+    # O(store) — at 10k epochs the store-wide partition discovery per
+    # append was the dominant metadata cost
+    leaves = [
+        s.getPath().toString()
+        for s in (
+            fs.globStatus(
+                jpath(f"{shards_path}/shard_id=*/batch_seq={batch_seq}")
+            )
+            or []
         )
-        .first()
-    )
+    ]
+    if leaves:
+        written = (
+            spark.read.option("basePath", shards_path)
+            .parquet(*leaves)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            )
+            .first()
+        )
+        n_docs, n_tokens = written.n_docs, written.n_tokens
+    else:  # empty batch on an existing store: the write added no files
+        n_docs, n_tokens = 0, 0
     # commit marker LAST: a ledger row implies the batch's files are
     # all in place (see the durability protocol above)
     append_ledger_row(
         spark,
         ledger_path,
         batch_seq,
-        {"n_docs": written.n_docs, "n_tokens": written.n_tokens},
+        {"n_docs": n_docs, "n_tokens": n_tokens},
     )
 
 

@@ -99,6 +99,67 @@ def store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath(path)))
 
 
+def _footer_row_counts(spark: SparkSession, fs, statuses) -> int:
+    """Sum of ``num_rows`` over the given parquet FileStatus list, read
+    DRIVER-SIDE from the files' footers — two seeks + a footer-sized
+    read per file through Hadoop streams, never the data pages, so the
+    cost is O(#files) metadata IO on any Hadoop filesystem. This is
+    what lets the append protocols record their exact written-row
+    counts without a read-back Spark job per commit (the job was pure
+    fixed cost locally and an O(batch) rescan at scale; the footer is
+    the same source of truth the scan's count would use).
+
+    The footer bytes are parsed by stitching a minimal standalone
+    parquet file (magic + footer + length + magic) for pyarrow —
+    ``FileMetaData.num_rows`` lives entirely in the footer, so the
+    absent data pages are never dereferenced.
+
+    Local (``file:``) paths skip the Hadoop-stream hop and read the
+    footer with pyarrow directly — a py4j round-trip pair per file is
+    ~10 ms and a store can hold hundreds of leaf files (measured: the
+    per-cell IVF appends regressed 1.7× when every footer went through
+    the gateway). Non-local schemes read through Hadoop streams on a
+    small thread pool — the seeks are independent, and on an object
+    store the latency (not bandwidth) dominates."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    local, remote = [], []
+    for status in statuses:
+        if status.getLen() < 12:  # not parquet (magic+footer impossible)
+            continue
+        uri = status.getPath().toUri()
+        if uri.getScheme() in (None, "file"):
+            local.append(uri.getPath())
+        else:
+            remote.append(status)
+    total = 0
+    for path in local:
+        total += papq.read_metadata(path).num_rows
+
+    def _remote_rows(status) -> int:
+        util = spark._jvm.org.apache.commons.io.IOUtils
+        length = status.getLen()
+        stream = fs.open(status.getPath())
+        try:
+            stream.seek(length - 8)
+            tail = bytes(util.toByteArray(stream, 8))
+            flen = int.from_bytes(tail[:4], "little")
+            stream.seek(length - 8 - flen)
+            footer = bytes(util.toByteArray(stream, flen))
+        finally:
+            stream.close()
+        buf = b"PAR1" + footer + tail
+        return papq.read_metadata(pa.BufferReader(buf)).num_rows
+
+    if remote:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(remote))) as pool:
+            total += sum(pool.map(_remote_rows, remote))
+    return total
+
+
 _LEDGER_CHECKPOINT_PREFIX = "_ledger_checkpoint-"
 
 
@@ -600,21 +661,31 @@ def compact_store_tree(
         F.col("batch_seq").isin(sorted(observed))
     )
     prior_wm = _read_watermark(spark, live_path)
+    # Store-shape stats DRIVER-SIDE (r16; was one agg job): the
+    # generation set is exactly the observed partition leaves, so the
     # head of the REAL generations (the compacted -1 generation's
     # position in history is the watermark, not its partition value)
-    stats = df.agg(
-        F.max(F.when(F.col("batch_seq") >= 0, F.col("batch_seq"))).alias(
-            "head"
-        ),
-        F.count("*").alias("n_live"),
-        F.count(
-            F.when(F.col("batch_seq") == COMPACTED_BATCH_SEQ, 1)
-        ).alias("n_compacted"),
-    ).first()
-    if stats.n_live == 0:
+    # and compacted-generation presence come from the glob, and the
+    # live row count comes from the parquet footers of the leaves'
+    # files — the same numbers the scan's aggregate produced, no job.
+    real = [s for s in observed if s >= 0]
+    head = max(real) if real else None
+    by_seq: dict[int, list] = {}
+    for s in fs.globStatus(jpath(f"{live_path}/*/batch_seq=*/*")) or []:
+        if not s.getPath().getName().endswith(".parquet"):
+            continue
+        seq = int(s.getPath().getParent().getName().split("=", 1)[1])
+        if seq in observed:
+            by_seq.setdefault(seq, []).append(s)
+    seq_rows = {
+        seq: _footer_row_counts(spark, fs, ss)
+        for seq, ss in by_seq.items()
+    }
+    n_live = sum(seq_rows.values())
+    n_compacted = seq_rows.get(COMPACTED_BATCH_SEQ, 0)
+    if n_live == 0:
         return 0
-    head = stats.head
-    if upto_seq is not None and prior_wm is None and stats.n_compacted > 0:
+    if upto_seq is not None and prior_wm is None and n_compacted > 0:
         # LEGACY store (compacted before watermarks existed): its -1
         # generation may already hold generations folded ABOVE upto_seq,
         # so writing watermark=upto_seq would let read_store_asof serve
@@ -654,7 +725,13 @@ def compact_store_tree(
         watermark = max(
             int(upto_seq), prior_wm if prior_wm is not None else -1
         )
-    n = folded.count()
+    # the fold only relabels batch_seq, so without a tombstone mask the
+    # folded row count IS the live count already known from the footers
+    # — the count() job is only paid when a mask actually filters (r16)
+    masked = tombstones_path is not None and store_exists(
+        spark, tombstones_path
+    )
+    n = folded.count() if masked else n_live
     if n == 0:
         if tombstones_path is not None and store_exists(
             spark, tombstones_path
@@ -1247,11 +1324,13 @@ def compact_flat_tree(
     if not fs.exists(live):
         return 0
     total = 0
+    files = []
     it = fs.listFiles(live, True)
     while it.hasNext():
         f = it.next()
         if f.getPath().getName().endswith(".parquet"):
             total += f.getLen()
+            files.append(f)
     if total == 0:
         return 0
     df = spark.read.parquet(live_path)
@@ -1263,7 +1342,10 @@ def compact_flat_tree(
             raise ValueError(
                 "tombstones_path requires tombstone_ledger_path and id_col"
             )
-        n_before = max(df.count(), 1)
+        # pre-mask row count from the parquet footers of the files just
+        # listed for sizing (r16) — the old full-scan count() job told
+        # us nothing the footers don't
+        n_before = max(_footer_row_counts(spark, fs, files), 1)
         df = _apply_tombstone_mask(
             spark, df, tombstones_path, tombstone_ledger_path, id_col
         )
@@ -1342,7 +1424,14 @@ def append_store_batch(
     )
     for s in leftovers or []:
         fs.delete(s.getPath(), True)
-    if rows.isEmpty():
+    # The empty-batch guard exists because a zero-row dynamic-partition
+    # write into an ABSENT store leaves a schema-less tree. On an
+    # existing store an empty write adds no files and the footer
+    # read-back below commits the correct 0-count row — so the isEmpty
+    # probe (which computes the whole batch derivation once, only for
+    # the write to recompute it) is paid ONLY for the store's first
+    # batch (r16; it used to run on every append).
+    if not store_exists(spark, data_path) and rows.isEmpty():
         append_ledger_row(spark, ledger_path, batch_seq, {count_col: 0})
         return
     (
@@ -1354,13 +1443,24 @@ def append_store_batch(
         .parquet(data_path)
     )
     # the self-heal delete bypassed Spark's write path — invalidate any
-    # stale FileStatusCache entries before the read-back
+    # stale FileStatusCache entries before later reads
     spark.catalog.refreshByPath(data_path)
-    n = (
-        spark.read.parquet(data_path)
-        .filter(F.col("batch_seq") == batch_seq)
-        .count()
-    )
+    # ledger count from the WRITTEN files' parquet footers, driver-side
+    # (r16): exactly what the old whole-store-scan-plus-filter read-back
+    # job counted, without a Spark job per append — and O(this batch's
+    # files), not O(store listing), at scale. ONE multi-level glob
+    # lists every leaf file of this batch in a single round trip.
+    statuses = [
+        s
+        for s in (
+            fs.globStatus(
+                jpath(f"{data_path}/{key_col}=*/batch_seq={batch_seq}/*")
+            )
+            or []
+        )
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    n = _footer_row_counts(spark, fs, statuses)
     append_ledger_row(spark, ledger_path, batch_seq, {count_col: n})
 
 
@@ -1425,10 +1525,23 @@ def append_tombstones(
         .parquet(tombstones_path)
     )
     spark.catalog.refreshByPath(tombstones_path)
-    n = (
-        spark.read.parquet(tombstones_path)
-        .filter(F.col("batch_seq") == batch_seq)
-        .count()
+    # ledger stats from the WRITTEN files' parquet footers, driver-side
+    # (r16): the exact count the old read-back job produced, without a
+    # Spark job per tombstone commit — only this batch's own leaf is
+    # touched, metadata-only (see _footer_row_counts)
+    n = _footer_row_counts(
+        spark,
+        fs,
+        [
+            s
+            for s in (
+                fs.globStatus(
+                    jpath(f"{tombstones_path}/batch_seq={batch_seq}/*")
+                )
+                or []
+            )
+            if s.getPath().getName().endswith(".parquet")
+        ],
     )
     append_ledger_row(spark, tombstone_ledger_path, batch_seq, {"n_ids": n})
 
@@ -1449,11 +1562,18 @@ def compact_bucketed_table(
     compacted table still joins exchange-free on ``bucket_col``.
 
     The staging hop exists because Spark refuses to overwrite a table
-    it is reading from; it also means the data is written twice — fine
-    for a maintenance window, and the honest local stand-in for what a
-    production deployment does with one metadata swap (Delta/Iceberg
-    ``REPLACE TABLE`` / ``rewrite_data_files``, the documented seam for
-    every catalog-table mutation in this repo).
+    it is reading from. The staging table is then swapped in by a
+    catalog RENAME (r16; it was previously COPIED back with a second
+    bucketed write — the data was written twice for one rewrite):
+    ``ALTER TABLE .. RENAME`` moves the managed table's directory and
+    keeps its bucket spec, so the compacted table still joins
+    exchange-free, for half the write cost. The drop→rename pair is
+    the one non-atomic instant (same exposure the swap-based tree
+    compactions accept at their two renames); a crash between them
+    leaves the full data intact under the staging name — the honest
+    local stand-in for a production deployment's one-metadata-swap
+    (Delta/Iceberg ``REPLACE TABLE`` / ``rewrite_data_files``, the
+    documented seam for every catalog-table mutation in this repo).
     """
     from .sink import write_bucketed_table
 
@@ -1469,8 +1589,5 @@ def compact_bucketed_table(
     write_bucketed_table(
         src, staging, bucket_col, n_buckets, sort_col=sort_col
     )
-    write_bucketed_table(
-        spark.table(staging), table, bucket_col, n_buckets,
-        sort_col=sort_col, mode="overwrite",
-    )
-    spark.sql(f"DROP TABLE {staging}")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -274,7 +274,15 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     if target_rows_per_file is not None:
-        n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+        import pyarrow.parquet as papq
+
+        rows = sum(
+            papq.read_metadata(os.path.join(dp, f)).num_rows
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(rows / target_rows_per_file))
     else:
         total = sum(
             os.path.getsize(os.path.join(dp, f))

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..io.sink import write_bucketed_table
 from ..operators.caching import tracked_persist
+from ..operators.concurrency import run_concurrently
 from .dedup import (
     lsh_band_keys,
     minhash_signatures_rows,
@@ -484,7 +485,12 @@ class NearDupIndex:
                 .join(F.broadcast(accepted), "doc_id", "left_semi")
                 .distinct()
             )
-            new_ids = accepted.join(already, "doc_id", "left_anti")
+            # materialize the (batch-bounded) novel-id set ONCE: it
+            # feeds the broadcast build of all three appends below, and
+            # an unmaterialized plan would rescan the roster per append
+            new_ids = accepted.join(already, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
             new_rows = rows.join(F.broadcast(new_ids), "doc_id", "left_semi")
             new_bands = bands.join(
                 F.broadcast(new_ids), "doc_id", "left_semi"
@@ -537,22 +543,34 @@ class NearDupIndex:
         # verify uses ``array_intersect``/``array_union`` set-ops
         # (duplicate-insensitive). Same failure mode the legacy
         # band-seeded guard had.
-        new_rows.write.mode("append").parquet(self.rows_path)
-        if self.bands_table:
-            # append preserves the bucket spec (Spark validates it
-            # against the existing table) — new rows hash into the same
-            # band_key buckets, so probes stay exchange-free after any
-            # number of ingests
-            write_bucketed_table(
-                new_bands,
-                self.bands_table,
-                "band_key",
-                self.bucket_bands,
-                sort_col="band_key",
-                mode="append",
-            )
-        else:
-            new_bands.write.mode("append").parquet(self.bands_path)
+        #
+        # The rows and bands appends are mutually independent (only
+        # the roster orders after BOTH), so they run as concurrent
+        # jobs from two driver threads — each job's tail backfills the
+        # other's idle cores, locally and on a cluster alike. If either
+        # fails the roster is never written, which is exactly the
+        # crash-mid-append state the contract already tolerates.
+        def _write_rows() -> None:
+            new_rows.write.mode("append").parquet(self.rows_path)
+
+        def _write_bands() -> None:
+            if self.bands_table:
+                # append preserves the bucket spec (Spark validates it
+                # against the existing table) — new rows hash into the
+                # same band_key buckets, so probes stay exchange-free
+                # after any number of ingests
+                write_bucketed_table(
+                    new_bands,
+                    self.bands_table,
+                    "band_key",
+                    self.bucket_bands,
+                    sort_col="band_key",
+                    mode="append",
+                )
+            else:
+                new_bands.write.mode("append").parquet(self.bands_path)
+
+        run_concurrently(_write_rows, _write_bands)
         if new_hashes is not None:
             new_hashes.write.mode("append").parquet(self.hashes_path)
 
@@ -600,26 +618,36 @@ class NearDupIndex:
         compact_flat_tree(
             self.spark, self.hashes_path, ["doc_id"], target_bytes, **mask
         )
-        compact_flat_tree(
-            self.spark, self.rows_path, ["doc_id"], target_bytes, **mask
-        )
-        if self.bands_table:
-            compact_bucketed_table(
-                self.spark,
-                self.bands_table,
-                "band_key",
-                self.bucket_bands,
-                sort_col="band_key",
-                **mask,
-            )
-        else:
+
+        # the rows and bands rewrites touch disjoint trees and only
+        # needed to order AFTER the roster (see the ordering note
+        # above) — run them as concurrent jobs so each rewrite's task
+        # tail backfills the other's idle cores
+        def _compact_rows() -> None:
             compact_flat_tree(
-                self.spark,
-                self.bands_path,
-                ["band_key", "doc_id"],
-                target_bytes,
-                **mask,
+                self.spark, self.rows_path, ["doc_id"], target_bytes, **mask
             )
+
+        def _compact_bands() -> None:
+            if self.bands_table:
+                compact_bucketed_table(
+                    self.spark,
+                    self.bands_table,
+                    "band_key",
+                    self.bucket_bands,
+                    sort_col="band_key",
+                    **mask,
+                )
+            else:
+                compact_flat_tree(
+                    self.spark,
+                    self.bands_path,
+                    ["band_key", "doc_id"],
+                    target_bytes,
+                    **mask,
+                )
+
+        run_concurrently(_compact_rows, _compact_bands)
         if store_exists(self.spark, self.tombstones_path):
             # erasure completed across all three trees — drop the mask
             # files; the tombstone LEDGER survives so a replayed
