@@ -639,16 +639,42 @@ def append_token_shard_batch(
         )
     ]
     if leaves:
-        written = (
-            spark.read.option("basePath", shards_path)
-            .parquet(*leaves)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        # driver-side read-back of the written files when they are
+        # local and batch-sized (r16; io.maintenance.footer_column_sum:
+        # row counts from the footers, ONE column's pages for the token
+        # sum) — no Spark job per commit. A large or remote batch falls
+        # back to the distributed read-back below; both read the same
+        # written files.
+        from ..io.maintenance import footer_column_sum
+
+        leaf_files = [
+            s
+            for s in (
+                fs.globStatus(
+                    jpath(
+                        f"{shards_path}/shard_id=*/batch_seq={batch_seq}/*"
+                    )
+                )
+                or []
             )
-            .first()
-        )
-        n_docs, n_tokens = written.n_docs, written.n_tokens
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        stats = footer_column_sum(spark, fs, leaf_files, "n_tokens")
+        if stats is not None:
+            n_docs, n_tokens = stats
+        else:
+            written = (
+                spark.read.option("basePath", shards_path)
+                .parquet(*leaves)
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.coalesce(F.sum("n_tokens"), F.lit(0)).alias(
+                        "n_tokens"
+                    ),
+                )
+                .first()
+            )
+            n_docs, n_tokens = written.n_docs, written.n_tokens
     else:  # empty batch on an existing store: the write added no files
         n_docs, n_tokens = 0, 0
     # commit marker LAST: a ledger row implies the batch's files are
@@ -1422,31 +1448,45 @@ def shard_store_asof_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-sized — same honest pin as shard_store_delete)
         return spark.createDataFrame(out.collect(), out.schema)
 
-    masked = stats(
-        read_store_asof(
-            spark,
-            shards_path,
-            0,
-            ledger_path=ledger_path,
-            tombstones_path=t_data,
-            tombstone_ledger_path=t_ledger,
-            id_col="doc_id",
-        ),
-        "asof_masked",
-    )
-    audit = stats(
-        read_store_asof(
-            spark,
-            shards_path,
-            0,
-            ledger_path=ledger_path,
-            tombstones_path=t_data,
-            tombstone_ledger_path=t_ledger,
-            id_col="doc_id",
-            include_erased=True,
-        ),
-        "asof_audit",
-    )
+    # the masked and audit phases read the SAME pre-compaction store and
+    # are mutually independent — run their collects as concurrent driver
+    # jobs (guide §2.6) so each small job's task tail backfills the
+    # other's idle cores instead of serializing two fixed job costs
+    from ..operators.concurrency import run_concurrently
+
+    phase_stats: dict[str, DataFrame] = {}
+
+    def _masked() -> None:
+        phase_stats["masked"] = stats(
+            read_store_asof(
+                spark,
+                shards_path,
+                0,
+                ledger_path=ledger_path,
+                tombstones_path=t_data,
+                tombstone_ledger_path=t_ledger,
+                id_col="doc_id",
+            ),
+            "asof_masked",
+        )
+
+    def _audit() -> None:
+        phase_stats["audit"] = stats(
+            read_store_asof(
+                spark,
+                shards_path,
+                0,
+                ledger_path=ledger_path,
+                tombstones_path=t_data,
+                tombstone_ledger_path=t_ledger,
+                id_col="doc_id",
+                include_erased=True,
+            ),
+            "asof_audit",
+        )
+
+    run_concurrently(_masked, _audit)
+    masked, audit = phase_stats["masked"], phase_stats["audit"]
     compact_store_tree(
         spark,
         shards_path,

@@ -99,6 +99,35 @@ def store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath(path)))
 
 
+def invalidate_swapped_path(spark: SparkSession, path: str) -> None:
+    """Invalidate Spark state over a path whose files were just swapped
+    or deleted OUTSIDE Spark's write path (the compaction renames, the
+    erasure deletes). ``catalog.refreshByPath`` recaches CACHED plans
+    under the path but does NOT touch the session's shared file-status
+    listing cache; sequential flows were covered incidentally (the
+    next Spark write command's own index refresh drops the listing
+    cache before any reader plans against the swapped tree), but with
+    compactions running as CONCURRENT driver threads that ordering is
+    no longer guaranteed. Dropping the listing cache here makes the
+    listing half of post-swap invalidation deterministic; the cost is
+    a fresh listing on next read, which a maintenance op pays anyway.
+
+    NOTE this does not protect a PERSISTED plan whose fragment spans
+    the swapped tree: refreshByPath rebuilds such a cache entry
+    against the displaced listing, and any later matching plan is
+    substituted with it (reads deleted files). Protocol steps must
+    scope their persists to the step that materializes them —
+    ``operators.caching.persist_scope`` — rather than leave them live
+    across a mutation."""
+    spark.catalog.refreshByPath(path)
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    except Exception:
+        # listing cache not reachable on this runtime — refreshByPath
+        # plus the write path's own invalidation is the best available
+        pass
+
+
 def _footer_row_counts(spark: SparkSession, fs, statuses) -> int:
     """Sum of ``num_rows`` over the given parquet FileStatus list, read
     DRIVER-SIDE from the files' footers — two seeks + a footer-sized
@@ -158,6 +187,53 @@ def _footer_row_counts(spark: SparkSession, fs, statuses) -> int:
         with ThreadPoolExecutor(max_workers=min(8, len(remote))) as pool:
             total += sum(pool.map(_remote_rows, remote))
     return total
+
+
+def footer_column_sum(
+    spark: SparkSession,
+    fs,
+    statuses,
+    column: str,
+    max_bytes: int = 256 << 20,
+) -> tuple[int, int] | None:
+    """(total_rows, sum(column)) over the given parquet files, read
+    DRIVER-SIDE — or ``None`` when the driver should not do it (any
+    non-local file, or total file bytes above ``max_bytes``), in which
+    case the caller runs its normal distributed read-back.
+
+    Row counts come from the footers alone; the column sum reads
+    exactly ONE column's pages via pyarrow (for the token-shard ledger
+    that is the int64 ``n_tokens`` column — a sliver of file bytes next
+    to the text payload). This removes the per-append read-back Spark
+    job (~fixed job cost per commit) for the overwhelmingly common
+    small-batch append, while a genuinely large batch — where a
+    driver-side read would be the bottleneck, not the job overhead —
+    keeps the distributed read-back. The written FILES remain the
+    source of truth either way (the read-back proves the
+    materialization, not the plan)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    paths = []
+    total_len = 0
+    for status in statuses:
+        uri = status.getPath().toUri()
+        if uri.getScheme() not in (None, "file"):
+            return None
+        total_len += status.getLen()
+        paths.append(uri.getPath())
+    if total_len > max_bytes:
+        return None
+    n_rows, col_sum = 0, 0
+    for path in paths:
+        pf = papq.ParquetFile(path)
+        n_rows += pf.metadata.num_rows
+        if pf.metadata.num_rows == 0:
+            continue
+        tbl = pf.read(columns=[column])
+        s = pc.sum(tbl.column(0)).as_py()
+        col_sum += int(s or 0)
+    return n_rows, col_sum
 
 
 _LEDGER_CHECKPOINT_PREFIX = "_ledger_checkpoint-"
@@ -642,7 +718,7 @@ def compact_store_tree(
                 )
         if missed:
             # the rescue renamed outside Spark's write path
-            spark.catalog.refreshByPath(live_path)
+            invalidate_swapped_path(spark, live_path)
     _swap_recovery(fs, live, old, tmp)
 
     if not fs.exists(live):
@@ -726,13 +802,38 @@ def compact_store_tree(
             int(upto_seq), prior_wm if prior_wm is not None else -1
         )
     # the fold only relabels batch_seq, so without a tombstone mask the
-    # folded row count IS the live count already known from the footers
-    # — the count() job is only paid when a mask actually filters (r16)
+    # folded row count IS the live count already known from the footers.
+    # With a mask, the rewrite is written FIRST and the surviving row
+    # count read back from the written files' parquet footers (r16) —
+    # the rewrite job is the only pass over the data, where the old
+    # flow paid a full masked count() before it; full erasure shows up
+    # as zero rows written and the temp tree is discarded.
     masked = tombstones_path is not None and store_exists(
         spark, tombstones_path
     )
-    n = folded.count() if masked else n_live
+    if masked:
+        (
+            folded.repartition(key_col, "batch_seq")
+            .sortWithinPartitions(key_col, sort_col)
+            .write.mode("overwrite")
+            .partitionBy(key_col, "batch_seq")
+            .parquet(live_path + ".compact")
+        )
+        written = [
+            s
+            for s in (
+                fs.globStatus(
+                    jpath(f"{live_path}.compact/*/batch_seq=*/*")
+                )
+                or []
+            )
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        n = _footer_row_counts(spark, fs, written)
+    else:
+        n = n_live
     if n == 0:
+        fs.delete(tmp, True)  # the zero-row rewrite, if one was written
         if tombstones_path is not None and store_exists(
             spark, tombstones_path
         ):
@@ -756,20 +857,21 @@ def compact_store_tree(
                 # erasure physically complete for everything observed,
                 # and nothing unmasked survives — drop the mask bytes
                 fs.delete(jpath(tombstones_path), True)
-                spark.catalog.refreshByPath(tombstones_path)
+                invalidate_swapped_path(spark, tombstones_path)
             # else: a post-pin generation survived and was never run
             # through this mask decision — the tombstone files must
             # stay so the logical mask keeps covering it until the
             # next full collapse applies it physically
-            spark.catalog.refreshByPath(live_path)
+            invalidate_swapped_path(spark, live_path)
         return 0
-    (
-        folded.repartition(key_col, "batch_seq")
-        .sortWithinPartitions(key_col, sort_col)
-        .write.mode("overwrite")
-        .partitionBy(key_col, "batch_seq")
-        .parquet(live_path + ".compact")
-    )
+    if not masked:
+        (
+            folded.repartition(key_col, "batch_seq")
+            .sortWithinPartitions(key_col, sort_col)
+            .write.mode("overwrite")
+            .partitionBy(key_col, "batch_seq")
+            .parquet(live_path + ".compact")
+        )
     if watermark is not None:
         _write_watermark(spark, live_path + ".compact", watermark)
 
@@ -823,14 +925,14 @@ def compact_store_tree(
             # violated). Keep the mask in force — logical deletion
             # still holds via read_committed — and let the NEXT full
             # collapse (no race) complete the erasure physically.
-            spark.catalog.refreshByPath(live_path)
+            invalidate_swapped_path(spark, live_path)
             return n
         # erasure completed: the rewrite dropped the bytes; the
         # tombstone LEDGER survives so replayed tombstone batches no-op
         fs.delete(jpath(tombstones_path), True)
-        spark.catalog.refreshByPath(tombstones_path)
+        invalidate_swapped_path(spark, tombstones_path)
     # the swap bypassed Spark's write path for the live location
-    spark.catalog.refreshByPath(live_path)
+    invalidate_swapped_path(spark, live_path)
     return n
 
 
@@ -1342,23 +1444,46 @@ def compact_flat_tree(
             raise ValueError(
                 "tombstones_path requires tombstone_ledger_path and id_col"
             )
-        # pre-mask row count from the parquet footers of the files just
-        # listed for sizing (r16) — the old full-scan count() job told
-        # us nothing the footers don't
-        n_before = max(_footer_row_counts(spark, fs, files), 1)
         df = _apply_tombstone_mask(
             spark, df, tombstones_path, tombstone_ledger_path, id_col
         )
-        n_after = df.count()
-        if n_after == 0:
+        # ONE pass (r16): the rewrite itself is the only Spark job — no
+        # pre-write count() to size the output or detect full erasure.
+        # Sizing is the REBALANCE hint with the advisory partition size
+        # pinned to target_bytes (AQE splits/coalesces to the SURVIVING
+        # bytes at runtime — the scale-adaptive form of the old
+        # row-proportional estimate, guide §6), and the surviving row
+        # count is read back from the written files' parquet footers,
+        # where full erasure shows up as zero rows written.
+        conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(target_bytes))
+        try:
+            (
+                df.hint("rebalance")
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .parquet(live_path + ".compact")
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+        written = [
+            s
+            for s in (fs.globStatus(jpath(f"{live_path}.compact/*")) or [])
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        if _footer_row_counts(spark, fs, written) == 0:
             # fully erased: no data tree is the correct physical state
             fs.delete(live, True)
-            spark.catalog.refreshByPath(live_path)
+            fs.delete(tmp, True)
+            invalidate_swapped_path(spark, live_path)
             return 0
-        # size the rewrite from the SURVIVING bytes (row-proportional
-        # estimate), or a big takedown leaves an oversplit tree of
-        # near-empty files — defeating the compaction itself
-        total = max(1, int(total * n_after / n_before))
+        _checked_swap(fs, live, old, tmp)
+        invalidate_swapped_path(spark, live_path)
+        return len(written)
     n_files = max(1, math.ceil(total / target_bytes))
     (
         df.repartition(n_files)
@@ -1367,7 +1492,7 @@ def compact_flat_tree(
         .parquet(live_path + ".compact")
     )
     _checked_swap(fs, live, old, tmp)
-    spark.catalog.refreshByPath(live_path)
+    invalidate_swapped_path(spark, live_path)
     return n_files
 
 

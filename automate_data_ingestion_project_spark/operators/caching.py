@@ -36,6 +36,43 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return persisted
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def persist_scope():
+    """Release every :func:`tracked_persist` registered INSIDE the
+    scope when it exits — for protocol steps that fully materialize
+    their result (collect / eager localCheckpoint) before returning.
+
+    Why it exists: a library persist that outlives its action is
+    normally just wasted storage (release_caches sweeps it after the
+    query), but inside a MUTATING protocol it is a correctness hazard:
+    a cached plan fragment over a store path pins that path's file
+    listing, and when a later step compacts/swaps the store the
+    CacheManager recache rebuilds the entry against the displaced
+    listing — any later plan that canonically matches the fragment is
+    then silently substituted with a scan of deleted files
+    (FAILED_READ_FILE.FILE_NOT_EXIST; the near-dup ingest→compact→
+    ingest replay hit exactly this once compactions ran concurrently).
+    Scoping the persists to the step that materializes their consumer
+    removes the stale entry before any mutation can race it — and
+    keeps a long-running loop's cache footprint bounded per epoch
+    instead of accumulating until release_caches.
+    """
+    mark = len(_ACTIVE)
+    try:
+        yield
+    finally:
+        scoped = _ACTIVE[mark:]
+        del _ACTIVE[mark:]
+        for df in scoped:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
+
+
 def untrack(df: DataFrame) -> None:
     """Remove ``df`` from the registry without unpersisting (for
     operators that manage an intermediate's lifetime themselves, e.g.

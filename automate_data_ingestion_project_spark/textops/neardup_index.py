@@ -460,10 +460,20 @@ class NearDupIndex:
             # parquet after the append below (a lazy persist is not
             # enough — a recomputed partition would see the batch's own
             # appended bands and flag every accepted doc as its own
-            # near-dup).
-            decisions = self._decisions(batch, rows, bands).localCheckpoint(
-                eager=True
-            )
+            # near-dup). The verification intermediates pair_jaccard_
+            # stats persists internally are scoped to this step: once
+            # the decisions are materialized they have no consumer, and
+            # a cached plan over the index trees left live across a
+            # later compact() is recached against the DISPLACED file
+            # listing — the next ingest's matching plan fragment then
+            # reads deleted part files (persist_scope docstring has the
+            # full failure anatomy).
+            from ..operators.caching import persist_scope
+
+            with persist_scope():
+                decisions = self._decisions(batch, rows, bands).localCheckpoint(
+                    eager=True
+                )
             accepted = decisions.filter(~F.col("is_near_dup")).select(
                 F.col("batch_id").alias("doc_id")
             )
@@ -652,9 +662,11 @@ class NearDupIndex:
             # erasure completed across all three trees — drop the mask
             # files; the tombstone LEDGER survives so a replayed
             # tombstone batch still no-ops (Delta DELETE-then-VACUUM)
+            from ..io.maintenance import invalidate_swapped_path
+
             jpath = self.spark._jvm.org.apache.hadoop.fs.Path
             p = jpath(self.tombstones_path)
             p.getFileSystem(
                 self.spark._jsc.hadoopConfiguration()
             ).delete(p, True)
-            self.spark.catalog.refreshByPath(self.tombstones_path)
+            invalidate_swapped_path(self.spark, self.tombstones_path)

@@ -1037,3 +1037,62 @@ def test_stream_epoch_legacy_base_replay_recognized(spark, tmp_path):
     # epoch 1's legacy slot (5+1) never committed -> fresh allocation
     # past committed(5) and epoch 0's marker(5)
     assert _allocate_epoch_seq(spark, t_ledger, ckpt, 1) == 6
+
+
+def test_ingest_compact_ingest_repeated_has_no_stale_cached_plans(
+    spark, tmp_path
+):
+    """Regression: the ingest → compact → ingest walk, run TWICE in one
+    session. The verification intermediates pair_jaccard_stats persists
+    used to stay live across compact(); the post-swap recache rebuilt
+    those cache entries against the DISPLACED shingle/band listing, and
+    the next ingest's canonically-matching plan fragment was silently
+    substituted with a scan of deleted part files
+    (FAILED_READ_FILE.FILE_NOT_EXIST — surfaced once the per-tree
+    compactions ran as concurrent driver threads). ingest_batch now
+    scopes those persists to the decision materialization
+    (operators.caching.persist_scope), so the second walk must run
+    clean and reproduce the first walk's decisions."""
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.textops.neardup_index import (
+        NearDupIndex,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs for shipping"),
+            (3, "a completely unrelated sentence about compaction races"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "xq the quick brown fox jumps over the lazy dog today"),
+            (11, "novel words describing distributed file status caches"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, "zz novel words describing distributed file status caches")],
+        "doc_id long, text string",
+    )
+
+    def walk(root: str) -> dict:
+        index = NearDupIndex.build(spark, corpus, root)
+        index.delete_docs(corpus.filter("doc_id = 2").select("doc_id"), 0)
+        d1 = {
+            r.batch_id: r.is_near_dup
+            for r in index.ingest_batch(b1).collect()
+        }
+        index.compact()
+        d2 = {
+            r.batch_id: r.is_near_dup
+            for r in index.ingest_batch(b2).collect()
+        }
+        return {**d1, **d2}
+
+    first = walk(str(tmp_path / "idx_a"))
+    second = walk(str(tmp_path / "idx_b"))  # used to FAILED_READ_FILE here
+    assert first == second == {10: True, 11: False, 20: True}
