@@ -84,8 +84,22 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     parallelism. Small fixture tables arrive as ONE parquet split, so an
     expensive per-row expression would run on one core (measured: the
     whole shingling stage serialized at sf0.1). At 100 TB inputs already
-    have ≥cores splits and this becomes a no-op."""
+    have ≥cores splits and this becomes a no-op.
+
+    The smallness probe is the ANALYZED plan's leaf-file count
+    (``inputFiles``) — driver-cheap — not ``df.rdd.getNumPartitions()``,
+    which forces a full physical-planning pass per call just to read a
+    number (measured ~1.5 s of pure driver time on a fresh replay-batch
+    plan; the ingest loop builds two such plans per epoch). File count
+    under-estimates splits only for a single giant splittable file —
+    not a layout a 100 TB corpus has — and non-file sources (literal
+    test relations) keep the exact partition probe."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        if len(files) < target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
