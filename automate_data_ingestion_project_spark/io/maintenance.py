@@ -1159,6 +1159,17 @@ def consume_changes(
     dirs are retired only after the new state is in place; a crash
     between rename and retirement leaves both, and readers take the
     highest sequence.
+
+    Determinism caveat (r15 advisory): with ``tombstones_path`` set the
+    mask is evaluated at READ time, so a crash-retry that runs after
+    NEW tombstones commit folds a smaller delta into the state
+    published at the same offset — the single offset cannot pin the
+    mask. The "retried step recomputes the identical delta" claim
+    therefore holds unconditionally only WITHOUT tombstone masking;
+    consumers that need erasure semantics with a deterministic replay
+    contract use :func:`consume_changes_with_retractions`, whose pair
+    offset ``(D, T)`` pins exactly which tombstone generations each
+    published state reflects.
     """
     fs, jpath = _fs(spark, state_root)
     committed = committed_batch_seqs(spark, ledger_path)
@@ -1201,6 +1212,16 @@ def consume_changes(
         n = s.getPath().getName()
         if n.startswith("state-") and int(n.split("-", 1)[1]) < head:
             fs.delete(s.getPath(), True)
+        elif n.startswith(".state-") and n.endswith(".inprogress"):
+            # orphaned temp from a crashed fold write: the retirement
+            # pass previously only matched 'state-' names, so the
+            # leaked dir lived forever unless a later step landed on
+            # the identical head and overwrote it (r15 advisory). Any
+            # temp at or below the just-published head is stale by
+            # construction — the head's own temp was renamed away.
+            seq = int(n[len(".state-") : -len(".inprogress")])
+            if seq <= head:
+                fs.delete(s.getPath(), True)
     return head
 
 
@@ -1340,6 +1361,16 @@ def consume_changes_with_retractions(
         )
     for s in fs.listStatus(root_p):
         n = s.getPath().getName()
+        if n.startswith(".state-") and n.endswith(".inprogress"):
+            # orphaned temp from a crashed fold write (see
+            # consume_changes's retirement pass)
+            d, t = (
+                int(x)
+                for x in n[len(".state-") : -len(".inprogress")].split("_")
+            )
+            if (d, t) <= (d_head, t_head):
+                fs.delete(s.getPath(), True)
+            continue
         if not n.startswith("state-"):
             continue
         d, t = (int(x) for x in n.split("-", 1)[1].split("_"))

@@ -89,7 +89,8 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _silence_bounded_window_warning(spark)
+    if os.environ.get("SPARK_GRAFT_SILENCE_WINDOW_WARN") == "1":
+        _silence_bounded_window_warning(spark)
     return spark
 
 
@@ -100,9 +101,17 @@ def _silence_bounded_window_warning(spark: SparkSession) -> None:
     (bucket totals ≤ corpus/1000, months, 25 nations — the scale-safe
     two-phase prefix-sum design; sites audited in the r14 verdict:
     mixing.py, sampling.py, warehouse_ext.py, profiling.py), so the
-    warning is noise in bench tails, not a defect signal. Best-effort:
-    log4j2's Configurator is Spark's bundled logging backend, but a
-    deployment that swaps it keeps the default warning."""
+    warning is noise in bench tails, not a defect signal.
+
+    OPT-IN via ``SPARK_GRAFT_SILENCE_WINDOW_WARN=1`` (r16, from the
+    r15 advisory): the suppression previously applied to EVERY session
+    built here, so a genuinely unbounded window added later — or run
+    by a library user — would lose its scale-defect warning too. Only
+    the bench entrypoint (whose tail the audited-benign messages
+    drowned) sets the variable; every other session keeps the default
+    WARN. Best-effort: log4j2's Configurator is Spark's bundled
+    logging backend, but a deployment that swaps it keeps the default
+    warning."""
     try:
         jvm = spark._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -48,7 +48,19 @@ maintenance op here.
 Stores written by the pre-marker scheme (a ``_stream_epoch_base`` file
 mapping epoch ``k`` to ``base+k``) stay replay-safe across the
 upgrade: an epoch with no marker whose legacy slot is already
-committed is recognized as a replay of its old commit and reuses it.
+committed AND whose id set matches that slot's committed content is
+recognized as a replay of its old commit and reuses it. The content
+check is what bounds legacy recognition (r16, from the r15 advisory):
+slot occupancy alone misclassifies a genuinely NEW epoch — after
+legacy epochs ``0..j``, a direct auto-sequenced append takes
+``max(committed)+1 = base+j+1``, exactly epoch ``j+1``'s legacy slot,
+and the un-verified scheme would no-op that epoch and drop its
+takedown ids on the floor. Verifying the slot's actual ids (an
+anti-join both ways over two takedown-sized sets, paid only on the
+marker-less-epoch-on-upgraded-store path) makes the recognition
+exact: a true replay matches by construction, and a collision with a
+foreign batch that happens to carry the SAME ids is indistinguishable
+from a replay in outcome — the ids are already committed either way.
 
 Exactly-once shape inherited from the tombstone protocol: a replayed
 committed epoch is a ledger no-op, a mid-write crash self-heals on the
@@ -114,11 +126,40 @@ def _reserved_seqs(spark: SparkSession, ledger_path: str) -> set[int]:
     return out
 
 
+def _legacy_slot_content_matches(
+    spark: SparkSession,
+    tombstones_path: str,
+    slot: int,
+    batch_ids: DataFrame,
+    id_col: str,
+) -> bool:
+    """True iff the committed batch at ``slot`` holds exactly this
+    epoch's id set — the verification that bounds legacy-replay
+    recognition (module docstring). Both sides are takedown-sized; the
+    check is two anti-join emptiness probes on the rare marker-less
+    upgrade path, not a hot-loop cost."""
+    fs, jpath = _fs(spark, tombstones_path)
+    leaf = jpath(f"{tombstones_path}/batch_seq={slot}")
+    ids = batch_ids.select(id_col).distinct()
+    if not fs.exists(leaf):
+        # empty legacy commit ((seq, 0) ledger row, no data leaf):
+        # matches only an empty epoch
+        return ids.isEmpty()
+    committed_ids = spark.read.parquet(str(leaf)).select(id_col)
+    return (
+        committed_ids.join(ids, id_col, "left_anti").isEmpty()
+        and ids.join(committed_ids, id_col, "left_anti").isEmpty()
+    )
+
+
 def _allocate_epoch_seq(
     spark: SparkSession,
+    tombstones_path: str,
     tombstone_ledger_path: str,
     checkpoint_dir: str,
     epoch_id: int,
+    batch_ids: DataFrame,
+    id_col: str,
 ) -> int:
     """The batch sequence for one stream epoch: the persisted marker if
     this epoch ran before (retry → same sequence → replay guard sees
@@ -131,12 +172,25 @@ def _allocate_epoch_seq(
     if txt is not None and txt.strip():
         return int(txt.strip())
     committed = committed_batch_seqs(spark, tombstone_ledger_path)
-    # pre-marker stores: epoch k committed at base+k; if that slot is
-    # already committed this epoch is a REPLAY of its legacy commit
+    # pre-marker stores: epoch k committed at base+k; this epoch is a
+    # REPLAY of its legacy commit only if that slot is committed AND
+    # holds this epoch's exact id set (see module docstring — slot
+    # occupancy alone silently drops a new epoch whose slot a direct
+    # append claimed)
     legacy = _read_small_text(
         spark, fs, jpath(f"{tombstone_ledger_path}/{_LEGACY_BASE_NAME}")
     )
-    if legacy is not None and (int(legacy.strip()) + epoch_id) in committed:
+    if (
+        legacy is not None
+        and (int(legacy.strip()) + epoch_id) in committed
+        and _legacy_slot_content_matches(
+            spark,
+            tombstones_path,
+            int(legacy.strip()) + epoch_id,
+            batch_ids,
+            id_col,
+        )
+    ):
         seq = int(legacy.strip()) + epoch_id
     else:
         taken = committed | _reserved_seqs(spark, tombstone_ledger_path)
@@ -172,7 +226,13 @@ def stream_tombstone_ingest(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         seq = _allocate_epoch_seq(
-            spark, tombstone_ledger_path, checkpoint_dir, int(epoch_id)
+            spark,
+            tombstones_path,
+            tombstone_ledger_path,
+            checkpoint_dir,
+            int(epoch_id),
+            batch_df.select(id_col),
+            id_col,
         )
         append_tombstones(
             spark,

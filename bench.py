@@ -34,6 +34,10 @@ import time
 
 
 def main() -> int:
+    # bench-only: the audited-benign unpartitioned-window warnings drown
+    # the bench tail; every other session keeps the default WARN so a
+    # genuinely unbounded window still announces itself (session.py)
+    os.environ.setdefault("SPARK_GRAFT_SILENCE_WINDOW_WARN", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

@@ -979,23 +979,29 @@ def test_stream_epoch_marker_retry_and_stream_isolation(spark, tmp_path):
     ck_a = os.path.join(root, "ckpt_a")
     ck_b = os.path.join(root, "ckpt_b")
 
-    # stream A epoch 0 allocates 0 and commits
-    seq = _allocate_epoch_seq(spark, t_ledger, ck_a, 0)
-    assert seq == 0
     ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+
+    def alloc(ckpt, epoch):
+        return _allocate_epoch_seq(
+            spark, t_data, t_ledger, ckpt, epoch, ids, "doc_id"
+        )
+
+    # stream A epoch 0 allocates 0 and commits
+    seq = alloc(ck_a, 0)
+    assert seq == 0
     append_tombstones(spark, t_data, t_ledger, ids, seq, "doc_id")
 
     # stream A epoch 1 reserves 1 but "crashes" before committing;
     # its retry reads the marker back — same sequence, same batch
-    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 1) == 1
-    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 1) == 1
+    assert alloc(ck_a, 1) == 1
+    assert alloc(ck_a, 1) == 1
 
     # stream B's epoch 0 is a DIFFERENT stream: it must not alias
     # stream A's epoch 0 (seq 0, committed) nor steal A's reserved 1
-    assert _allocate_epoch_seq(spark, t_ledger, ck_b, 0) == 2
+    assert alloc(ck_b, 0) == 2
 
     # a committed epoch's retry also reuses its marker (replay no-op)
-    assert _allocate_epoch_seq(spark, t_ledger, ck_a, 0) == 0
+    assert alloc(ck_a, 0) == 0
 
 
 def test_stream_epoch_legacy_base_replay_recognized(spark, tmp_path):
@@ -1032,11 +1038,87 @@ def test_stream_epoch_legacy_base_replay_recognized(spark, tmp_path):
         out.close()
 
     ckpt = os.path.join(root, "ckpt")
-    # epoch 0's legacy slot (5+0) is committed -> recognized as replay
-    assert _allocate_epoch_seq(spark, t_ledger, ckpt, 0) == 5
+    # epoch 0's legacy slot (5+0) is committed with the SAME ids ->
+    # recognized as replay
+    assert (
+        _allocate_epoch_seq(spark, t_data, t_ledger, ckpt, 0, ids, "doc_id")
+        == 5
+    )
     # epoch 1's legacy slot (5+1) never committed -> fresh allocation
     # past committed(5) and epoch 0's marker(5)
-    assert _allocate_epoch_seq(spark, t_ledger, ckpt, 1) == 6
+    more = spark.range(10, 12).select(F.col("id").alias("doc_id"))
+    assert (
+        _allocate_epoch_seq(spark, t_data, t_ledger, ckpt, 1, more, "doc_id")
+        == 6
+    )
+
+
+def test_stream_epoch_legacy_slot_stolen_by_direct_append_not_a_replay(
+    spark, tmp_path
+):
+    """Regression (r15 advisory, medium): on an upgraded store, a
+    genuinely NEW marker-less epoch whose legacy slot a direct
+    auto-sequenced append already claimed must NOT be misclassified as
+    a replay — the old slot-occupancy-only recognition no-op'd it and
+    dropped its takedown ids on the floor. Content verification makes
+    the epoch allocate a fresh sequence and its ids commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        _fs,
+        append_tombstones,
+        committed_batch_seqs,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        _LEGACY_BASE_NAME,
+        _allocate_epoch_seq,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+
+    # legacy layout: base=5, legacy epoch 0 committed at seq 5
+    legacy_ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, legacy_ids, 5, "doc_id")
+    fs, jpath = _fs(spark, t_ledger)
+    out = fs.create(jpath(f"{t_ledger}/{_LEGACY_BASE_NAME}"), True)
+    try:
+        out.write(b"5")
+    finally:
+        out.close()
+
+    # a direct auto-sequenced append interleaves post-upgrade and takes
+    # max(committed)+1 = 6 — exactly epoch 1's legacy slot
+    direct_ids = spark.range(100, 103).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, direct_ids, 6, "doc_id")
+
+    # NEW epoch 1 arrives with different ids: slot 6 is committed, but
+    # its content does not match -> fresh allocation (7), not a replay
+    ckpt = os.path.join(root, "ckpt")
+    new_ids = spark.range(200, 202).select(F.col("id").alias("doc_id"))
+    seq = _allocate_epoch_seq(
+        spark, t_data, t_ledger, ckpt, 1, new_ids, "doc_id"
+    )
+    assert seq == 7
+    # and the epoch's ids actually commit under that sequence
+    append_tombstones(spark, t_data, t_ledger, new_ids, seq, "doc_id")
+    assert 7 in committed_batch_seqs(spark, t_ledger)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{t_data}/batch_seq=7").collect()
+    }
+    assert got == {200, 201}
+
+    # while a TRUE replay of legacy epoch 0 (same ids) still reuses 5
+    assert (
+        _allocate_epoch_seq(
+            spark, t_data, t_ledger, ckpt, 0, legacy_ids, "doc_id"
+        )
+        == 5
+    )
 
 
 def test_ingest_compact_ingest_repeated_has_no_stale_cached_plans(

@@ -985,6 +985,21 @@ def test_consume_changes_transactional_offset(spark, tmp_path, monkeypatch):
     }
     assert state() == expected
 
+    # a fold-write crash leaves an orphaned .state-<seq>.inprogress
+    # temp; the next successful step's retirement pass must clean it up
+    # (r15 advisory: the old pass only matched 'state-' names, leaking
+    # the dir forever unless a later step landed on the identical head)
+    import shutil
+
+    orphan = os.path.join(state_root, ".state-2.inprogress")
+    os.makedirs(orphan)
+    append_store_batch(
+        spark, data, ledger, _mk_rows(spark, 60, 70), 3, "cell", "vid"
+    )
+    assert consume_changes(spark, data, ledger, state_root, fold) == 3
+    assert sorted(os.listdir(state_root)) == ["state-3"]
+    shutil.rmtree(state_root, ignore_errors=True)
+
 
 def test_retraction_consumer_full_shard_erasure_and_overlap(spark, tmp_path):
     """consume_changes_with_retractions edge cases the fixture query
