@@ -69,79 +69,76 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps each round at 50 checked queries of the registered
 # set (it checks the first 50 in this ordering; the count rotates
 # round to round). Order the registry so the weakest driver evidence
-# comes first. Round-15 ordering: (1) the nine rows with ZERO driver
-# evidence — the two r14 late additions deferred past that round's
-# window (the r14 verdict's #1 item) plus the seven queries ADDED this
-# round (the trained-codebook IVF search, the real-container decode,
-# the two CDF consumers, and the three BPE tokenizer-training rows);
-# (2) the eight rows whose behavior-bearing code changed in
-# r15 — the streaming takedown drain (epoch sequences now allocated at
-# drain time), the erasure/compaction family (the compactor now keeps
-# the tombstone mask when a rescue moves unmasked rows), and the two
-# multimodal rows rerouted through the real netpbm decode chain;
-# (3) the 33 stalest rows — r11-vintage evidence, in their r11 check
-# order (the 15 r11 rows that don't fit this window lead r16's tail:
-# customer_value_quartiles, duckdb_federated_scan,
-# duckdb_parquet_handoff, dataset_split, bigram_counts,
-# events_hypertable_rollup, events_value_interpolate,
-# top_terms_per_doc, vocab_encode, text_stats, lang_confusion,
-# orders_rolling_revenue, orders_monthly_gapfill, nation_revenue_share,
-# nation_revenue_pareto).
-# 9 + 8 + 33 = 50 fills the window exactly.
+# comes first. Round-16 ordering (an OPTIMIZATION round — nothing new
+# was registered, so the window is rotation + re-verification):
+# (1) the 15 r11-vintage rows the r15 ordering promised would lead
+# this window (the last evidence predating r12 anywhere in the
+# registry — after this round the histogram minimum is r12);
+# (2) 35 rows whose behavior-bearing code changed in r16: the
+# tombstone legacy-replay recognition and consumer-state retirement
+# (stream takedown + CDF consumers), the store-protocol internals
+# (footer-derived ledger stats, one-pass masked compaction rewrites,
+# staging-swap bucketed compaction, concurrent independent appends,
+# persist_scope cache release), and representative rows from every
+# family routed through spread_for_compute's new leaf-file probe
+# (minhash/jaccard/semdedup/BPE/contamination/centroids/chunking/
+# mixing). Every one of these ran green against its oracle in the
+# round's two changed-since drives; this window turns that local
+# evidence into driver evidence.
+# 15 + 35 = 50 fills the window exactly.
 _CHECK_FIRST = [
-    # (1) zero driver evidence
-    "bpe_pair_counts",
-    "bpe_merge_step",
-    "bpe_two_merge_steps",
-    "shard_store_changes",
-    "shard_store_ledger_checkpoint",
-    "ann_ivf_trained_topk",
-    "multimodal_decode",
+    # (1) the 15 stalest rows (r11-vintage evidence)
+    "customer_value_quartiles",
+    "duckdb_federated_scan",
+    "duckdb_parquet_handoff",
+    "dataset_split",
+    "bigram_counts",
+    "events_hypertable_rollup",
+    "events_value_interpolate",
+    "top_terms_per_doc",
+    "vocab_encode",
+    "text_stats",
+    "lang_confusion",
+    "orders_rolling_revenue",
+    "orders_monthly_gapfill",
+    "nation_revenue_share",
+    "nation_revenue_pareto",
+    # (2) behavior-bearing code changed in r16
+    "stream_shard_store_delete",
     "cdf_incremental_consumer",
     "cdf_consumer_erasure_propagation",
-    # (2) code changed in r15
-    "stream_shard_store_delete",
-    "shard_store_asof_erasure",
-    "multimodal_features",
-    "multimodal_resize",
+    "neardup_store_delete",
+    "neardup_ingest_replay",
+    "neardup_compacted_ingest_replay",
+    "stream_neardup_ingest_replay",
+    "incremental_neardup_filter",
     "shard_store_delete",
+    "shard_store_compaction",
+    "shard_store_asof",
+    "shard_store_asof_compacted",
+    "shard_store_asof_erasure",
+    "shard_store_changes",
+    "shard_store_ledger_checkpoint",
     "ivf_store_delete",
     "ivfpq_store_delete",
-    "neardup_store_delete",
-    # (3) the 33 stalest rows (r11-vintage), in their r11 check order
-    "orders_by_month",
-    "categories",
-    "orders_by_category",
-    "not_null_filter",
-    "events_by_type",
-    "scd2_history",
-    "event_funnel",
-    "cohort_retention",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "kmeans_step",
-    "referential_integrity",
-    "shard_manifest",
+    "ivf_store_compaction",
+    "ann_ivf_ingest_replay",
+    "stream_ann_ivf_ingest_replay",
+    "ann_ivfpq_ingest_replay",
+    "stream_ann_ivfpq_ingest_replay",
     "curated_shard_export",
-    "dedup_simhash_pairs",
+    "incremental_shard_export",
+    "stream_shard_export",
+    "export_token_shards",
+    "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "incremental_neardup_filter",
-    "neardup_ingest_replay",
-    "stream_neardup_ingest_replay",
-    "event_sessions",
-    "events_json_props",
-    "events_weekly_heatmap",
-    "quality_gates",
-    "lang_length_zscores",
+    "semantic_dedup_clusters",
+    "bpe_two_merge_steps",
+    "decontaminate_overlap",
+    "label_centroids",
+    "doc_chunks",
     "zorder_pruned_scan",
-    "rest_ingest_dv3f",
-    "rest_datasource_scan",
-    "dbf_commune",
-    "commune_enrichment",
-    "model_layer_build",
-    "embedding_quantize",
-    "stratified_sample_exact",
+    "pack_sequences",
 ]
 
 

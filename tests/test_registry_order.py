@@ -2,53 +2,77 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-15 window composition — the round's deliverable — must hold:
-the nine zero-evidence rows lead (the two r14 late additions the r14
-verdict flagged, plus the seven r15 additions — trained-IVF search,
-container decode, the CDF consumer pair, the BPE trainer trio), then
-the eight rows whose behavior-bearing code changed in r15 (the
-drain-time epoch allocation, the compactor's mask-preserving rescue,
-the real decode chain), then the 33 stalest (r11-vintage) rows in
-their r11 check order."""
+the round-16 window composition — the round's deliverable — must hold:
+the 15 r11-vintage rows the r15 ordering promised would lead this
+window (the last pre-r12 evidence in the registry), then 35 rows whose
+behavior-bearing code changed in the r16 optimization round (tombstone
+legacy-replay recognition, consumer-state retirement, store-protocol
+internals, and the spread_for_compute probe families), all re-verified
+against their oracles in the round's changed-since drives."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R15_HEAD = [
-    # zero driver evidence (r14 verdict item 1 + the seven r15 additions)
-    "bpe_pair_counts",
-    "bpe_merge_step",
-    "bpe_two_merge_steps",
-    "shard_store_changes",
-    "shard_store_ledger_checkpoint",
-    "ann_ivf_trained_topk",
-    "multimodal_decode",
-    "cdf_incremental_consumer",
-    "cdf_consumer_erasure_propagation",
-    # code changed in r15
-    "stream_shard_store_delete",
-    "shard_store_asof_erasure",
-    "multimodal_features",
-    "multimodal_resize",
-    "shard_store_delete",
-    "ivf_store_delete",
-    "ivfpq_store_delete",
-    "neardup_store_delete",
+R11_VINTAGE_HEAD = [
+    # the 15 rows whose latest driver evidence was r11 — named as the
+    # r16 leads by the r15 ordering comment and the r15 verdict (#2)
+    "customer_value_quartiles",
+    "duckdb_federated_scan",
+    "duckdb_parquet_handoff",
+    "dataset_split",
+    "bigram_counts",
+    "events_hypertable_rollup",
+    "events_value_interpolate",
+    "top_terms_per_doc",
+    "vocab_encode",
+    "text_stats",
+    "lang_confusion",
+    "orders_rolling_revenue",
+    "orders_monthly_gapfill",
+    "nation_revenue_share",
+    "nation_revenue_pareto",
 ]
 
-R11_VINTAGE = {
-    "orders_by_month", "categories", "orders_by_category",
-    "not_null_filter", "events_by_type", "scd2_history", "event_funnel",
-    "cohort_retention", "ann_ivf_topk", "ann_ivf_multiprobe",
-    "kmeans_step", "referential_integrity", "shard_manifest",
-    "curated_shard_export", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "incremental_neardup_filter",
-    "neardup_ingest_replay", "stream_neardup_ingest_replay",
-    "event_sessions", "events_json_props", "events_weekly_heatmap",
-    "quality_gates", "lang_length_zscores", "zorder_pruned_scan",
-    "rest_ingest_dv3f", "rest_datasource_scan", "dbf_commune",
-    "commune_enrichment", "model_layer_build", "embedding_quantize",
-    "stratified_sample_exact",
+R16_CODE_TOUCHED = {
+    # tombstone allocation + consumer retirement (this round's edits)
+    "stream_shard_store_delete",
+    "cdf_incremental_consumer",
+    "cdf_consumer_erasure_propagation",
+    # store-protocol internals (footer stats, one-pass masked rewrites,
+    # staging-swap compaction, concurrent appends, persist_scope)
+    "neardup_store_delete",
+    "neardup_ingest_replay",
+    "neardup_compacted_ingest_replay",
+    "stream_neardup_ingest_replay",
+    "incremental_neardup_filter",
+    "shard_store_delete",
+    "shard_store_compaction",
+    "shard_store_asof",
+    "shard_store_asof_compacted",
+    "shard_store_asof_erasure",
+    "shard_store_changes",
+    "shard_store_ledger_checkpoint",
+    "ivf_store_delete",
+    "ivfpq_store_delete",
+    "ivf_store_compaction",
+    "ann_ivf_ingest_replay",
+    "stream_ann_ivf_ingest_replay",
+    "ann_ivfpq_ingest_replay",
+    "stream_ann_ivfpq_ingest_replay",
+    "curated_shard_export",
+    "incremental_shard_export",
+    "stream_shard_export",
+    "export_token_shards",
+    # spread_for_compute probe families
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "semantic_dedup_clusters",
+    "bpe_two_merge_steps",
+    "decontaminate_overlap",
+    "label_centroids",
+    "doc_chunks",
+    "zorder_pruned_scan",
+    "pack_sequences",
 }
 
 
@@ -63,11 +87,11 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round15_window_composition():
+def test_round16_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:17] == R15_HEAD
-    assert R11_VINTAGE <= set(first50)
-    assert len(R11_VINTAGE) == 33 and len(first50) == 50
+    assert first50[:15] == R11_VINTAGE_HEAD
+    assert set(first50[15:]) == R16_CODE_TOUCHED
+    assert len(R16_CODE_TOUCHED) == 35 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
@@ -77,19 +101,3 @@ def test_oracles_cover_every_query():
     # current state: full value-hash oracle coverage; a query added
     # without one should be a conscious decision, not an accident
     assert set(o) == set(q), sorted(set(q) - set(o))
-
-
-def test_default_driver_memory_is_host_sized(monkeypatch):
-    """The driver-heap default adapts to the host: half of physical
-    memory, capped at 8g, floored at 1g — a flat 8g launch request
-    would fail outright on a small container. The env override wins."""
-    import automate_data_ingestion_project_spark.session as sess
-
-    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
-    got = sess.default_driver_memory()
-    assert got.endswith("m") or got == "8g"
-    if got.endswith("m"):
-        assert 1024 <= int(got[:-1]) <= 8192
-
-    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
-    assert sess.default_driver_memory() == "3g"
