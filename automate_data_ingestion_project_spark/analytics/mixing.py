@@ -589,22 +589,17 @@ def append_token_shard_batch(
         fs.delete(s.getPath(), True)
     from ..io.maintenance import store_exists
 
-    # The empty-batch guard (crawl gap, zero-row input file) protects
-    # against a zero-row partitionBy write leaving a schema-less
-    # shards/ dir that poisons every later read-back — which can only
-    # happen on an ABSENT store. On an existing store an empty write
-    # adds no files and the leaf read-back below commits the correct
-    # (batch_seq, 0, 0) row, so the isEmpty probe (a full computation
-    # of the batch input that the write then recomputes) is paid only
-    # for the store's first batch (r16; it used to run per append).
-    if not store_exists(spark, shards_path) and docs.isEmpty():
-        # valid epoch: commit its (batch_seq, 0, 0) ledger row so the
-        # ordered batch_seq contract holds and a replay is a no-op,
-        # but write no shard files
-        append_ledger_row(
-            spark, ledger_path, batch_seq, {"n_docs": 0, "n_tokens": 0}
-        )
-        return
+    # No pre-write empty-batch probe (r17): the r16 form still paid an
+    # isEmpty() — a full computation of the batch input the write then
+    # recomputed — on the store's FIRST batch. The one hazard an empty
+    # batch poses (a zero-row partitionBy write into an ABSENT store
+    # leaving a schema-less shards/ dir that poisons every later
+    # read-back) is now undone POST-write: when the tree holds no
+    # parquet file at all after the write, the schema-less tree is
+    # removed (decided from the POST-write tree content, so a crash
+    # between write and cleanup heals on the retry) and the
+    # (batch_seq, 0, 0) ledger row still commits, so the ordered
+    # batch_seq contract holds and a replay is a no-op.
     sized = docs.select(
         "doc_id",
         "text",
@@ -675,8 +670,23 @@ def append_token_shard_batch(
                 .first()
             )
             n_docs, n_tokens = written.n_docs, written.n_tokens
-    else:  # empty batch on an existing store: the write added no files
+    else:  # empty batch: the write added no files
         n_docs, n_tokens = 0, 0
+        any_parquet = [
+            s
+            for s in (
+                fs.globStatus(
+                    jpath(f"{shards_path}/shard_id=*/batch_seq=*/*")
+                )
+                or []
+            )
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        if not any_parquet and store_exists(spark, shards_path):
+            # the tree holds no data at all: drop the schema-less tree
+            # so the store stays ABSENT until its first real batch
+            fs.delete(jpath(shards_path), True)
+            spark.catalog.refreshByPath(shards_path)
     # commit marker LAST: a ledger row implies the batch's files are
     # all in place (see the durability protocol above)
     append_ledger_row(

@@ -68,6 +68,9 @@ exactly Delta's DELETE-then-VACUUM story.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,6 +87,50 @@ _WATERMARK_NAME = "_compaction_watermark"
 # comfortably inside default executor/driver budgets, orders of
 # magnitude above any plausible single-store takedown set.
 TOMBSTONE_BROADCAST_MAX_IDS = 4_000_000
+
+
+# -- session-conf scoping under concurrent driver threads ------------------
+#
+# Session conf is SHARED across the driver threads run_concurrently
+# spawns, and a naive get-prior/set/restore pair races: two concurrent
+# masked compactions (NearDupIndex.compact runs its rows and bands
+# rewrites on two threads) can interleave so that thread B reads thread
+# A's TEMPORARY value as "prior" and restores it after A unsets — the
+# temporary value leaks into the session permanently and silently
+# changes AQE sizing for every later query. The scope below serializes
+# the mutation under a module lock and REFCOUNTS nesting per (session,
+# key): the first scope in records the true prior, the last one out
+# restores it. Concurrent scopes are expected to request the SAME value
+# (both compactions pass the same target_bytes); if they ever differ,
+# the last set wins for the overlap and the true prior is still
+# restored at the end — acceptable for a sizing advisory, never for a
+# semantics-bearing conf.
+_CONF_SCOPE_LOCK = threading.Lock()
+_CONF_SCOPE_STATE: dict[tuple[int, str], list] = {}
+
+
+@contextmanager
+def session_conf_scope(spark: SparkSession, key: str, value):
+    sk = (id(spark), key)
+    with _CONF_SCOPE_LOCK:
+        st = _CONF_SCOPE_STATE.get(sk)
+        if st is None:
+            # [true prior (None = was unset), refcount]
+            st = [spark.conf.get(key, None), 0]
+            _CONF_SCOPE_STATE[sk] = st
+        st[1] += 1
+        spark.conf.set(key, str(value))
+    try:
+        yield
+    finally:
+        with _CONF_SCOPE_LOCK:
+            st[1] -= 1
+            if st[1] == 0:
+                del _CONF_SCOPE_STATE[sk]
+                if st[0] is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, st[0])
 
 
 def _fs(spark: SparkSession, path: str):
@@ -1486,21 +1533,19 @@ def compact_flat_tree(
         # row-proportional estimate, guide §6), and the surviving row
         # count is read back from the written files' parquet footers,
         # where full erasure shows up as zero rows written.
+        # set/restore via the refcounted scope: two masked compactions
+        # run CONCURRENTLY (NearDupIndex.compact), and a bare
+        # get/set/restore pair races — thread B can capture A's
+        # temporary value as "prior" and leak target_bytes into the
+        # session conf forever (r17, from the r16 advisory)
         conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        prior = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, str(target_bytes))
-        try:
+        with session_conf_scope(spark, conf_key, target_bytes):
             (
                 df.hint("rebalance")
                 .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
                 .parquet(live_path + ".compact")
             )
-        finally:
-            if prior is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prior)
         written = [
             s
             for s in (fs.globStatus(jpath(f"{live_path}.compact/*")) or [])
@@ -1580,16 +1625,19 @@ def append_store_batch(
     )
     for s in leftovers or []:
         fs.delete(s.getPath(), True)
-    # The empty-batch guard exists because a zero-row dynamic-partition
-    # write into an ABSENT store leaves a schema-less tree. On an
-    # existing store an empty write adds no files and the footer
-    # read-back below commits the correct 0-count row — so the isEmpty
-    # probe (which computes the whole batch derivation once, only for
-    # the write to recompute it) is paid ONLY for the store's first
-    # batch (r16; it used to run on every append).
-    if not store_exists(spark, data_path) and rows.isEmpty():
-        append_ledger_row(spark, ledger_path, batch_seq, {count_col: 0})
-        return
+    # Empty-batch handling is POST-write (r17): the one hazard of a
+    # zero-row dynamic-partition write is that into an ABSENT store it
+    # leaves a schema-less tree (root dir + _SUCCESS, no partition
+    # leaves) that poisons every later read — so when the footer
+    # read-back of the written leaves comes back 0 AND the whole tree
+    # holds no parquet file at all, the schema-less tree is removed
+    # and the store stays canonically ABSENT. The decision reads the
+    # POST-write tree (not a pre-write existence flag) so a crash
+    # between a zero-row write and its cleanup heals on the retry.
+    # This replaces the pre-write isEmpty() probe (r16 paid it on the
+    # store's FIRST batch), which computed the whole batch derivation
+    # once just for the write to recompute it — one whole Spark job
+    # per store bootstrap, pure fixed cost.
     (
         rows.withColumn("batch_seq", F.lit(batch_seq))
         .repartition(key_col)
@@ -1617,6 +1665,22 @@ def append_store_batch(
         if s.getPath().getName().endswith(".parquet")
     ]
     n = _footer_row_counts(spark, fs, statuses)
+    if n == 0:
+        any_parquet = [
+            s
+            for s in (
+                fs.globStatus(jpath(f"{data_path}/{key_col}=*/batch_seq=*/*"))
+                or []
+            )
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        if not any_parquet and store_exists(spark, data_path):
+            # zero-row batch on a store with NO data at all: remove the
+            # schema-less tree the write created so the store stays
+            # ABSENT (the state every reader and the next append's
+            # protocol legs expect for "no data yet")
+            fs.delete(jpath(data_path), True)
+            spark.catalog.refreshByPath(data_path)
     append_ledger_row(spark, ledger_path, batch_seq, {count_col: n})
 
 
@@ -1666,11 +1730,13 @@ def append_tombstones(
     leftover = jpath(f"{tombstones_path}/batch_seq={batch_seq}")
     if fs.exists(leftover):
         fs.delete(leftover, True)
-    if ids.isEmpty():
-        append_ledger_row(
-            spark, tombstone_ledger_path, batch_seq, {"n_ids": 0}
-        )
-        return
+    # No pre-write isEmpty() probe (r17): it cost one Spark job per
+    # tombstone commit computing the takedown-id derivation the write
+    # then recomputed. The zero-row case is derived from the written
+    # footers below instead; the only hazard — a zero-row write into an
+    # ABSENT store leaving a schema-less tree — is undone post-write
+    # (from the post-write tree content, so a crash between write and
+    # cleanup heals on the retry).
     (
         ids.select(id_col)
         .distinct()
@@ -1699,6 +1765,21 @@ def append_tombstones(
             if s.getPath().getName().endswith(".parquet")
         ],
     )
+    if n == 0:
+        any_parquet = [
+            s
+            for s in (
+                fs.globStatus(jpath(f"{tombstones_path}/batch_seq=*/*"))
+                or []
+            )
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        if not any_parquet and store_exists(spark, tombstones_path):
+            # zero-row batch on a mask tree with NO data at all: drop
+            # the schema-less tree — an absent tombstone store is the
+            # canonical "no deletions" state every masked read checks
+            fs.delete(jpath(tombstones_path), True)
+            spark.catalog.refreshByPath(tombstones_path)
     append_ledger_row(spark, tombstone_ledger_path, batch_seq, {"n_ids": n})
 
 

@@ -20,30 +20,48 @@ until executor storage evicts under pressure (correct but wasteful —
 eviction is LRU churn, not a leak of wrong data). ``bench.py`` and the
 pipeline runner call :func:`release_caches` after every query action;
 ``tests/test_caching.py`` asserts the sweep leaves zero persistent RDDs.
+
+THREAD SAFETY (r17, from the r16 advisory): store-protocol steps now
+run on concurrent driver threads (``operators.concurrency.
+run_concurrently``), so the registry is guarded by a lock, and
+:func:`persist_scope` tracks the persists registered by the CURRENT
+THREAD inside the scope (a ``threading.local`` stack) instead of
+slicing the global list — a ``tracked_persist`` from another thread
+landing inside the scope window is no longer swept by the scope exit.
 """
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
 _ACTIVE: list[DataFrame] = []
+# per-thread stack of open persist_scope collectors; InheritableThread
+# children get their own empty stack, which is exactly the isolation
+# the scope semantics need
+_SCOPES = threading.local()
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` + register for a later :func:`release_caches`."""
     persisted = df.persist(storage_level) if storage_level else df.persist()
-    _ACTIVE.append(persisted)
+    with _LOCK:
+        _ACTIVE.append(persisted)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(persisted)
     return persisted
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
 def persist_scope():
-    """Release every :func:`tracked_persist` registered INSIDE the
-    scope when it exits — for protocol steps that fully materialize
-    their result (collect / eager localCheckpoint) before returning.
+    """Release every :func:`tracked_persist` registered by THIS THREAD
+    inside the scope when it exits — for protocol steps that fully
+    materialize their result (collect / eager localCheckpoint) before
+    returning.
 
     Why it exists: a library persist that outlives its action is
     normally just wasted storage (release_caches sweeps it after the
@@ -60,12 +78,19 @@ def persist_scope():
     keeps a long-running loop's cache footprint bounded per epoch
     instead of accumulating until release_caches.
     """
-    mark = len(_ACTIVE)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = []
+        _SCOPES.stack = stack
+    scoped: list[DataFrame] = []
+    stack.append(scoped)
     try:
         yield
     finally:
-        scoped = _ACTIVE[mark:]
-        del _ACTIVE[mark:]
+        stack.pop()
+        ids = {id(df) for df in scoped}
+        with _LOCK:
+            _ACTIVE[:] = [d for d in _ACTIVE if id(d) not in ids]
         for df in scoped:
             try:
                 df.unpersist()
@@ -77,7 +102,12 @@ def untrack(df: DataFrame) -> None:
     """Remove ``df`` from the registry without unpersisting (for
     operators that manage an intermediate's lifetime themselves, e.g.
     the per-round unpersist in connected_components)."""
-    _ACTIVE[:] = [d for d in _ACTIVE if d is not df]
+    with _LOCK:
+        _ACTIVE[:] = [d for d in _ACTIVE if d is not df]
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        for lst in stack:
+            lst[:] = [d for d in lst if d is not df]
 
 
 def release_caches() -> int:
@@ -87,8 +117,11 @@ def release_caches() -> int:
     (Spark's default) so release is async on the executors.
     """
     n = 0
-    while _ACTIVE:
-        df = _ACTIVE.pop()
+    while True:
+        with _LOCK:
+            if not _ACTIVE:
+                break
+            df = _ACTIVE.pop()
         try:
             df.unpersist()
             n += 1

@@ -129,6 +129,7 @@ def _reserved_seqs(spark: SparkSession, ledger_path: str) -> set[int]:
 def _legacy_slot_content_matches(
     spark: SparkSession,
     tombstones_path: str,
+    tombstone_ledger_path: str,
     slot: int,
     batch_ids: DataFrame,
     id_col: str,
@@ -138,10 +139,27 @@ def _legacy_slot_content_matches(
     recognition (module docstring). Both sides are takedown-sized; the
     check is two anti-join emptiness probes on the rare marker-less
     upgrade path, not a hot-loop cost."""
+    from ..io.maintenance import _ledger_rows
+
     fs, jpath = _fs(spark, tombstones_path)
     leaf = jpath(f"{tombstones_path}/batch_seq={slot}")
     ids = batch_ids.select(id_col).distinct()
     if not fs.exists(leaf):
+        rows = _ledger_rows(spark, tombstone_ledger_path) or []
+        n_ids = next(
+            (int(r.n_ids) for r in rows if r.batch_seq == slot), 0
+        )
+        if n_ids > 0:
+            # committed NON-EMPTY slot whose data leaf is physically
+            # gone: a full-collapse compaction erased the tombstone
+            # DATA tree (the ledger survives — that is the erasure
+            # lifecycle). The content is unverifiable by construction,
+            # but the ledger proves this epoch's legacy slot committed
+            # with real ids; falling through to a new sequence here
+            # would RE-commit the same takedown ids under a fresh slot
+            # and consumers would see the delta twice (r17, from the
+            # r16 advisory). Treat it as the replay it is.
+            return True
         # empty legacy commit ((seq, 0) ledger row, no data leaf):
         # matches only an empty epoch
         return ids.isEmpty()
@@ -186,6 +204,7 @@ def _allocate_epoch_seq(
         and _legacy_slot_content_matches(
             spark,
             tombstones_path,
+            tombstone_ledger_path,
             int(legacy.strip()) + epoch_id,
             batch_ids,
             id_col,

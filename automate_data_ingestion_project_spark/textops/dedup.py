@@ -79,6 +79,87 @@ def exact_dedup_summary(
     )
 
 
+def _parse_bytes_conf(raw: str | None, default: int) -> int:
+    """Spark byte-conf parser for the handful of suffixes the scan
+    confs use (plain number = bytes; k/m/g with optional b)."""
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
+                   ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
+    """Estimate how many scan partitions Spark will plan for these leaf
+    files WITHOUT running the physical planner — the planner's own
+    formula (``FilePartition.maxSplitBytes`` + greedy file packing with
+    ``openCostInBytes`` charged per file) over driver-side stat'd
+    sizes. ``None`` when any file is non-local (keep the caller's
+    file-count heuristic rather than pay remote stats).
+
+    Why the raw file count is not enough: Spark PACKS small files into
+    splits, so a many-tiny-file input (an uncompacted store after many
+    small appends) with ≥cores files can still plan to far fewer
+    partitions than cores — the exact serialization this helper exists
+    to prevent (r17, from the r16 advisory)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            sizes.append(_os.path.getsize(u.path))
+        except OSError:
+            return None
+    conf = spark.conf
+    max_pb = _parse_bytes_conf(
+        conf.get("spark.sql.files.maxPartitionBytes", None), 128 << 20
+    )
+    open_cost = _parse_bytes_conf(
+        conf.get("spark.sql.files.openCostInBytes", None), 4 << 20
+    )
+    try:
+        min_pn = int(
+            conf.get("spark.sql.files.minPartitionNum", None)
+            or spark.sparkContext.defaultParallelism
+        )
+    except ValueError:
+        min_pn = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    bytes_per_core = total / max(1, min_pn)
+    max_split = int(min(max_pb, max(open_cost, bytes_per_core)))
+    # splittable files are pre-split into <= max_split chunks, then
+    # chunks are greedily packed largest-first, each charged open_cost
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    parts, cur = 0, 0
+    for c in sorted(chunks, reverse=True):
+        if cur + c > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        parts += 1
+    return parts
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Repartition a CPU-bound narrow map's input up to the session's
     parallelism. Small fixture tables arrive as ONE parquet split, so an
@@ -86,18 +167,27 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     whole shingling stage serialized at sf0.1). At 100 TB inputs already
     have ≥cores splits and this becomes a no-op.
 
-    The smallness probe is the ANALYZED plan's leaf-file count
+    The smallness probe is the ANALYZED plan's leaf files
     (``inputFiles``) — driver-cheap — not ``df.rdd.getNumPartitions()``,
     which forces a full physical-planning pass per call just to read a
     number (measured ~1.5 s of pure driver time on a fresh replay-batch
-    plan; the ingest loop builds two such plans per epoch). File count
-    under-estimates splits only for a single giant splittable file —
-    not a layout a 100 TB corpus has — and non-file sources (literal
-    test relations) keep the exact partition probe."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    plan; the ingest loop builds two such plans per epoch). Fewer files
+    than cores always repartitions; at or above that, the decision uses
+    :func:`_estimated_scan_partitions` (the planner's own packing
+    formula over stat'd local sizes), because Spark packs tiny files
+    ~``maxSplitBytes/openCost`` per split and a many-small-file store
+    can otherwise plan below the core count and serialize the map.
+    Non-file sources (literal test relations) keep the exact partition
+    probe; non-local files keep the bare file-count heuristic (remote
+    stats are not worth a probe)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files:
         if len(files) < target:
+            return df.repartition(target)
+        est = _estimated_scan_partitions(spark, files)
+        if est is not None and est < target:
             return df.repartition(target)
         return df
     if df.rdd.getNumPartitions() < target:

@@ -598,11 +598,16 @@ class NearDupIndex:
         the replay guard is unaffected — the registered
         ``neardup_compacted_ingest_replay`` query hash-proves both.
 
-        Ordering note: the roster is compacted FIRST. Compaction is a
-        content-preserving rewrite, so the roster-last APPEND invariant
-        is not at stake; compacting roster first means a crash mid-way
-        leaves the roster (the commit marker) intact-or-older, never
-        newer than the band/row trees.
+        Ordering note: all THREE tree rewrites run as concurrent
+        driver jobs (r17; the roster used to compact first, serially).
+        Unlike the APPEND path — where the roster is the commit marker
+        and must be written last — compaction is a content-preserving
+        rewrite per tree, so no cross-tree ordering is load-bearing: a
+        crash that leaves any subset of trees rewritten leaves every
+        tree content-equivalent to its pre-compaction self (masked
+        rows are dropped physically only while the tombstone files —
+        deleted strictly AFTER all three rewrites — still mask every
+        read logically), and the next compact() simply resumes.
 
         The bucketed variant's band table compacts through
         :func:`..io.maintenance.compact_bucketed_table` (a staging-table
@@ -625,14 +630,17 @@ class NearDupIndex:
             tombstone_ledger_path=self.tombstone_ledger_path,
             id_col="doc_id",
         )
-        compact_flat_tree(
-            self.spark, self.hashes_path, ["doc_id"], target_bytes, **mask
-        )
 
-        # the rows and bands rewrites touch disjoint trees and only
-        # needed to order AFTER the roster (see the ordering note
-        # above) — run them as concurrent jobs so each rewrite's task
-        # tail backfills the other's idle cores
+        # the three rewrites touch disjoint trees and no cross-tree
+        # ordering is load-bearing (see the ordering note above) — run
+        # them as concurrent jobs so each rewrite's task tail backfills
+        # the others' idle cores, and the three fixed per-rewrite
+        # commit costs overlap instead of serializing
+        def _compact_hashes() -> None:
+            compact_flat_tree(
+                self.spark, self.hashes_path, ["doc_id"], target_bytes, **mask
+            )
+
         def _compact_rows() -> None:
             compact_flat_tree(
                 self.spark, self.rows_path, ["doc_id"], target_bytes, **mask
@@ -657,7 +665,7 @@ class NearDupIndex:
                     **mask,
                 )
 
-        run_concurrently(_compact_rows, _compact_bands)
+        run_concurrently(_compact_hashes, _compact_rows, _compact_bands)
         if store_exists(self.spark, self.tombstones_path):
             # erasure completed across all three trees — drop the mask
             # files; the tombstone LEDGER survives so a replayed

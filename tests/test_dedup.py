@@ -1178,3 +1178,95 @@ def test_ingest_compact_ingest_repeated_has_no_stale_cached_plans(
     first = walk(str(tmp_path / "idx_a"))
     second = walk(str(tmp_path / "idx_b"))  # used to FAILED_READ_FILE here
     assert first == second == {10: True, 11: False, 20: True}
+
+
+def test_stream_epoch_legacy_replay_after_physical_erasure(spark, tmp_path):
+    """Regression (r16 advisory, low): a full-collapse compaction
+    physically erases the tombstone DATA tree but keeps the ledger. A
+    later marker-less legacy replay of a committed NON-EMPTY epoch then
+    finds its slot committed but the leaf absent; the content check can
+    no longer verify ids, and falling through to a fresh sequence would
+    RE-commit the same takedown ids (consumers would see the delta
+    twice). The ledger row's n_ids > 0 identifies the erased-slot case
+    and the epoch is recognized as the replay it is."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        _fs,
+        append_tombstones,
+        committed_batch_seqs,
+    )
+    from automate_data_ingestion_project_spark.streaming.tombstones import (
+        _LEGACY_BASE_NAME,
+        _allocate_epoch_seq,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+
+    # legacy layout: base=5, legacy epoch 0 committed at seq 5 with ids
+    legacy_ids = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    append_tombstones(spark, t_data, t_ledger, legacy_ids, 5, "doc_id")
+    fs, jpath = _fs(spark, t_ledger)
+    out = fs.create(jpath(f"{t_ledger}/{_LEGACY_BASE_NAME}"), True)
+    try:
+        out.write(b"5")
+    finally:
+        out.close()
+
+    # full-collapse erasure: the tombstone DATA tree is deleted, the
+    # ledger survives (the compaction lifecycle's exact end state)
+    fs.delete(jpath(t_data), True)
+
+    # marker-less legacy replay of epoch 0: recognized as the replay of
+    # its committed slot, NOT re-sequenced
+    ckpt = os.path.join(root, "ckpt")
+    seq = _allocate_epoch_seq(
+        spark, t_data, t_ledger, ckpt, 0, legacy_ids, "doc_id"
+    )
+    assert seq == 5
+    # the replayed append no-ops at the guard: no new ledger sequence,
+    # no re-materialized tombstone data
+    append_tombstones(spark, t_data, t_ledger, legacy_ids, seq, "doc_id")
+    assert committed_batch_seqs(spark, t_ledger) == {5}
+    assert not fs.exists(jpath(t_data))
+
+
+def test_estimated_scan_partitions_matches_planner_on_tiny_files(
+    spark, tmp_path
+):
+    """The packing-aware probe (r17, from the r16 advisory): Spark
+    packs small files into scan splits, so a many-tiny-file input with
+    >= cores files can still plan to FEWER partitions than cores. The
+    estimate must reproduce the planner's own partition count (checked
+    against df.rdd.getNumPartitions(), the exact probe it replaces) so
+    spread_for_compute repartitions exactly when the planner would
+    under-parallelize."""
+    from automate_data_ingestion_project_spark.textops.dedup import (
+        _estimated_scan_partitions,
+        spread_for_compute,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "tiny")
+    n_files = max(40, 2 * target)
+    # range with explicit numPartitions: one row per partition, no
+    # shuffle for AQE to coalesce — exactly n_files tiny part files
+    spark.range(0, n_files, 1, n_files).write.parquet(path)
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    assert len(files) == n_files
+    est = _estimated_scan_partitions(spark, files)
+    planned = df.rdd.getNumPartitions()
+    assert est == planned, (est, planned)
+
+    # and the spread decision equals the old exact-probe decision
+    spread = spread_for_compute(df)
+    if planned < target:
+        assert spread.rdd.getNumPartitions() == target
+    else:
+        assert spread is df

@@ -1091,3 +1091,182 @@ def test_retraction_consumer_full_shard_erasure_and_overlap(spark, tmp_path):
     # cell 0 gained vid 8 from batch 1
     assert s[0] == (3, 4 * 10 + 8 * 10)
     assert consume() == (1, 1)  # caught up: no-op
+
+
+def test_session_conf_scope_interleaved_threads_restore_prior(spark):
+    """Regression (r16 advisory, medium): two concurrent scopes on the
+    same key must restore the TRUE prior, not each other's temporary
+    value. The interleaving is forced deterministically: thread B
+    enters while A's scope is open and exits after A — the exact
+    schedule where the old bare get/set/restore pair leaked the
+    temporary value into the session conf permanently."""
+    import threading
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        session_conf_scope,
+    )
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prior = spark.conf.get(key, None)
+    assert prior is None  # the session does not set it
+
+    a_in = threading.Event()
+    b_in = threading.Event()
+    a_out = threading.Event()
+    errors: list[Exception] = []
+
+    def thread_a():
+        try:
+            with session_conf_scope(spark, key, 111 << 20):
+                a_in.set()
+                assert b_in.wait(10)
+            a_out.set()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+            a_in.set()
+            a_out.set()
+
+    def thread_b():
+        try:
+            assert a_in.wait(10)
+            with session_conf_scope(spark, key, 111 << 20):
+                b_in.set()
+                assert a_out.wait(10)
+                # inside any open scope the value is the requested one
+                assert spark.conf.get(key) == str(111 << 20)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+            b_in.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    ta.join(30); tb.join(30)
+    assert not errors, errors
+    # the true prior (unset) is restored after the LAST scope exits
+    assert spark.conf.get(key, None) is None
+
+
+def test_concurrent_masked_compactions_restore_session_conf(spark, tmp_path):
+    """End-to-end form of the same regression: NearDupIndex.compact-style
+    CONCURRENT masked compact_flat_tree calls (each sets the AQE
+    advisory size for its rewrite) must leave the session conf exactly
+    as it was."""
+    import os
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+        compact_flat_tree,
+    )
+    from automate_data_ingestion_project_spark.operators.concurrency import (
+        run_concurrently,
+    )
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prior = spark.conf.get(key, None)
+
+    root = str(tmp_path / "trees")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    dead = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    append_tombstones(spark, t_data, t_ledger, dead, 0, "doc_id")
+
+    paths = [os.path.join(root, n) for n in ("a", "b")]
+    for p in paths:
+        spark.range(0, 50).selectExpr("id AS doc_id", "id * 2 AS v").write.parquet(p)
+
+    mask = dict(
+        tombstones_path=t_data,
+        tombstone_ledger_path=t_ledger,
+        id_col="doc_id",
+    )
+    run_concurrently(
+        *[
+            (lambda pp: lambda: compact_flat_tree(
+                spark, pp, ["doc_id"], 128 << 20, **mask
+            ))(p)
+            for p in paths
+        ]
+    )
+    for p in paths:
+        got = {r.doc_id for r in spark.read.parquet(p).collect()}
+        assert got == set(range(2, 50))  # mask applied physically
+    assert spark.conf.get(key, None) == prior
+
+
+def test_append_store_batch_empty_first_batch_leaves_store_absent(
+    spark, tmp_path
+):
+    """An empty FIRST batch commits its (seq, 0) ledger row without
+    leaving a schema-less data tree (r17: the zero-row case is derived
+    post-write from the written footers — no pre-write isEmpty job —
+    and the tree the zero-row write created is removed again)."""
+    import os
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_store_batch,
+        store_exists,
+    )
+
+    root = str(tmp_path / "store")
+    data = os.path.join(root, "cells")
+    ledger = os.path.join(root, "ledger")
+    empty = spark.createDataFrame([], "vid long, cell int")
+
+    append_store_batch(spark, data, ledger, empty, 0, "cell", "vid")
+    assert not store_exists(spark, data)
+    got = {(r.batch_seq, r.n_rows) for r in spark.read.parquet(ledger).collect()}
+    assert got == {(0, 0)}
+
+    # replay of the committed empty batch: no-op
+    append_store_batch(spark, data, ledger, empty, 0, "cell", "vid")
+    assert spark.read.parquet(ledger).count() == 1
+
+    # crash-retry healing: a zero-row write that crashed BEFORE its
+    # cleanup leaves a schema-less root; the retry (or any later empty
+    # append) removes it again because the decision reads the
+    # POST-write tree content, not a pre-write existence flag
+    from automate_data_ingestion_project_spark.io.maintenance import _fs
+
+    fs, jpath = _fs(spark, data)
+    fs.mkdirs(jpath(data))
+    append_store_batch(spark, data, ledger, empty, 1, "cell", "vid")
+    assert not store_exists(spark, data)
+
+    # the next real batch bootstraps the store normally
+    rows = spark.createDataFrame([(1, 0), (2, 1)], "vid long, cell int")
+    append_store_batch(spark, data, ledger, rows, 2, "cell", "vid")
+    assert store_exists(spark, data)
+    assert spark.read.parquet(data).count() == 2
+
+
+def test_append_tombstones_empty_first_batch_leaves_store_absent(
+    spark, tmp_path
+):
+    """Same protocol leg for the tombstone appends: an empty takedown
+    batch commits (seq, n_ids=0) and the tombstone store stays ABSENT —
+    the canonical "no deletions" state every masked read checks for."""
+    import os
+
+    from automate_data_ingestion_project_spark.io.maintenance import (
+        append_tombstones,
+        store_exists,
+    )
+
+    root = str(tmp_path / "store")
+    t_data = os.path.join(root, "tombstones")
+    t_ledger = os.path.join(root, "tombstone_ledger")
+    empty = spark.createDataFrame([], "vid long")
+
+    append_tombstones(spark, t_data, t_ledger, empty, 0, "vid")
+    assert not store_exists(spark, t_data)
+    got = {(r.batch_seq, r.n_ids) for r in spark.read.parquet(t_ledger).collect()}
+    assert got == {(0, 0)}
+
+    # replay: no-op; then a real takedown batch lands normally
+    append_tombstones(spark, t_data, t_ledger, empty, 0, "vid")
+    assert spark.read.parquet(t_ledger).count() == 1
+    dead = spark.createDataFrame([(7,)], "vid long")
+    append_tombstones(spark, t_data, t_ledger, dead, 1, "vid")
+    assert store_exists(spark, t_data)
+    assert {r.vid for r in spark.read.parquet(t_data).collect()} == {7}
