@@ -30,7 +30,7 @@ MEMBERSHIP — a low-bit flap would change which suppliers qualify.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_expr
@@ -283,8 +283,21 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     its order has ≥2 suppliers and exactly 1 late supplier (which must
     be l1's own, since l1 is late). The oracle keeps the textbook
     double-correlated form — DuckDB evaluates the subqueries, Spark
-    runs two aggregates + a join-back sharing the ``l_orderkey``
-    exchange, and the value hash pins them equal."""
+    computes both cardinalities as window ``collect_set`` sizes over
+    the one ``l_orderkey`` exchange, and the value hash pins them
+    equal.
+
+    r17 restructure (same result, pinned by the unchanged oracle):
+    (a) orders pre-filtered to ``o_orderstatus = 'F'`` BEFORE the join
+    — every subquery correlates on ``l_orderkey`` of an l1 whose order
+    is F, so non-F orders can contribute nothing, and the join/agg
+    input halves; (b) the two per-order ``countDistinct``s (an Expand
+    doubling every row into the aggregation) and the SortMergeJoin
+    join-back are replaced by two window ``collect_set`` sizes over
+    the same ``l_orderkey`` partitioning — one exchange, one pass, no
+    persist (the old form cached the join to feed aggregate + join-back
+    branches); set sizes are bounded by suppliers-per-order, a join-key
+    group that fits any executor at any scale."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -294,24 +307,28 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
-    with_ord = li.join(
-        orders, li.l_orderkey == orders.o_orderkey
-    ).withColumn("is_late", _late_col())
-    from ..operators.caching import tracked_persist
-
-    with_ord = tracked_persist(with_ord)
-    per_order = with_ord.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
+    orders_f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    with_ord = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", _late_col().alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = with_ord.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        # collect_set drops NULLs, so the late-only set mirrors
+        # countDistinct(when(is_late, suppkey)) exactly
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
         ).alias("n_late_supp"),
     )
-    qualifying = (
-        with_ord.filter(
-            F.col("is_late") & (F.col("o_orderstatus") == "F")
-        )
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    qualifying = stats.filter(
+        F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         qualifying.join(supp, qualifying.l_suppkey == supp.s_suppkey)
