@@ -59,6 +59,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = q(spark, sf_dir)
     report = compare(df, duck, entrymod.oracle_sql()[name])
     assert report["ok"], f"{name}: {report}"
+    # the fixture must actually exercise the query: zero rows would
+    # hash-match a zero-row oracle while proving nothing
+    assert report["spark_rows"] > 0, f"{name} returned no rows"
 
 
 def test_entry_smoke(spark):
@@ -74,6 +77,18 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs_and_returns_rows(spark, sf_dir):
+    """Runs-and-returns-rows coverage for queries WITHOUT an oracle.
+
+    Every oracle-backed query is already executed (and rows>0
+    asserted) by ``test_query_matches_oracle`` above; re-running all
+    of them here doubled the whole registry's execution per suite run
+    (measured 142 s — the single most expensive test) for zero added
+    coverage. Today every registered query carries an oracle, so this
+    is a guard that only starts costing if a future oracle-less query
+    is registered."""
+    oracles = entrymod.oracle_sql()
     for name, q in entrymod.queries().items():
+        if name in oracles:
+            continue
         df = q(spark, sf_dir)
         assert df.count() > 0, f"{name} returned no rows"

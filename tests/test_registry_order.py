@@ -2,77 +2,84 @@
 every _CHECK_FIRST name must resolve to a registered query (a typo
 silently demotes that query to registration order and wastes the
 round's check slot), the ordered registry must be duplicate-free, and
-the round-16 window composition — the round's deliverable — must hold:
-the 15 r11-vintage rows the r15 ordering promised would lead this
-window (the last pre-r12 evidence in the registry), then 35 rows whose
-behavior-bearing code changed in the r16 optimization round (tombstone
-legacy-replay recognition, consumer-state retirement, store-protocol
-internals, and the spread_for_compute probe families), all re-verified
-against their oracles in the round's changed-since drives."""
+the round-17 window composition — the round's deliverable — must hold:
+the 38 rows whose latest driver evidence was r12-vintage (ALL of the
+registry's stalest evidence, computed from the CORRECTNESS_r{N}.json
+hash_match history; after this window the histogram minimum is r13),
+then 12 rows whose behavior-bearing code changed in the r17
+optimization round (the waiting_suppliers window rewrite, the
+event_sessions_udtf scoped-conf execution, and representative rows
+over the changed store-protocol legs: pre-write isEmpty probes
+removed, 3-way concurrent index compaction, session_conf_scope,
+thread-aware persist_scope, tombstone erasure-replay recognition),
+all re-verified against their oracles in the round's drives."""
 
 import __spark_entry__ as entrymod
 from automate_data_ingestion_project_spark.analytics import QUERIES
 
-R11_VINTAGE_HEAD = [
-    # the 15 rows whose latest driver evidence was r11 — named as the
-    # r16 leads by the r15 ordering comment and the r15 verdict (#2)
-    "customer_value_quartiles",
-    "duckdb_federated_scan",
-    "duckdb_parquet_handoff",
-    "dataset_split",
-    "bigram_counts",
-    "events_hypertable_rollup",
-    "events_value_interpolate",
-    "top_terms_per_doc",
-    "vocab_encode",
-    "text_stats",
-    "lang_confusion",
-    "orders_rolling_revenue",
-    "orders_monthly_gapfill",
-    "nation_revenue_share",
-    "nation_revenue_pareto",
+R12_VINTAGE_HEAD = [
+    # the 38 rows whose latest driver evidence was r12 — everything at
+    # the staleness minimum goes into this window, per the r16
+    # verdict's rotation order (item 8)
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_pq_recall_eval",
+    "ann_pq_refined_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "ann_refined_recall_eval",
+    "ann_topk_cosine",
+    "big_ticket_orders",
+    "cheapest_supplier_per_part",
+    "csv_roundtrip_region",
+    "cumulative_new_customers",
+    "customer_interarrival",
+    "customer_order_histogram",
+    "dedup_canonical_keep",
+    "dedup_components",
+    "events_value_histogram",
+    "incremental_daily_rollup",
+    "json_roundtrip_nation",
+    "leakage_safe_split",
+    "minhash_estimate_error",
+    "multimodal_chunks",
+    "multimodal_manifest",
+    "nations_in_region1",
+    "order_priority_exists",
+    "orders_per_year",
+    "parts_bought_together",
+    "pipeline_etl_replay",
+    "pricing_summary",
+    "sales_cube",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "smoke_select_star",
+    "source_doc_cap",
+    "source_registry_sql",
+    "source_token_budget_cap",
+    "upsert_idempotent",
+    "weighted_systematic_sample",
 ]
 
-R16_CODE_TOUCHED = {
-    # tombstone allocation + consumer retirement (this round's edits)
-    "stream_shard_store_delete",
-    "cdf_incremental_consumer",
-    "cdf_consumer_erasure_propagation",
-    # store-protocol internals (footer stats, one-pass masked rewrites,
-    # staging-swap compaction, concurrent appends, persist_scope)
+R17_CODE_TOUCHED = {
+    # restructured queries (plan rewrites, oracle hashes unchanged)
+    "waiting_suppliers",
+    "event_sessions_udtf",
+    # store-protocol legs changed in r17: pre-write isEmpty probes
+    # removed (append_store_batch / append_tombstones /
+    # append_token_shard_batch), 3-way concurrent index compaction,
+    # session_conf_scope in masked rewrites, thread-aware
+    # persist_scope, tombstone legacy-replay-after-erasure recognition
     "neardup_store_delete",
-    "neardup_ingest_replay",
     "neardup_compacted_ingest_replay",
     "stream_neardup_ingest_replay",
-    "incremental_neardup_filter",
-    "shard_store_delete",
-    "shard_store_compaction",
-    "shard_store_asof",
-    "shard_store_asof_compacted",
-    "shard_store_asof_erasure",
-    "shard_store_changes",
-    "shard_store_ledger_checkpoint",
     "ivf_store_delete",
     "ivfpq_store_delete",
-    "ivf_store_compaction",
+    "shard_store_delete",
+    "stream_shard_store_delete",
+    "cdf_consumer_erasure_propagation",
     "ann_ivf_ingest_replay",
-    "stream_ann_ivf_ingest_replay",
     "ann_ivfpq_ingest_replay",
-    "stream_ann_ivfpq_ingest_replay",
-    "curated_shard_export",
-    "incremental_shard_export",
-    "stream_shard_export",
-    "export_token_shards",
-    # spread_for_compute probe families
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "semantic_dedup_clusters",
-    "bpe_two_merge_steps",
-    "decontaminate_overlap",
-    "label_centroids",
-    "doc_chunks",
-    "zorder_pruned_scan",
-    "pack_sequences",
 }
 
 
@@ -87,11 +94,11 @@ def test_ordered_registry_has_no_duplicates_and_covers_everything():
     assert set(names) == set(QUERIES)
 
 
-def test_round16_window_composition():
+def test_round17_window_composition():
     first50 = list(entrymod.queries())[:50]
-    assert first50[:15] == R11_VINTAGE_HEAD
-    assert set(first50[15:]) == R16_CODE_TOUCHED
-    assert len(R16_CODE_TOUCHED) == 35 and len(first50) == 50
+    assert first50[:38] == R12_VINTAGE_HEAD
+    assert set(first50[38:]) == R17_CODE_TOUCHED
+    assert len(R17_CODE_TOUCHED) == 12 and len(first50) == 50
 
 
 def test_oracles_cover_every_query():
