@@ -1459,6 +1459,23 @@ def vacuum_store(
             dropped += 1
     if dropped:
         spark.catalog.refreshByPath(data_path)
+        # if the orphans were the ONLY parquet files (every committed
+        # batch was empty), the tree is now schema-less — restore the
+        # canonical ABSENT state instead of leaving a root that fails
+        # every later raw read (same invariant as the appends' r17
+        # zero-row cleanup; found by the interleaving property test)
+        remaining = [
+            st
+            for pat in (
+                f"{data_path}/*/batch_seq=*/*",
+                f"{data_path}/batch_seq=*/*",
+            )
+            for st in (fs.globStatus(jpath(pat)) or [])
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        if not remaining:
+            fs.delete(jpath(data_path), True)
+            spark.catalog.refreshByPath(data_path)
     return dropped
 
 

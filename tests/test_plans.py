@@ -1049,17 +1049,25 @@ def test_q3_wave_shapes_push_filters_and_avoid_cartesians(spark, sf_dir):
         (nation_profit_by_year, "StringContains(p_name,widget)"),
         (late_lines_by_priority_class, "GreaterThanOrEqual(o_orderdate"),
         (promotable_part_suppliers, "GreaterThanOrEqual(l_shipdate"),
-        (waiting_suppliers, None),
+        (waiting_suppliers, "EqualTo(o_orderstatus,F)"),
     ):
         plan = _formatted(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
         if pushed_marker is not None:
             assert pushed_marker in plan, fn.__name__
-    # Q21: ONE aggregate computes both per-order cardinalities (the
-    # two distincts share the Expand rewrite — never two scans)
+    # Q21 (r17 shape): ONE Window over the single l_orderkey exchange
+    # computes BOTH per-order cardinalities as collect_set sizes — no
+    # Expand (the old double-countDistinct rewrite doubled every
+    # aggregation row), no SortMergeJoin join-back, no cached relation
     wplan = _formatted(waiting_suppliers(spark, sf_dir))
-    assert "count(l_suppkey" in wplan
-    assert "count(CASE WHEN is_late THEN l_suppkey END" in wplan
+    assert wplan.count("Window") >= 1
+    # the late-only set's CASE input is pre-projected (_w0), so pin the
+    # count of collect_set window expressions rather than its argument
+    assert wplan.count("collect_set(") >= 2
+    assert "collect_set(l_suppkey" in wplan
+    assert "Expand" not in wplan
+    assert "SortMergeJoin" not in wplan
+    assert "InMemoryRelation" not in wplan
 
 
 def test_tombstone_mask_broadcast_is_size_gated(spark, tmp_path):

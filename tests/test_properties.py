@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from automate_data_ingestion_project_spark.analytics.load import scratch_dir
@@ -827,6 +827,11 @@ def ledger_op_sequences(draw):
     ],
 )
 @given(ops=ledger_op_sequences())
+# pinned falsifying example (r17): a crashed non-empty attempt whose
+# orphan is the store's ONLY data, then an empty batch commits the
+# sequence-1 slot — vacuum then removes the orphan and must restore the
+# canonical ABSENT state instead of leaving a schema-less root
+@example(ops=[(0, 0, 1, True), (1, 0, 0, False), (1, 0, 1, False)])
 def test_ledger_append_interleavings_match_model(
     spark, ops, tmp_path_factory
 ):
@@ -923,6 +928,13 @@ def test_ledger_append_interleavings_match_model(
     )
     assert got_raw == sorted(want_committed + want_orphans)
     vacuum_store(spark, data, ledger)
+    if not store_exists(spark, data):
+        # the vacuumed orphans were the only parquet files in the tree
+        # (every committed batch was empty): vacuum restores the
+        # canonical ABSENT state rather than leaving a schema-less
+        # root that fails every later raw read
+        assert want_committed == []
+        return
     got_after = sorted(
         (r.vid, r.batch_seq) for r in spark.read.parquet(data).collect()
     )
