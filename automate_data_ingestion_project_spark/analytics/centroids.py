@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..textops.dedup import spread_for_compute
-from ..textops.quantize import quantize_int8
+from ..textops.quantize import quantize_int8_rows
 from .registry import register
 from ..operators.caching import tracked_persist
 
@@ -68,9 +68,9 @@ def _exploded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "embedding"
         )
     )
-    return quantize_int8(emb).select(
-        "vec_id", "label", F.posexplode("q").alias("pos", "code")
-    )
+    # exploded-form quantization (r17): codegen'd, no interpreted
+    # transform() lambdas (textops.quantize.quantize_int8_rows)
+    return quantize_int8_rows(emb).select("vec_id", "label", "pos", "code")
 
 
 @register(
@@ -259,8 +259,9 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     assigned = assign_cells(emb, centroids)
-    qd = quantize_int8(assigned)
-    ex = qd.select("cell", F.posexplode("q").alias("dim", "code"))
+    ex = quantize_int8_rows(assigned, pos_col="dim").select(
+        "cell", "dim", "code"
+    )
     return (
         ex.groupBy("cell", "dim")
         .agg(

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.caching import tracked_persist
 from ..textops.dedup import spread_for_compute
-from ..textops.quantize import quantize_int8
+from ..textops.quantize import quantize_int8_rows
 from .registry import register
 
 _TAU = 0.999
@@ -155,10 +155,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = spread_for_compute(emb.unionByName(planted))
     # ex feeds three consumers (centroid build, assignment, pair join
     # sides) — persist or each branch re-runs quantization
+    # exploded-form quantization (r17): stays in whole-stage codegen —
+    # the array form's three interpreted transform() lambdas dominated
+    # this stage (see textops.quantize.quantize_int8_rows)
     ex = tracked_persist(
-        quantize_int8(both).select(
-            "vec_id", "label", F.posexplode("q").alias("pos", "code")
-        )
+        quantize_int8_rows(both).select("vec_id", "label", "pos", "code")
     )
     cent = (
         ex.filter(F.col("vec_id") < _PLANT_OFF)
